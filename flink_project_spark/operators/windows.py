@@ -1,0 +1,175 @@
+"""Analytic window functions + event-time bucketing (batch).
+
+The reference emulates window functions with groupBy+sortGroup+reduceGroup
+(Flink 1.6 Table API had no batch OVER) — SURVEY.md §2.6. Spark has them
+natively; each helper documents which hand-rolled reference pattern it
+replaces. The multi-resolution tumbling buckets (5m/15m/1h/1d with +8h
+day alignment) mirror the streaming job's window assignment
+(flink-statistics ActionLogJobSecond.java:207-231) and run identically in
+batch and Structured Streaming via F.window().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rank_by_score(
+    df: DataFrame, partition_cols: list[str], order_col: str, ascending: bool = True
+) -> DataFrame:
+    """W1: row_number over (partition, order).
+
+    Ref: AucCalcVersion5.java:302-311 (rank assignment via sortGroup +
+    reduceGroup with a running counter).
+    """
+    order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = Window.partitionBy(*partition_cols).orderBy(order)
+    return df.withColumn("rn", F.row_number().over(w))
+
+
+def tie_averaged_rank(
+    df: DataFrame, partition_cols: list[str], order_col: str
+) -> DataFrame:
+    """W2: Mann-Whitney tie-averaged rank (same score -> mean of positions).
+
+    Ref: AucCalcVersion5.java:312-340 — the reference walks each sorted
+    group accumulating same-score runs and assigns the mean position.
+    Closed form without a second shuffle: avg(row_number) over
+    (partition, score) — both windows share the same partitioning so
+    Catalyst plans ONE exchange + sort.
+    """
+    w_rank = Window.partitionBy(*partition_cols).orderBy(F.col(order_col).asc())
+    w_ties = Window.partitionBy(*partition_cols, order_col)
+    return df.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "avg_rank", F.avg(F.col("rn").cast("double")).over(w_ties)
+    )
+
+
+def lag_delta(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    value_col: str,
+    threshold: float,
+) -> DataFrame:
+    """W4 batch analog: per-key lag-1 delta with alert flag.
+
+    Ref: flink-base TempChangeAlert.scala:11-21 (ValueState holding the
+    previous temperature; emit when |cur - prev| >= threshold). The
+    streaming form lives in streaming.stateful; this is the batch window
+    equivalent used for stream/batch equivalence tests.
+    """
+    w = Window.partitionBy(partition_col).orderBy(F.col(order_col).asc())
+    prev = F.lag(value_col).over(w)
+    return (
+        df.withColumn("prev_value", prev)
+        .withColumn(
+            "delta",
+            F.when(prev.isNotNull(), F.abs(F.col(value_col) - prev)),
+        )
+        .withColumn(
+            "alert",
+            F.when(F.col("delta") >= threshold, F.lit(1)).otherwise(F.lit(0)),
+        )
+    )
+
+
+def ordered_group_list(
+    df: DataFrame,
+    group_cols: list[str],
+    sort_col: str,
+    payload_col: str,
+    ascending: bool = False,
+) -> DataFrame:
+    """W3: per-group list ordered by a sort key (frame = whole group).
+
+    Ref: ItemIdCfVersion5.java:221-240 (sortGroup desc + reduceGroup
+    string-assembly of neighbor lists). collect_list order is
+    non-deterministic pre-sort, so sort_array over (sort_key, payload)
+    structs makes it deterministic — no Window shuffle needed beyond the
+    groupBy itself.
+    """
+    pair = F.struct(F.col(sort_col), F.col(payload_col))
+    return df.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list(pair), asc=ascending).alias("items")
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: list[str],
+) -> DataFrame:
+    """T1/T2 batch form: tumbling event-time window counts + value sum.
+
+    F.window() works identically over batch and streaming DataFrames, so
+    this single operator serves both the batch analog and (with
+    withWatermark upstream) the streaming job. Windows align to the epoch,
+    matching DuckDB's time_bucket for oracle checks.
+    """
+    return (
+        events.groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            *keys,
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def multi_resolution_counts(
+    events: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    resolutions: dict[str, str] | None = None,
+    day_offset_hours: int = 8,
+) -> DataFrame:
+    """T5: multi-resolution tumbling windows (5m/15m/1h/1d, +8h-aligned day).
+
+    Ref: ActionLogJobSecond.java:207-231 — the reference assigns each
+    event to four windows via floor-division and keeps per-resolution
+    MapState; here it's one union of four groupBy(window(...)) branches
+    over the same scan (Spark reuses the exchange where possible, and at
+    100 TB each branch is a map-side partial agg of tiny key cardinality).
+    The day window uses startTime offset to reproduce the reference's
+    UTC+8 day boundary (Asia/Shanghai dashboards: java:226).
+    """
+    resolutions = resolutions or {
+        "5m": "5 minutes",
+        "15m": "15 minutes",
+        "1h": "1 hour",
+        "1d": "1 day",
+    }
+    branches = []
+    for label, dur in resolutions.items():
+        # +8h-aligned day: a day window that starts at 16:00 UTC == 00:00
+        # UTC+8; F.window(startTime=...) shifts the epoch-aligned grid.
+        start_offset = f"-{day_offset_hours} hours" if label == "1d" else None
+        win = (
+            F.window(F.col(ts_col), dur, startTime=start_offset)
+            if start_offset
+            else F.window(F.col(ts_col), dur)
+        )
+        branches.append(
+            events.groupBy(win.alias("w"), *keys)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.lit(label).alias("resolution"),
+                F.col("w.start").alias("window_start"),
+                *keys,
+                "cnt",
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out

@@ -1,0 +1,75 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the
+configuration below is chosen so the same logical plans scale to a
+multi-executor cluster at ~100 TB:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  dynamic broadcast conversion) — replaces the reference's hand-set
+  parallelism hints (reference: flink-statistics OfflineDataSetUtils.java:210,
+  flink-process Hdfs2RedisVersion5.java:102).
+- shuffle.partitions ~= cores locally; on a real cluster this would be
+  2-3x total executor cores, but AQE coalescing makes the initial number
+  far less critical than in static planning.
+- session timezone pinned UTC so event-time window math is reproducible
+  and comparable against the DuckDB oracle (DuckDB timestamps are
+  UTC-naive). The reference's +8h day-window alignment
+  (flink-statistics ActionLogJobSecond.java:226) is expressed explicitly
+  as a window offset instead of an ambient JVM timezone.
+- Arrow enabled: every Pandas-UDF boundary is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "flink_project_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) the tuned SparkSession.
+
+    Note: JVM-level options (driver memory) only take effect on the first
+    session created in the process.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # local-mode memory: single JVM, driver is the only process
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # driver testdata stores events.ts as parquet TIMESTAMP(NANOS) which
+        # Spark has no native type for; read as long and normalize in
+        # fixtures.load_tables (runtime-settable, so it also applies when the
+        # harness hands us its own session)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # deterministic double aggregation is NOT guaranteed by Spark; the
+        # engine uses decimal-cast sums where exact reproducibility matters
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

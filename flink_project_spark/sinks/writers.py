@@ -1,0 +1,196 @@
+"""Batch & streaming sinks — SURVEY.md §2.2 (K1-K8).
+
+The reference's record-at-a-time connector sinks (Redis/HBase/ES/JDBC
+OutputFormats) become either native writers or `foreachPartition` /
+`foreachBatch` with a pluggable key-value client. A deterministic
+in-memory KV store stands in for Redis/HBase in tests — the engine-side
+contract (batched writes, per-partition connections, idempotent upserts,
+TTL/truncation policy) is the real, tested part; the network client is
+injected.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+
+
+def write_text(df: DataFrame, path: str, overwrite: bool = True) -> None:
+    """K1: text write with overwrite. Ref: ItemIdCfVersion5.java:278,285."""
+    mode = "overwrite" if overwrite else "error"
+    df.write.mode(mode).text(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, sep: str = ",", parallelism: int | None = None
+) -> None:
+    """K2: CSV sink with custom delimiter and fixed file count.
+
+    Ref: flink-statistics OfflineDataSetUtils.java:209-212
+    (CsvTableSink(path, "/", 24, OVERWRITE)). `repartition(n)` reproduces
+    the parallelism hint; at 100 TB you'd leave partitioning to AQE and
+    drop the hint.
+    """
+    if parallelism:
+        df = df.repartition(parallelism)
+    df.write.mode("overwrite").option("sep", sep).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Engine-native columnar sink with optional Hive-style partitioning."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append") -> None:
+    """K3 (insert path): JDBC sink. Ref: flink-process sink/Sink2Mysql.java:36-58."""
+    df.write.mode(mode).format("jdbc").option("url", url).option("dbtable", table).save()
+
+
+# ------------------------- pluggable KV sink (K4/K6) ------------------------
+
+
+class InMemoryKVStore:
+    """Deterministic stand-in for Redis (HSET/RPUSH+TTL) / HBase (Put).
+
+    Mirrors the semantics the reference relies on:
+    - HSET key field value          (flink-base sink/MyRedisMapper.scala:12-20)
+    - DEL + RPUSH list + EXPIRE 7d  (flink-process outputformat/
+                                     RedisOutputFormat.java:27-36,
+                                     sink/MyJedisCluster.java:47-58)
+    - HBase Put(rowkey, cf:qual, v) (flink-process outputformat/
+                                     HBaseOutputFormat.java:35-45)
+    Thread-safe: executors on local[N] share the process.
+    """
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.hashes: dict[str, dict[str, str]] = {}
+        self.lists: dict[str, list[str]] = {}
+        self.ttls: dict[str, float] = {}
+
+    def hset(self, key: str, field: str, value: str) -> None:
+        with self._lock:
+            self.hashes.setdefault(key, {})[field] = value
+
+    def replace_list(self, key: str, values: list[str], ttl_seconds: int | None = None) -> None:
+        # DEL-then-RPUSH with optional TTL — MyJedisCluster.java:47-58
+        with self._lock:
+            self.lists[key] = list(values)
+            if ttl_seconds is not None:
+                self.ttls[key] = time.time() + ttl_seconds
+
+    def put(self, rowkey: str, qualifier: str, value: str) -> None:
+        # HBase-style cell write modeled as a hash field
+        self.hset(rowkey, qualifier, value)
+
+
+# Global registry so a driver-created store is reachable from executor
+# threads in local mode; on a real cluster the factory would construct a
+# network client per partition instead.
+_KV_REGISTRY: dict[str, InMemoryKVStore] = {}
+
+
+def get_kv_store(name: str = "default") -> InMemoryKVStore:
+    return _KV_REGISTRY.setdefault(name, InMemoryKVStore())
+
+
+def write_kv_hash(
+    df: DataFrame,
+    key_col: str,
+    field_col: str,
+    value_col: str,
+    store_factory: Callable[[], object] | None = None,
+    store_name: str = "default",
+) -> None:
+    """K4/K6 batch path: per-partition connection, batched HSET writes.
+
+    foreachPartition = one client per partition (the reference opens one
+    Jedis/HBase connection per subtask in RichFunction.open — same shape).
+    """
+    factory = store_factory or (lambda: get_kv_store(store_name))
+    cols = [key_col, field_col, value_col]
+
+    def _write(rows: Iterable[Row]) -> None:
+        client = factory()
+        for row in rows:
+            client.hset(str(row[cols[0]]), str(row[cols[1]]), str(row[cols[2]]))
+
+    df.select(*cols).foreachPartition(_write)
+
+
+def write_kv_lists(
+    df: DataFrame,
+    key_col: str,
+    values_col: str,
+    min_len: int = 20,
+    max_len: int = 400,
+    ttl_seconds: int = 7 * 24 * 3600,
+    key_prefix: str = "",
+    store_name: str = "default",
+) -> None:
+    """K4 list path: publish neighbor lists with the reference's bounds.
+
+    Keep lists with >= min_len entries, truncate at max_len, 7-day TTL,
+    DEL-then-RPUSH (flink-process Hdfs2RedisVersion5.java:67-92). The
+    filter/truncate run as Catalyst expressions BEFORE the shuffle-free
+    foreachPartition — only surviving rows leave the JVM.
+    """
+    pruned = (
+        df.filter(F.size(F.col(values_col)) >= min_len)
+        .select(key_col, F.slice(F.col(values_col), 1, max_len).alias(values_col))
+    )
+
+    def _write(rows: Iterable[Row]) -> None:
+        client = get_kv_store(store_name)
+        for row in rows:
+            client.replace_list(
+                key_prefix + str(row[key_col]),
+                [str(v) for v in row[values_col]],
+                ttl_seconds=ttl_seconds,
+            )
+
+    pruned.foreachPartition(_write)
+
+
+def foreach_batch_kv_upsert(
+    key_cols: list[str],
+    value_col: str,
+    qualifier: str = "v",
+    store_name: str = "default",
+) -> Callable[[DataFrame, int], None]:
+    """K3-upsert/K6/T12 streaming path: idempotent per-micro-batch upsert.
+
+    Usage: stream.writeStream.foreachBatch(foreach_batch_kv_upsert([...], "v")).
+    Idempotency (same key overwritten on replay) + checkpointing gives the
+    exactly-once effect the reference gets from Flink checkpoint barriers
+    (ActionLogJob.java:82-96, T13).
+    """
+
+    def _fn(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.select(
+            F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]).alias("k"),
+            F.col(value_col).cast("string").alias("v"),
+        )
+
+        def _write(it: Iterable[Row]) -> None:
+            client = get_kv_store(store_name)
+            for row in it:
+                client.put(row["k"], qualifier, row["v"])
+
+        rows.foreachPartition(_write)
+
+    return _fn
+
+
+def write_console(df: DataFrame, n: int = 20, tag: str | None = None) -> None:
+    """K8: console print. Ref: SensorSourceTest.scala:16 (print("tag"))."""
+    if tag:
+        print(f"== {tag} ==")
+    df.show(n, truncate=False)
