@@ -26,7 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_project_spark import fixtures as FX
+from flink_project_spark.functions import scalars as SC
+from flink_project_spark.operators import auc as A
 from flink_project_spark.operators import relational as R
+from flink_project_spark.operators import setops as S
 from flink_project_spark.operators import windows as W
 
 
@@ -142,6 +145,188 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- M2: AUC / UAUC (flink-auccalc) ----
+
+
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney AUC per (scene, channel) incl. the 'all' unpivot row."""
+    stacked = A.stack_channels(_valid_actions(spark, sf_dir))
+    return A.auc(stacked, ["scene_id", "channel"], "score", "label")
+
+
+def q_uauc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user AUC, show-weighted mean per scene."""
+    return A.uauc(
+        _valid_actions(spark, sf_dir),
+        ["scene_id"],
+        weight_action="show",
+    )
+
+
+def q_label_dedup_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shows whose (scene,user,item) never clicked — NOT-IN as anti join."""
+    va = _valid_actions(spark, sf_dir)
+    shows = va.filter(F.col("action") == "show").select(
+        "scene_id", "user_id", "item_id", "action_time"
+    )
+    clicks = va.filter(F.col("action") == "click").select(
+        "scene_id", "user_id", "item_id"
+    )
+    return A.label_dedup_anti_join(
+        shows, clicks, ["scene_id", "user_id", "item_id"]
+    )
+
+
+# ---- set ops / windows / scalar functions ----
+
+
+def q_union_tagged_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3+O5/O7: union two filtered branches, tag by predicate, count."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    tagged = S.split_by_predicate(
+        S.union_all(clicks, purchases), F.col("value") > 100.0
+    )
+    return tagged.groupBy("event_type", "split").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def q_minus_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: CheckValues-style EXCEPT — board items not in the whitelist."""
+    boards = FX.fixture_df(spark, sf_dir, "boards").select("item_id")
+    wl = FX.fixture_df(spark, sf_dir, "whitelist").select(
+        F.col("pin_id").alias("item_id")
+    )
+    return S.minus(boards, wl)
+
+
+def q_rank_by_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: deterministic row_number per (scene, channel)."""
+    va = _valid_actions(spark, sf_dir).select(
+        "scene_id", "channel", "user_id", "item_id", "action_time", "score"
+    )
+    return W.rank_by_score(
+        va,
+        ["scene_id", "channel"],
+        ["score", "user_id", "item_id", "action_time"],
+    )
+
+
+def q_lag_delta_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 batch analog of TempChangeAlert: per-sensor lag-1 delta."""
+    sensor = FX.fixture_df(spark, sf_dir, "sensor").select(
+        "id", "timestamp", "temperature"
+    )
+    return W.lag_delta(
+        sensor, "id", ["timestamp", "temperature"], "temperature", 50.0
+    )
+
+
+def q_sorted_item_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: per-user item history ordered newest-first, string-rendered
+    exactly like the reference's neighbor-list sink format."""
+    va = _valid_actions(spark, sf_dir)
+    lists = W.ordered_group_list(
+        va, ["user_id"], "action_time", "item_id", ascending=False
+    )
+    return lists.select(
+        "user_id",
+        F.array_join(
+            F.transform(
+                F.col("items"),
+                lambda x: F.concat_ws(":", x["item_id"], x["action_time"].cast("string")),
+            ),
+            ",",
+        ).alias("history"),
+        F.size("items").alias("history_len"),
+    )
+
+
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: JSON field extraction + aggregation over the props column."""
+    ev = _events(spark, sf_dir)
+    k = SC.json_get_int(F.col("props"), "k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_url_param_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: nginx request-line query-param extraction (round-trip).
+
+    Synthesizes 'GET /rec?userID=..&sceneID=..&ts=.. HTTP/1.1' then
+    parses params back with regexp_extract — the reference's manual
+    indexOf/substring walk (OfflineDataSetUtils.java:115-167).
+    """
+    va = _valid_actions(spark, sf_dir)
+    req = F.concat(
+        F.lit("GET /rec?userID="),
+        F.col("user_id"),
+        F.lit("&sceneID="),
+        F.col("scene_id"),
+        F.lit("&ts="),
+        F.col("action_time").cast("string"),
+        F.lit(" HTTP/1.1"),
+    )
+    parsed = va.select(
+        SC.url_query_param(req, "userID").alias("parsed_user"),
+        SC.url_query_param(req, "sceneID").alias("parsed_scene"),
+    )
+    return parsed.groupBy("parsed_scene").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("parsed_user").alias("users"),
+    )
+
+
+def q_time_partition_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: yyyyMMdd/yyyyMMddHH partition keys + reversed HBase rowkey."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            SC.yyyymmdd(F.col("ts")).alias("day"),
+            SC.yyyymmddhh(F.col("ts")).alias("hour"),
+            SC.reverse_rowkey(F.unix_millis(F.col("ts"))).alias("rowkey"),
+        )
+        .groupBy("day")
+        .agg(
+            F.countDistinct("hour").alias("hours"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("rowkey").alias("min_rowkey"),
+            F.max("rowkey").alias("max_rowkey"),
+        )
+    )
+
+
+def q_sci_notation_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: scientific-notation string timestamps -> (long)Double.parseDouble.
+
+    Renders an odd integer with %.4E (odd => never a round-half boundary,
+    so Java and C printf agree), then casts string->double->long exactly
+    like flink-process entries/ActionLog.java:41.
+    """
+    va = _valid_actions(spark, sf_dir)
+    sci = F.format_string(
+        "%.4E", (F.col("action_time") * 2 + 1).cast("double")
+    )
+    return va.select(
+        "user_id",
+        "item_id",
+        "action_time",
+        sci.alias("sci_ts"),
+        SC.sci_notation_to_long(sci).alias("parsed_ts"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scene_uv": q_scene_uv,
@@ -154,6 +339,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_pivot": q_metric_pivot,
         "event_window_counts": q_event_window_counts,
         "pricing_summary": q_pricing_summary,
+        "auc": q_auc,
+        "uauc": q_uauc,
+        "label_dedup_anti": q_label_dedup_anti,
+        "union_tagged_counts": q_union_tagged_counts,
+        "minus_whitelist": q_minus_whitelist,
+        "rank_by_score": q_rank_by_score,
+        "lag_delta_alerts": q_lag_delta_alerts,
+        "sorted_item_lists": q_sorted_item_lists,
+        "json_props_stats": q_json_props_stats,
+        "url_param_parse": q_url_param_parse,
+        "time_partition_keys": q_time_partition_keys,
+        "sci_notation_cast": q_sci_notation_cast,
     }
 
 
@@ -293,6 +490,177 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
+        """,
+        "auc": V("valid_actions")
+        + """
+        , stacked AS (
+          SELECT scene_id, 'all' AS channel, score, label FROM valid_actions
+          UNION ALL
+          SELECT scene_id, channel, score, label FROM valid_actions
+        ), per_score AS (
+          SELECT scene_id, channel, score,
+                 CAST(SUM(label) AS BIGINT) AS p_s,
+                 CAST(SUM(1 - label) AS BIGINT) AS n_s
+          FROM stacked GROUP BY scene_id, channel, score
+        ), with_cneg AS (
+          SELECT *, COALESCE(SUM(n_s) OVER (
+                   PARTITION BY scene_id, channel ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg
+          FROM per_score
+        )
+        SELECT scene_id, channel,
+               CAST(SUM(p_s) AS BIGINT) AS positives,
+               CAST(SUM(n_s) AS BIGINT) AS negatives,
+               CASE WHEN SUM(p_s) > 0 AND SUM(n_s) > 0
+                    THEN CAST(SUM(p_s * (2*cneg + n_s)) AS DOUBLE)
+                         / (2.0 * SUM(p_s) * SUM(n_s))
+               END AS auc
+        FROM with_cneg GROUP BY scene_id, channel
+        """,
+        "uauc": V("valid_actions")
+        + """
+        , per_score AS (
+          SELECT scene_id, user_id, score,
+                 CAST(SUM(label) AS BIGINT) AS p_s,
+                 CAST(SUM(1 - label) AS BIGINT) AS n_s
+          FROM valid_actions GROUP BY scene_id, user_id, score
+        ), with_cneg AS (
+          SELECT *, COALESCE(SUM(n_s) OVER (
+                   PARTITION BY scene_id, user_id ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg
+          FROM per_score
+        ), per_user AS (
+          SELECT scene_id, user_id,
+                 CAST(SUM(p_s) AS BIGINT) AS positives,
+                 CAST(SUM(n_s) AS BIGINT) AS negatives,
+                 CAST(SUM(p_s * (2*cneg + n_s)) AS BIGINT) AS num2
+          FROM with_cneg GROUP BY scene_id, user_id
+        ), per_user_auc AS (
+          SELECT scene_id, user_id,
+                 CAST(num2 AS DOUBLE) / (2.0 * positives * negatives) AS auc
+          FROM per_user WHERE positives > 0 AND negatives > 0
+        ), weights AS (
+          SELECT scene_id, user_id, count(*) AS w
+          FROM valid_actions WHERE action = 'show' GROUP BY scene_id, user_id
+        ), joined AS (
+          SELECT a.scene_id, a.user_id, w.w,
+                 CAST(FLOOR(a.auc * 1000000000.0 + 0.5) AS BIGINT) AS auc_scaled
+          FROM per_user_auc a
+          JOIN weights w ON a.scene_id = w.scene_id AND a.user_id = w.user_id
+        )
+        SELECT scene_id, count(*) AS users,
+               CAST(SUM(w * auc_scaled) AS DOUBLE)
+               / (1000000000.0 * CAST(SUM(w) AS DOUBLE)) AS uauc
+        FROM joined GROUP BY scene_id
+        """,
+        "label_dedup_anti": V("valid_actions")
+        + """
+        SELECT s.scene_id, s.user_id, s.item_id, s.action_time
+        FROM valid_actions s
+        WHERE s.action = 'show'
+          AND NOT EXISTS (
+            SELECT 1 FROM valid_actions c
+            WHERE c.action = 'click' AND c.scene_id = s.scene_id
+              AND c.user_id = s.user_id AND c.item_id = s.item_id)
+        """,
+        "union_tagged_counts": """
+        WITH u AS (
+          SELECT * FROM events WHERE event_type = 'click'
+          UNION ALL
+          SELECT * FROM events WHERE event_type = 'purchase'
+        )
+        SELECT event_type,
+               CASE WHEN value > 100.0 THEN 'high' ELSE 'low' END AS split,
+               count(*) AS cnt
+        FROM u GROUP BY 1, 2
+        """,
+        "minus_whitelist": V("boards", "whitelist")
+        + """
+        SELECT DISTINCT item_id FROM boards
+        EXCEPT
+        SELECT pin_id FROM whitelist
+        """,
+        "rank_by_score": V("valid_actions")
+        + """
+        SELECT scene_id, channel, user_id, item_id, action_time, score,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY scene_id, channel
+                 ORDER BY score, user_id, item_id, action_time) AS INTEGER) AS rn
+        FROM valid_actions
+        """,
+        "lag_delta_alerts": V("sensor")
+        + """
+        , lagged AS (
+          SELECT id, "timestamp", temperature,
+                 LAG(temperature) OVER (
+                   PARTITION BY id ORDER BY "timestamp", temperature
+                 ) AS prev_value
+          FROM sensor
+        )
+        SELECT id, "timestamp", temperature, prev_value,
+               CASE WHEN prev_value IS NOT NULL
+                    THEN ABS(temperature - prev_value) END AS delta,
+               CASE WHEN (CASE WHEN prev_value IS NOT NULL
+                          THEN ABS(temperature - prev_value) END) >= 50.0
+                    THEN 1 ELSE 0 END AS alert
+        FROM lagged
+        """,
+        "sorted_item_lists": V("valid_actions")
+        + """
+        SELECT user_id,
+               string_agg(item_id || ':' || CAST(action_time AS VARCHAR), ','
+                          ORDER BY action_time DESC, item_id DESC) AS history,
+               CAST(count(*) AS INTEGER) AS history_len
+        FROM valid_actions GROUP BY user_id
+        """,
+        "json_props_stats": """
+        WITH ex AS (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+          FROM events
+        )
+        SELECT event_type, count(*) AS cnt,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               MIN(k) AS min_k, MAX(k) AS max_k
+        FROM ex WHERE k IS NOT NULL GROUP BY event_type
+        """,
+        "url_param_parse": V("valid_actions")
+        + r"""
+        , req AS (
+          SELECT 'GET /rec?userID=' || user_id || '&sceneID=' || scene_id
+                 || '&ts=' || CAST(action_time AS VARCHAR)
+                 || ' HTTP/1.1' AS r
+          FROM valid_actions
+        ), parsed AS (
+          SELECT regexp_extract(r, '[?&]userID=([^&\s]*)', 1) AS parsed_user,
+                 regexp_extract(r, '[?&]sceneID=([^&\s]*)', 1) AS parsed_scene
+          FROM req
+        )
+        SELECT parsed_scene, count(*) AS cnt,
+               count(DISTINCT parsed_user) AS users
+        FROM parsed GROUP BY parsed_scene
+        """,
+        "time_partition_keys": """
+        WITH t AS (
+          SELECT strftime(ts, '%Y%m%d') AS day,
+                 strftime(ts, '%Y%m%d%H') AS hour,
+                 9223372036854775807 - epoch_ms(ts) AS rowkey
+          FROM events
+        )
+        SELECT day, count(DISTINCT hour) AS hours, count(*) AS cnt,
+               MIN(rowkey) AS min_rowkey, MAX(rowkey) AS max_rowkey
+        FROM t GROUP BY day
+        """,
+        "sci_notation_cast": V("valid_actions")
+        + """
+        , s AS (
+          SELECT user_id, item_id, action_time,
+                 printf('%.4E', CAST(action_time * 2 + 1 AS DOUBLE)) AS sci_ts
+          FROM valid_actions
+        )
+        SELECT user_id, item_id, action_time, sci_ts,
+               CAST(CAST(sci_ts AS DOUBLE) AS BIGINT) AS parsed_ts
+        FROM s
         """,
     }
 

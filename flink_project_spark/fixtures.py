@@ -119,11 +119,12 @@ FROM lineitem
 """
 
 # F4 whitelist — approved item ids (PetalDataSetUtils.java:94-106).
+# ~60% of the item_id key space (FIXTURES.md: both join sides non-empty).
 WHITELIST_SQL = """
 SELECT DISTINCT
   'item_' || CAST(p_partkey % 97 AS {STR})                   AS pin_id
 FROM part
-WHERE p_size >= 25
+WHERE p_size >= 25 AND p_partkey % 97 < 60
 """
 
 # F5 sensor — streaming numeric telemetry (SensorReading.scala:8).

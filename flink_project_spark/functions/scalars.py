@@ -1,0 +1,81 @@
+"""Scalar function surface — SURVEY §2.9 (F1-F7).
+
+JSON parsing, URL-query extraction, yyyyMMdd partition-time math,
+scientific-notation timestamp casts, sentinel handling. All expressed as
+Column expressions (JVM-side, codegen) — never row-level Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def json_get_int(col: Column | str, field: str) -> Column:
+    """F1: extract an int field from a JSON string column.
+
+    Ref: every log parse (OfflineDataSetUtils.java:74,89-104 via fastjson).
+    get_json_object returns null on corrupt rows — the engine's analog of
+    the reference's drop-malformed-lines behavior
+    (OfflineDataSetUtils.java:72-81): filter on isNotNull downstream.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.get_json_object(c, f"$.{field}").cast("int")
+
+
+def parse_json_schema(col: Column | str, schema: T.StructType) -> Column:
+    """F1: full schema-on-read parse (from_json; null on malformed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.from_json(c, schema)
+
+
+def url_query_param(request: Column | str, param: str) -> Column:
+    """F2: extract one query parameter from an nginx-style request line
+    'GET /path?a=1&b=2 HTTP/1.1'.
+
+    Ref: OfflineDataSetUtils.java:115-167 (manual indexOf/substring
+    walk). regexp_extract keeps it in codegen; empty match -> ''.
+    """
+    c = F.col(request) if isinstance(request, str) else request
+    # param value = run of non-&/space chars after 'param='
+    return F.regexp_extract(c, rf"[?&]{param}=([^&\s]*)", 1)
+
+
+def yyyymmdd(ts: Column | str) -> Column:
+    """F4: partition-day key. Ref: flink-statistics TimeUtils.java:10-29."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.date_format(c, "yyyyMMdd")
+
+
+def yyyymmddhh(ts: Column | str) -> Column:
+    """F4: partition-hour key. Ref: OfflineUtils.java:9-50."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.date_format(c, "yyyyMMddHH")
+
+
+def reverse_rowkey(ts_ms: Column | str) -> Column:
+    """F4: HBase descending rowkey trick — Long.MAX_VALUE - epoch_ms.
+
+    Ref: ActionLogJob.java:615-632 (newest-first scans).
+    """
+    c = F.col(ts_ms) if isinstance(ts_ms, str) else ts_ms
+    return F.lit(9223372036854775807) - c.cast("long")
+
+
+def sci_notation_to_long(col: Column | str) -> Column:
+    """F7: '1.5673E9'-style string timestamp -> long, replicating the
+    reference's (long) Double.parseDouble(...) two-step
+    (flink-process entries/ActionLog.java:41).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("double").cast("long")
+
+
+def ratio_floor(col: Column | str, eps: float = 1e-5) -> Column:
+    """F5: metric post-processing — ratios below eps clamp to 0.
+
+    Ref: OfflineJob.java:289-299,410-423.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c < eps, F.lit(0.0)).otherwise(c)

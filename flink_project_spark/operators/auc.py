@@ -1,0 +1,162 @@
+"""AUC / UAUC model-quality metrics — flink-auccalc parity (SURVEY §2.5
+A8-A11, §2.6 W1-W2).
+
+The reference computes Mann-Whitney AUC per (sceneId, channel) by
+sorting each group by score, assigning tie-averaged ranks with a manual
+group walk, then applying AUC = (Σrank⁺ − P(P+1)/2)/(P·N)
+(AucCalcVersion5.java:302-429). Per-user AUC plus an impression-weighted
+mean gives UAUC (AucCalcVersion5.java:343-392,432-489).
+
+This implementation uses the algebraically-identical *integer* form so
+results are exactly reproducible (and oracle-checkable bit-for-bit):
+group rows by distinct score; with p_s/n_s the positive/negative counts
+at score s and cneg(s) the negatives strictly below s,
+
+    2·numerator = Σ_s p_s · (2·cneg(s) + n_s)
+    AUC         = 2·numerator / (2·P·N)
+
+— Σrank⁺ with tie-averaged ranks equals numerator + P(P+1)/2, all in
+int64, with a single final double division. No floating-point
+accumulation order sensitivity anywhere.
+
+Scale notes: the heavy operation is the per-(keys, score) aggregation —
+a single hash aggregate with map-side partials. The window cumulative
+sum runs per key group over *distinct scores* (bounded by score
+cardinality, not impressions). At 100 TB this is shuffle-light: the
+exchange carries one row per (scene, channel, score).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stack_channels(df: DataFrame, channel_col: str = "channel") -> DataFrame:
+    """Unpivot each impression into ('all', channel) rows.
+
+    Ref: AucCalcVersion5.java:276-299 — the reference flatMaps every
+    record into one row per reporting dimension so downstream AUC groups
+    compute both the overall and per-channel metric in one pass.
+    explode(array(...)) keeps it a narrow codegen'd op (no join, no
+    second scan).
+    """
+    return df.withColumn(
+        channel_col,
+        F.explode(F.array(F.lit("all"), F.col(channel_col))),
+    )
+
+
+def _per_score_counts(df: DataFrame, keys: list[str], score: str, label: str):
+    return df.groupBy(*keys, score).agg(
+        F.sum(F.col(label)).alias("p_s"),
+        F.sum(F.lit(1) - F.col(label)).alias("n_s"),
+    )
+
+
+def auc(
+    df: DataFrame,
+    keys: list[str],
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """A8-A10: Mann-Whitney AUC with exact tie handling per key group.
+
+    Returns (keys..., positives, negatives, auc) with auc NULL when a
+    group has no positives or no negatives (the reference's undefined
+    branch, AucCalcVersion5.java:422-427).
+    """
+    per_score = _per_score_counts(df, keys, score_col, label_col)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(score_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_cneg = per_score.withColumn(
+        "cneg", F.coalesce(F.sum("n_s").over(w), F.lit(0))
+    )
+    grouped = with_cneg.groupBy(*keys).agg(
+        F.sum("p_s").alias("positives"),
+        F.sum("n_s").alias("negatives"),
+        F.sum(
+            F.col("p_s") * (F.lit(2) * F.col("cneg") + F.col("n_s"))
+        ).alias("num2"),
+    )
+    return grouped.select(
+        *keys,
+        "positives",
+        "negatives",
+        F.when(
+            (F.col("positives") > 0) & (F.col("negatives") > 0),
+            F.col("num2").cast("double")
+            / (F.lit(2.0) * F.col("positives") * F.col("negatives")),
+        ).alias("auc"),
+    )
+
+
+def uauc(
+    df: DataFrame,
+    keys: list[str],
+    user_col: str = "user_id",
+    score_col: str = "score",
+    label_col: str = "label",
+    weight_action: str | None = None,
+    action_col: str = "action",
+) -> DataFrame:
+    """A11: per-user AUC, then impression-weighted mean per key group.
+
+    Ref: AucCalcVersion5.java:343-392 (per-user rank walk) and :432-489
+    (Σ(show_u·auc_u)/Σshow_u merge). Users with one-sided labels are
+    excluded from the weighted mean, matching the reference's skip.
+
+    Exact-reproducibility note: the weighted sum Σ w_u·auc_u over
+    thousands of users would be float-order-dependent, so auc_u is
+    quantized to integer 1e-9 units (floor(auc·1e9 + 0.5) — identical
+    in any IEEE-754 engine since auc_u itself is bit-exact) and the
+    accumulation happens in int64. Deviation from the float result is
+    ≤ 1e-9 — far below any model-quality signal — and the operator is
+    deterministic under partitioning/AQE re-plans, which the naive
+    float sum is not.
+    """
+    per_user = auc(df, [*keys, user_col], score_col, label_col)
+    if weight_action is not None:
+        weights = (
+            df.filter(F.col(action_col) == weight_action)
+            .groupBy(*keys, user_col)
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+    else:
+        weights = df.groupBy(*keys, user_col).agg(F.count(F.lit(1)).alias("w"))
+    j = per_user.filter(F.col("auc").isNotNull()).join(
+        weights, on=[*keys, user_col], how="inner"
+    )
+    scaled = j.withColumn(
+        "auc_scaled", F.floor(F.col("auc") * F.lit(1e9) + F.lit(0.5))
+    )
+    return (
+        scaled.groupBy(*keys)
+        .agg(
+            F.sum(F.col("w") * F.col("auc_scaled")).alias("wsum"),
+            F.sum("w").alias("wtotal"),
+            F.count(F.lit(1)).alias("users"),
+        )
+        .select(
+            *keys,
+            "users",
+            (
+                F.col("wsum").cast("double")
+                / (F.lit(1e9) * F.col("wtotal").cast("double"))
+            ).alias("uauc"),
+        )
+    )
+
+
+def label_dedup_anti_join(
+    shows: DataFrame, clicks: DataFrame, keys: list[str]
+) -> DataFrame:
+    """J8: shows not already clicked — the one SQL string in the whole
+    reference repo is a NOT IN subquery (AucCalcVersion5.java:261-264)
+    that Calcite/Catalyst both rewrite to an anti join; we declare the
+    anti join directly.
+    """
+    return shows.join(clicks, on=keys, how="left_anti")

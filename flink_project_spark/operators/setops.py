@@ -1,0 +1,88 @@
+"""Set operations, stream demux analogs, top-k, histograms — SURVEY §2.7.
+
+Ref patterns: union (OfflineJob.java:128,493-495), minus/EXCEPT
+(flink-itemcf validate/CheckValues.java:54), split/select + side outputs
+(flink-base SplitSelectStream.scala:14-33, FreezingAlert.scala:15-28),
+top-K truncation + min-length filters (flink-process
+Hdfs2RedisVersion5.java:84-92), bucketed histograms
+(PetalDataSetUtils.java:293-331).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def union_all(*dfs: DataFrame) -> DataFrame:
+    """O3: multi-input union by name (bag semantics, no dedup shuffle)."""
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def minus(left: DataFrame, right: DataFrame) -> DataFrame:
+    """O4: set-semantics EXCEPT (the reference Table.minus is set-based).
+
+    Ref: CheckValues.java:54 — published_values MINUS censored_whitelist;
+    empty result = invariant holds. Catalyst plans this as a left-anti
+    join after dedup; at scale the right side should be the small one
+    (broadcast), which matches the validation use case.
+    """
+    return left.subtract(right)
+
+
+def split_by_predicate(df: DataFrame, predicate, tag_col: str = "split") -> DataFrame:
+    """O5/O7: split/select + side-output analog — tag rows instead of
+    physically demuxing; downstream sinks filter on the tag.
+
+    Ref: SplitSelectStream.scala:14-22 (split by threshold into 'high'/
+    'low'), FreezingAlert.scala:15-28 (main vs alert side output). One
+    scan, no duplicated pipeline.
+    """
+    return df.withColumn(
+        tag_col, F.when(predicate, F.lit("high")).otherwise(F.lit("low"))
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+) -> DataFrame:
+    """Top-K rows per group via row_number (deterministic given a total
+    order). Ref: neighbor-list truncation at 400
+    (Hdfs2RedisVersion5.java:84-92) in row form.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def bucket_histogram(
+    df: DataFrame, value_col: str, buckets: list[int]
+) -> DataFrame:
+    """A14: bucketize a numeric column into ">=b" ranges and count.
+
+    Ref: ItemIdCfVersion5.java:242-278 / PetalDataSetUtils.java:293-331 —
+    the 'quDuan' neighbor-list-size histogram ("400+", "300+", ...). The
+    when/otherwise chain stays in codegen; a single narrow shuffle of
+    (bucket, 1) pairs.
+    """
+    buckets = sorted(buckets, reverse=True)
+    expr = F.when(F.col(value_col) >= buckets[0], F.lit(f"{buckets[0]}+"))
+    for b in buckets[1:]:
+        expr = expr.when(F.col(value_col) >= b, F.lit(f"{b}+"))
+    expr = expr.otherwise(F.lit("0+"))
+    return (
+        df.select(expr.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

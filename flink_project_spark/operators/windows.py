@@ -16,15 +16,22 @@ from pyspark.sql import functions as F
 
 
 def rank_by_score(
-    df: DataFrame, partition_cols: list[str], order_col: str, ascending: bool = True
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    ascending: bool = True,
 ) -> DataFrame:
     """W1: row_number over (partition, order).
 
     Ref: AucCalcVersion5.java:302-311 (rank assignment via sortGroup +
-    reduceGroup with a running counter).
+    reduceGroup with a running counter). Callers should pass tie-breaking
+    columns so the total order (and thus rn) is deterministic under
+    repartitioning.
     """
-    order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
-    w = Window.partitionBy(*partition_cols).orderBy(order)
+    order = [
+        F.col(c).asc() if ascending else F.col(c).desc() for c in order_cols
+    ]
+    w = Window.partitionBy(*partition_cols).orderBy(*order)
     return df.withColumn("rn", F.row_number().over(w))
 
 
@@ -49,7 +56,7 @@ def tie_averaged_rank(
 def lag_delta(
     df: DataFrame,
     partition_col: str,
-    order_col: str,
+    order_cols: list[str],
     value_col: str,
     threshold: float,
 ) -> DataFrame:
@@ -58,9 +65,12 @@ def lag_delta(
     Ref: flink-base TempChangeAlert.scala:11-21 (ValueState holding the
     previous temperature; emit when |cur - prev| >= threshold). The
     streaming form lives in streaming.stateful; this is the batch window
-    equivalent used for stream/batch equivalence tests.
+    equivalent used for stream/batch equivalence tests. Pass tie-breaking
+    order columns for a deterministic total order.
     """
-    w = Window.partitionBy(partition_col).orderBy(F.col(order_col).asc())
+    w = Window.partitionBy(partition_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
     prev = F.lag(value_col).over(w)
     return (
         df.withColumn("prev_value", prev)
