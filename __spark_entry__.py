@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from flink_project_spark import fixtures as FX
 from flink_project_spark.functions import scalars as SC
 from flink_project_spark.operators import auc as A
+from flink_project_spark.operators import itemcf as CF
 from flink_project_spark.operators import relational as R
 from flink_project_spark.operators import setops as S
 from flink_project_spark.operators import windows as W
@@ -327,6 +328,52 @@ def q_sci_notation_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- M3: item-CF (flink-itemcf) ----
+
+
+def _history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CF.user_item_history(_valid_actions(spark, sf_dir), max_history=500)
+
+
+def q_itemcf_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CF.cooccurrence_pairs(_history(spark, sf_dir))
+
+
+def q_itemcf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _history(spark, sf_dir)
+    return CF.cosine_scores(CF.cooccurrence_pairs(h), CF.item_user_counts(h))
+
+
+def q_itemcf_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _history(spark, sf_dir)
+    scored = CF.cosine_scores(CF.cooccurrence_pairs(h), CF.item_user_counts(h))
+    return CF.neighbor_lists(scored, k=10)
+
+
+def q_itemcf_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CF.decay_pairs(_history(spark, sf_dir))
+
+
+def q_itemcf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _history(spark, sf_dir)
+    scored = CF.cosine_scores(CF.cooccurrence_pairs(h), CF.item_user_counts(h))
+    lists = CF.neighbor_lists(scored, k=10)
+    return S.bucket_histogram(lists, "total_candidates", [20, 40, 60, 80])
+
+
+def q_whitelist_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = CF.item_user_counts(_history(spark, sf_dir))
+    wl = FX.fixture_df(spark, sf_dir, "whitelist")
+    return CF.whitelist_flag(counts, wl)
+
+
+def q_whitelist_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _history(spark, sf_dir)
+    scored = CF.cosine_scores(CF.cooccurrence_pairs(h), CF.item_user_counts(h))
+    wl = FX.fixture_df(spark, sf_dir, "whitelist")
+    return CF.whitelist_semi(scored, wl, item_col="item_a")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scene_uv": q_scene_uv,
@@ -351,12 +398,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_param_parse": q_url_param_parse,
         "time_partition_keys": q_time_partition_keys,
         "sci_notation_cast": q_sci_notation_cast,
+        "itemcf_cooccurrence": q_itemcf_cooccurrence,
+        "itemcf_cosine": q_itemcf_cosine,
+        "itemcf_topn": q_itemcf_topn,
+        "itemcf_decay": q_itemcf_decay,
+        "itemcf_histogram": q_itemcf_histogram,
+        "whitelist_flag": q_whitelist_flag,
+        "whitelist_semi": q_whitelist_semi,
     }
 
 
 # ---------------------------------------------------------------------------
 # oracles — DuckDB side
 # ---------------------------------------------------------------------------
+
+# shared item-CF CTE fragments (mirror operators/itemcf.py exactly)
+_HIST_CTE = """
+, hist0 AS (
+  SELECT user_id, item_id, min(action_time) AS first_time
+  FROM valid_actions GROUP BY user_id, item_id
+), hcnt AS (
+  SELECT user_id, count(*) AS n_items FROM hist0 GROUP BY user_id
+), hist AS (
+  SELECT h.*, c.n_items FROM hist0 h
+  JOIN hcnt c ON h.user_id = c.user_id
+  WHERE c.n_items <= 500
+)
+"""
+
+_COSINE_CTE = """
+, pairs AS (
+  SELECT a.item_id AS item_a, b.item_id AS item_b, count(*) AS cooc
+  FROM hist a JOIN hist b
+    ON a.user_id = b.user_id AND a.item_id <> b.item_id
+  GROUP BY 1, 2
+), counts AS (
+  SELECT item_id, count(*) AS users FROM hist GROUP BY item_id
+), cosine AS (
+  SELECT p.item_a, p.item_b, p.cooc,
+         CAST(p.cooc AS DOUBLE)
+         / sqrt(CAST(ca.users * cb.users AS DOUBLE)) AS score
+  FROM pairs p
+  JOIN counts ca ON p.item_a = ca.item_id
+  JOIN counts cb ON p.item_b = cb.item_id
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -661,6 +747,91 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, item_id, action_time, sci_ts,
                CAST(CAST(sci_ts AS DOUBLE) AS BIGINT) AS parsed_ts
         FROM s
+        """,
+        "itemcf_cooccurrence": V("valid_actions")
+        + _HIST_CTE
+        + """
+        SELECT a.item_id AS item_a, b.item_id AS item_b, count(*) AS cooc
+        FROM hist a JOIN hist b
+          ON a.user_id = b.user_id AND a.item_id <> b.item_id
+        GROUP BY 1, 2
+        """,
+        "itemcf_cosine": V("valid_actions")
+        + _HIST_CTE
+        + _COSINE_CTE
+        + """
+        SELECT item_a, item_b, cooc, score FROM cosine
+        """,
+        "itemcf_topn": V("valid_actions")
+        + _HIST_CTE
+        + _COSINE_CTE
+        + """
+        , ranked AS (
+          SELECT item_a, item_b, score,
+                 ROW_NUMBER() OVER (PARTITION BY item_a
+                                    ORDER BY score DESC, item_b) AS rn,
+                 COUNT(*) OVER (PARTITION BY item_a) AS total
+          FROM cosine
+        )
+        SELECT item_a AS item_id,
+               string_agg(item_b || ':' || printf('%.6f', score), ','
+                          ORDER BY score DESC, item_b) AS neighbors,
+               CAST(LEAST(MIN(total), 10) AS INTEGER) AS n_neighbors,
+               CAST(MIN(total) AS INTEGER) AS total_candidates
+        FROM ranked WHERE rn <= 10 GROUP BY item_a
+        """,
+        "itemcf_decay": V("valid_actions")
+        + _HIST_CTE
+        + """
+        , pos AS (
+          SELECT user_id, item_id, n_items,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY first_time, item_id) AS pos
+          FROM hist
+        )
+        SELECT a.item_id AS item_a, b.item_id AS item_b,
+               count(*) AS cooc,
+               CAST(SUM(((a.n_items - abs(a.pos - b.pos)) * 1000000)
+                        // (2 * a.n_items + 1)) AS BIGINT) AS decay_scaled,
+               CAST(SUM(((a.n_items - abs(a.pos - b.pos)) * 1000000)
+                        // (2 * a.n_items + 1)) AS DOUBLE) / 1000000.0 AS decay_score
+        FROM pos a JOIN pos b
+          ON a.user_id = b.user_id AND a.item_id <> b.item_id
+        GROUP BY 1, 2
+        """,
+        "itemcf_histogram": V("valid_actions")
+        + _HIST_CTE
+        + _COSINE_CTE
+        + """
+        , totals AS (
+          SELECT item_a, count(*) AS total FROM cosine GROUP BY item_a
+        )
+        SELECT CASE WHEN total >= 80 THEN '80+'
+                    WHEN total >= 60 THEN '60+'
+                    WHEN total >= 40 THEN '40+'
+                    WHEN total >= 20 THEN '20+'
+                    ELSE '0+' END AS bucket,
+               count(*) AS cnt
+        FROM totals GROUP BY 1
+        """,
+        "whitelist_flag": V("valid_actions", "whitelist")
+        + _HIST_CTE
+        + """
+        , counts AS (
+          SELECT item_id, count(*) AS users FROM hist GROUP BY item_id
+        )
+        SELECT c.item_id, c.users,
+               CASE WHEN w.pin_id IS NOT NULL THEN 1 ELSE 0 END AS whitelisted
+        FROM counts c
+        LEFT JOIN (SELECT DISTINCT pin_id FROM whitelist) w
+          ON c.item_id = w.pin_id
+        """,
+        "whitelist_semi": V("valid_actions", "whitelist")
+        + _HIST_CTE
+        + _COSINE_CTE
+        + """
+        SELECT item_a, item_b, cooc, score FROM cosine
+        WHERE item_a IN (SELECT pin_id FROM whitelist)
         """,
     }
 

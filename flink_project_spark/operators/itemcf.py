@@ -1,0 +1,302 @@
+"""Item-based collaborative filtering — flink-itemcf parity.
+
+The reference builds item->item neighbor lists in several generations of
+jobs (ItemIdCf, ...Second, ...Version4/5, Petal* variants): per-user
+time-ordered item histories -> pairwise co-occurrence (optionally with a
+distance-decay weight exp((n-d)/(2n+1))) -> cosine normalization by
+per-item user counts -> per-item neighbor lists sorted desc, truncated,
+string-rendered, published to Redis.
+
+Spark-first design (NOT the reference's groupBy+sortGroup+reduceGroup):
+pair generation is a *self-equi-join on user* — a shuffle join Catalyst
+can plan (sort-merge, AQE-skew-split), instead of an opaque per-group
+O(n²) UDF. Positions for the decay variant come from one window pass.
+
+Scale notes (100 TB):
+- The self-join explodes quadratically per user: `max_history` caps a
+  user's history (drop hyperactive users — same skew guard the reference
+  applies by construction since its reduceGroup would OOM otherwise;
+  SURVEY §4.1). With the cap, AQE's skew-join splitting handles residual
+  hot users.
+- Co-occurrence aggregation is map-side combinable: groupBy(item_a,
+  item_b) with partial aggregation — shuffle carries one row per pair.
+- The per-item counts table is tiny (|items|) -> broadcast join for the
+  cosine step, zero extra shuffles.
+
+Determinism: the decay weight is computed in *scaled integer* arithmetic
+(floor((n-d)*SCALE / (2n+1))) so pair scores are exact and
+order-independent — the reference's float exp() accumulation is kept as
+`decay_pairs_exp` for fidelity, but any float sum over pairs is
+partition-order-dependent and therefore unsuitable for reproducible
+output contracts (documented deviation; ranking differences are
+negligible because exp is monotone in the rational argument).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DECAY_SCALE = 1_000_000
+
+
+def user_item_history(
+    actions: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    time_col: str = "action_time",
+    max_history: int | None = 500,
+) -> DataFrame:
+    """Distinct (user, item) with first interaction time; per-user cap.
+
+    Ref: ItemIdCf.java:102 (.distinct() before pair expansion — the
+    'early dedup before O(n²)' optimization SURVEY §4 calls out as
+    semantic). The cap drops users whose history exceeds max_history —
+    the 100 TB skew guard.
+    """
+    h = actions.groupBy(user_col, item_col).agg(
+        F.min(time_col).alias("first_time")
+    )
+    if max_history is not None:
+        counts = h.groupBy(user_col).agg(F.count(F.lit(1)).alias("n_items"))
+        h = h.join(
+            counts.filter(F.col("n_items") <= max_history).select(
+                user_col, "n_items"
+            ),
+            on=user_col,
+            how="inner",
+        )
+    else:
+        w = Window.partitionBy(user_col)
+        h = h.withColumn("n_items", F.count(F.lit(1)).over(w))
+    return h
+
+
+def cooccurrence_pairs(history: DataFrame, user_col: str = "user_id",
+                       item_col: str = "item_id") -> DataFrame:
+    """A7 (plain variant): directed item pairs with co-occurrence counts.
+
+    Ref: ItemIdCf.java:107-124 (groupBy(user).reduceGroup emitting all
+    pairs, then groupBy(0,1).sum(2)). Spark: self-join on user — the
+    join IS the pair expansion, and Catalyst handles distribution.
+    """
+    a = history.select(
+        F.col(user_col), F.col(item_col).alias("item_a")
+    )
+    b = history.select(
+        F.col(user_col), F.col(item_col).alias("item_b")
+    )
+    return (
+        a.join(b, on=user_col, how="inner")
+        .filter(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("cooc"))
+    )
+
+
+def item_user_counts(
+    history: DataFrame, item_col: str = "item_id"
+) -> DataFrame:
+    """Per-item distinct-user counts (cosine denominator).
+
+    Ref: ItemIdCf.java:130 (userId.count per item after distinct).
+    """
+    return history.groupBy(item_col).agg(F.count(F.lit(1)).alias("users"))
+
+
+def cosine_scores(
+    pairs: DataFrame, counts: DataFrame, item_col: str = "item_id"
+) -> DataFrame:
+    """J2+F3: attach per-item counts to both pair sides, cosine-normalize.
+
+    score = cooc / sqrt(users_a * users_b). Ref: ItemIdCf.java:131-136
+    (two joins against the aggregate) — here both joins broadcast the
+    tiny counts table. sqrt is IEEE-correctly-rounded, so scores are
+    bit-reproducible.
+    """
+    ca = F.broadcast(counts.select(F.col(item_col).alias("item_a"),
+                                   F.col("users").alias("users_a")))
+    cb = F.broadcast(counts.select(F.col(item_col).alias("item_b"),
+                                   F.col("users").alias("users_b")))
+    return (
+        pairs.join(ca, on="item_a", how="inner")
+        .join(cb, on="item_b", how="inner")
+        .select(
+            "item_a",
+            "item_b",
+            "cooc",
+            (
+                F.col("cooc").cast("double")
+                / F.sqrt((F.col("users_a") * F.col("users_b")).cast("double"))
+            ).alias("score"),
+        )
+    )
+
+
+def _with_positions(history: DataFrame, user_col: str, item_col: str) -> DataFrame:
+    w = Window.partitionBy(user_col).orderBy(
+        F.col("first_time").asc(), F.col(item_col).asc()
+    )
+    return history.withColumn("pos", F.row_number().over(w))
+
+
+def decay_pairs(
+    history: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    scale: int = DECAY_SCALE,
+) -> DataFrame:
+    """A7 (decay variant, deterministic form): position-distance decay.
+
+    Ref: ItemIdCfVersion5.java:147-192 — weight exp((n-d)/(2n+1)) where
+    n = user's history length, d = |pos_i - pos_j| over the time-sorted
+    history. This variant accumulates the *rational* decay argument in
+    scaled int64 (exact, order-independent); `decay_pairs_exp` is the
+    float-faithful form. Exposes both the exact integer sum and its
+    double rendering.
+    """
+    pos = _with_positions(history, user_col, item_col)
+    a = pos.select(
+        F.col(user_col),
+        F.col(item_col).alias("item_a"),
+        F.col("pos").alias("pos_a"),
+        F.col("n_items"),
+    )
+    b = pos.select(
+        F.col(user_col),
+        F.col(item_col).alias("item_b"),
+        F.col("pos").alias("pos_b"),
+    )
+    d = F.abs(F.col("pos_a") - F.col("pos_b"))
+    w_scaled = F.expr(
+        f"CAST(((n_items - abs(pos_a - pos_b)) * {scale}) DIV "
+        "(2 * n_items + 1) AS BIGINT)"
+    )
+    return (
+        a.join(b, on=user_col, how="inner")
+        .filter(F.col("item_a") != F.col("item_b"))
+        .withColumn("d", d)
+        .withColumn("w_scaled", w_scaled)
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.count(F.lit(1)).alias("cooc"),
+            F.sum("w_scaled").alias("decay_scaled"),
+        )
+        .withColumn(
+            "decay_score", F.col("decay_scaled").cast("double") / F.lit(float(scale))
+        )
+    )
+
+
+def decay_pairs_exp(
+    history: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+) -> DataFrame:
+    """A7 reference-faithful float decay: sum of exp((n-d)/(2n+1)).
+
+    Matches ItemIdCfVersion5.java:166 exactly, including float
+    accumulation. Not oracle-checkable bit-for-bit (libm exp differs by
+    ulps across engines and the sum is order-dependent) — covered by
+    pytest invariants against the scaled-integer variant instead.
+    """
+    pos = _with_positions(history, user_col, item_col)
+    a = pos.select(
+        F.col(user_col),
+        F.col(item_col).alias("item_a"),
+        F.col("pos").alias("pos_a"),
+        F.col("n_items"),
+    )
+    b = pos.select(
+        F.col(user_col),
+        F.col(item_col).alias("item_b"),
+        F.col("pos").alias("pos_b"),
+    )
+    w = F.exp(
+        (F.col("n_items") - F.abs(F.col("pos_a") - F.col("pos_b"))).cast("double")
+        / (F.lit(2) * F.col("n_items") + 1).cast("double")
+    )
+    return (
+        a.join(b, on=user_col, how="inner")
+        .filter(F.col("item_a") != F.col("item_b"))
+        .withColumn("w", w)
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("cooc"), F.sum("w").alias("decay_score"))
+    )
+
+
+def neighbor_lists(
+    scored: DataFrame,
+    k: int = 400,
+    score_col: str = "score",
+    render_decimals: int = 6,
+) -> DataFrame:
+    """A12/W3/O2: per-item neighbor list, score-desc, top-k, rendered
+    'item:score,item:score,...' exactly like the reference's sink format.
+
+    Ref: ItemIdCfVersion5.java:221-240 (sorted assembly + size),
+    Hdfs2RedisVersion5.java:84-92 (truncate at 400). Deterministic order:
+    score DESC, neighbor ASC (negated-score struct sort). One groupBy —
+    the sort happens inside sort_array, no extra window shuffle.
+    """
+    entry = F.struct(
+        (-F.col(score_col)).alias("neg_score"),
+        F.col("item_b").alias("nb"),
+    )
+    lists = scored.groupBy("item_a").agg(
+        F.sort_array(F.collect_list(entry), asc=True).alias("entries")
+    )
+    topk = F.slice(F.col("entries"), 1, k)
+    rendered = F.array_join(
+        F.transform(
+            topk,
+            lambda x: F.concat(
+                x["nb"],
+                F.lit(":"),
+                F.format_string(f"%.{render_decimals}f", -x["neg_score"]),
+            ),
+        ),
+        ",",
+    )
+    return lists.select(
+        F.col("item_a").alias("item_id"),
+        rendered.alias("neighbors"),
+        F.least(F.size("entries"), F.lit(k)).alias("n_neighbors"),
+        F.size("entries").alias("total_candidates"),
+    )
+
+
+def whitelist_flag(
+    items: DataFrame,
+    whitelist: DataFrame,
+    item_col: str = "item_id",
+    wl_col: str = "pin_id",
+) -> DataFrame:
+    """J6: left join against whitelist -> 0/1 flag.
+
+    Ref: PetalDataSetUtils.java:142-153. Whitelist is broadcast.
+    """
+    wl = F.broadcast(
+        whitelist.select(F.col(wl_col).alias(item_col)).distinct().withColumn(
+            "_wl", F.lit(1)
+        )
+    )
+    return items.join(wl, on=item_col, how="left").withColumn(
+        "whitelisted", F.coalesce(F.col("_wl"), F.lit(0))
+    ).drop("_wl")
+
+
+def whitelist_semi(
+    items: DataFrame,
+    whitelist: DataFrame,
+    item_col: str = "item_id",
+    wl_col: str = "pin_id",
+) -> DataFrame:
+    """J7: keep only whitelisted rows (left semi join).
+
+    Ref: ItemIdCfHuabanVersion4.java:134 (inner join on key list used as
+    a semi join). left_semi never duplicates rows when the whitelist has
+    multiplicity — closer to the reference's intent than its inner join.
+    """
+    wl = F.broadcast(whitelist.select(F.col(wl_col).alias(item_col)))
+    return items.join(wl, on=item_col, how="left_semi")

@@ -11,9 +11,14 @@ injected.
 
 from __future__ import annotations
 
+import json
+import os
+import tempfile
 import threading
 import time
+import urllib.parse
 from collections.abc import Callable, Iterable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
@@ -56,8 +61,9 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append") -> Non
 # ------------------------- pluggable KV sink (K4/K6) ------------------------
 
 
-class InMemoryKVStore:
-    """Deterministic stand-in for Redis (HSET/RPUSH+TTL) / HBase (Put).
+class FileKVStore:
+    """File-backed deterministic stand-in for Redis (HSET/RPUSH+TTL) /
+    HBase (Put).
 
     Mirrors the semantics the reference relies on:
     - HSET key field value          (flink-base sink/MyRedisMapper.scala:12-20)
@@ -66,39 +72,87 @@ class InMemoryKVStore:
                                      sink/MyJedisCluster.java:47-58)
     - HBase Put(rowkey, cf:qual, v) (flink-process outputformat/
                                      HBaseOutputFormat.java:35-45)
-    Thread-safe: executors on local[N] share the process.
+
+    File-backed (not in-memory) because PySpark's foreachPartition runs
+    in separate Python worker *processes* — executor-side writes must be
+    visible to the driver. Per-key atomic rename = last-writer-wins,
+    exactly Redis semantics for DEL+RPUSH. In production the factory
+    injects a real network client instead.
     """
 
-    def __init__(self) -> None:
-        self._lock = threading.Lock()
-        self.hashes: dict[str, dict[str, str]] = {}
-        self.lists: dict[str, list[str]] = {}
-        self.ttls: dict[str, float] = {}
+    def __init__(self, root: str) -> None:
+        self.root = Path(root)
+        for sub in ("lists", "hashes", "ttls"):
+            (self.root / sub).mkdir(parents=True, exist_ok=True)
+
+    @staticmethod
+    def _safe(key: str) -> str:
+        return urllib.parse.quote(key, safe="")
+
+    def _atomic_write(self, path: Path, content: str) -> None:
+        tmp = path.with_name(f".{path.name}.{os.getpid()}.{threading.get_ident()}")
+        tmp.write_text(content)
+        tmp.rename(path)
 
     def hset(self, key: str, field: str, value: str) -> None:
-        with self._lock:
-            self.hashes.setdefault(key, {})[field] = value
+        d = self.root / "hashes" / self._safe(key)
+        d.mkdir(parents=True, exist_ok=True)
+        self._atomic_write(d / self._safe(field), value)
 
-    def replace_list(self, key: str, values: list[str], ttl_seconds: int | None = None) -> None:
+    def replace_list(
+        self, key: str, values: list[str], ttl_seconds: int | None = None
+    ) -> None:
         # DEL-then-RPUSH with optional TTL — MyJedisCluster.java:47-58
-        with self._lock:
-            self.lists[key] = list(values)
-            if ttl_seconds is not None:
-                self.ttls[key] = time.time() + ttl_seconds
+        self._atomic_write(
+            self.root / "lists" / (self._safe(key) + ".json"),
+            json.dumps(list(values)),
+        )
+        if ttl_seconds is not None:
+            self._atomic_write(
+                self.root / "ttls" / self._safe(key),
+                str(time.time() + ttl_seconds),
+            )
 
     def put(self, rowkey: str, qualifier: str, value: str) -> None:
         # HBase-style cell write modeled as a hash field
         self.hset(rowkey, qualifier, value)
 
+    # ---- read accessors (driver-side assertions) ----
 
-# Global registry so a driver-created store is reachable from executor
-# threads in local mode; on a real cluster the factory would construct a
-# network client per partition instead.
-_KV_REGISTRY: dict[str, InMemoryKVStore] = {}
+    @property
+    def lists(self) -> dict[str, list[str]]:
+        out = {}
+        for p in (self.root / "lists").glob("*.json"):
+            if p.name.startswith("."):
+                continue
+            out[urllib.parse.unquote(p.stem)] = json.loads(p.read_text())
+        return out
+
+    @property
+    def hashes(self) -> dict[str, dict[str, str]]:
+        out: dict[str, dict[str, str]] = {}
+        for d in (self.root / "hashes").iterdir():
+            if not d.is_dir():
+                continue
+            out[urllib.parse.unquote(d.name)] = {
+                urllib.parse.unquote(f.name): f.read_text()
+                for f in d.iterdir()
+                if not f.name.startswith(".")
+            }
+        return out
+
+    @property
+    def ttls(self) -> dict[str, float]:
+        return {
+            urllib.parse.unquote(p.name): float(p.read_text())
+            for p in (self.root / "ttls").iterdir()
+            if not p.name.startswith(".")
+        }
 
 
-def get_kv_store(name: str = "default") -> InMemoryKVStore:
-    return _KV_REGISTRY.setdefault(name, InMemoryKVStore())
+def get_kv_store(name: str = "default") -> FileKVStore:
+    """Shared store path derivable identically in driver and workers."""
+    return FileKVStore(os.path.join(tempfile.gettempdir(), "fps_kv", name))
 
 
 def write_kv_hash(

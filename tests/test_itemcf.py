@@ -1,0 +1,84 @@
+"""Item-CF invariants beyond the oracle checks: symmetry, decay-variant
+consistency (exp vs scaled-integer), skew-guard behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_project_spark import fixtures as FX
+from flink_project_spark.operators import itemcf as CF
+from tests.conftest import SF_SMOKE
+
+
+def _history(spark):
+    va = FX.fixture_df(spark, SF_SMOKE, "valid_actions")
+    return CF.user_item_history(va, max_history=500)
+
+
+def test_cooccurrence_symmetric(spark):
+    pairs = CF.cooccurrence_pairs(_history(spark))
+    a = pairs.select(
+        F.col("item_a").alias("x"), F.col("item_b").alias("y"), "cooc"
+    )
+    b = pairs.select(
+        F.col("item_b").alias("x"), F.col("item_a").alias("y"),
+        F.col("cooc").alias("cooc2"),
+    )
+    diff = a.join(b, on=["x", "y"], how="full_outer").filter(
+        (F.col("cooc").isNull())
+        | (F.col("cooc2").isNull())
+        | (F.col("cooc") != F.col("cooc2"))
+    )
+    assert diff.count() == 0
+
+
+def test_cosine_scores_bounded(spark):
+    h = _history(spark)
+    scored = CF.cosine_scores(CF.cooccurrence_pairs(h), CF.item_user_counts(h))
+    bad = scored.filter((F.col("score") <= 0) | (F.col("score") > 1.0000001))
+    assert bad.count() == 0
+
+
+def test_decay_exp_vs_scaled_consistency(spark):
+    """The scaled-integer decay is a monotone stand-in for the float exp
+    decay at pair level: per pair, |scaled_arg_sum/1e6 - sum(args)| is
+    bounded by n_pairs quantization steps, and exp-based scores are
+    within exp() of the argument sums.
+    """
+    h = _history(spark)
+    exact = CF.decay_pairs(h).select("item_a", "item_b", "decay_score", "cooc")
+    expd = CF.decay_pairs_exp(h).select(
+        "item_a", "item_b", F.col("decay_score").alias("exp_score")
+    )
+    j = exact.join(expd, on=["item_a", "item_b"], how="inner").collect()
+    assert len(j) > 0
+    import math
+
+    for row in j:
+        # each pair contributes exp(arg) with arg in (0,0.5]; the scaled
+        # variant sums arg directly. exp-sum must be within
+        # [cooc*exp(min_arg), cooc*e^0.5] and >= sum(arg) since exp(x)>x.
+        assert row.exp_score > row.decay_score, row
+        assert row.exp_score <= row.cooc * math.exp(0.5) + 1e-9, row
+
+
+def test_max_history_cap_drops_heavy_users(spark):
+    va = FX.fixture_df(spark, SF_SMOKE, "valid_actions")
+    uncapped = CF.user_item_history(va, max_history=None)
+    capped = CF.user_item_history(va, max_history=5)
+    max_n = capped.agg(F.max("n_items")).collect()[0][0]
+    assert max_n is None or max_n <= 5
+    assert capped.count() <= uncapped.count()
+
+
+def test_neighbor_lists_render_and_truncate(spark):
+    h = _history(spark)
+    scored = CF.cosine_scores(CF.cooccurrence_pairs(h), CF.item_user_counts(h))
+    lists = CF.neighbor_lists(scored, k=3).collect()
+    for row in lists:
+        assert row.n_neighbors <= 3
+        entries = row.neighbors.split(",")
+        assert len(entries) == row.n_neighbors
+        scores = [float(e.split(":")[1]) for e in entries]
+        assert scores == sorted(scores, reverse=True)
