@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from flink_project_spark import fixtures as FX
 from flink_project_spark.functions import scalars as SC
+from flink_project_spark.llm.contract import llm_oracle_sql, llm_queries
 from flink_project_spark.operators import auc as A
 from flink_project_spark.operators import itemcf as CF
 from flink_project_spark.operators import relational as R
@@ -335,6 +336,15 @@ def _history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CF.user_item_history(_valid_actions(spark, sf_dir), max_history=500)
 
 
+def q_multi_resolution_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 batch form: 5m/15m/1h/1d tumbling counts, +8h-aligned day.
+
+    Same operator entry() smoke-checks; oracle uses DuckDB time_bucket
+    with a 16:00-UTC origin for the day resolution (== UTC+8 midnight).
+    """
+    return W.multi_resolution_counts(_events(spark, sf_dir), "ts", ["event_type"])
+
+
 def q_itemcf_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CF.cooccurrence_pairs(_history(spark, sf_dir))
 
@@ -405,6 +415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "itemcf_histogram": q_itemcf_histogram,
         "whitelist_flag": q_whitelist_flag,
         "whitelist_semi": q_whitelist_semi,
+        "multi_resolution_counts": q_multi_resolution_counts,
+        **llm_queries(),
     }
 
 
@@ -833,6 +845,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT item_a, item_b, cooc, score FROM cosine
         WHERE item_a IN (SELECT pin_id FROM whitelist)
         """,
+        "multi_resolution_counts": """
+        SELECT '5m' AS resolution,
+               time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+               event_type, count(*) AS cnt
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT '15m', time_bucket(INTERVAL '15 minutes', ts), event_type, count(*)
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT '1h', time_bucket(INTERVAL '1 hour', ts), event_type, count(*)
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT '1d',
+               time_bucket(INTERVAL '1 day', ts, TIMESTAMP '2000-01-01 16:00:00'),
+               event_type, count(*)
+        FROM events GROUP BY 2, 3
+        """,
+        **llm_oracle_sql(),
     }
 
 

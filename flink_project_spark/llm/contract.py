@@ -1,0 +1,491 @@
+"""Driver-contract surface for the M5 LLM-pipeline operators.
+
+``llm_queries()`` / ``llm_oracle_sql()`` are merged into
+``__spark_entry__.queries()`` / ``oracle_sql()``. Every oracle mirrors
+its Spark operator stage-by-stage (same md5-derived hashes, same
+fixed-point quantization, same tie-breaks) so the driver's value-hash
+comparison is bit-exact — see llm.hashing for the cross-engine
+determinism constructions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_project_spark import fixtures as FX
+from flink_project_spark.llm import dedup as DD
+from flink_project_spark.llm import multimodal as MM
+from flink_project_spark.llm import similarity as SIM
+from flink_project_spark.llm import text as TX
+from flink_project_spark.llm.hashing import v32_sql
+
+EMB_DIM = 64  # driver testdata embedding dimensionality (TESTDATA.md)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return FX.load_tables(spark, sf_dir)["documents"]
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return FX.load_tables(spark, sf_dir)["embeddings"]
+
+
+# ---------------------------------------------------------------------------
+# queries — Spark side
+# ---------------------------------------------------------------------------
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = TX.token_stats(_docs(spark, sf_dir))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts: labeled lang x heuristic prediction."""
+    return (
+        TX.language_id(_docs(spark, sf_dir))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprint(_docs(spark, sf_dir))
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_doc_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.near_dup_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.doc_simhash(_docs(spark, sf_dir))
+
+
+def q_doc_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_near_dups(DD.doc_simhash(_docs(spark, sf_dir)))
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return SIM.brute_force_topk(emb, queries, k=5)
+
+
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return SIM.ivf_topk(emb, queries, k=5)
+
+
+def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.embedding_near_dups(_emb(spark, sf_dir), threshold=0.3, n_planes=4)
+
+
+def q_media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.payload_stats(MM.attach_payload(_docs(spark, sf_dir)))
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.decode_media(MM.attach_payload(_docs(spark, sf_dir)))
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.frame_sample(
+        MM.decode_media(MM.attach_payload(_docs(spark, sf_dir))), every=30
+    )
+
+
+def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.resize_plan(
+        MM.decode_media(MM.attach_payload(_docs(spark, sf_dir))), max_side=256
+    )
+
+
+def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "doc_token_stats": q_doc_token_stats,
+        "doc_language_id": q_doc_language_id,
+        "doc_quality": q_doc_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_minhash_neardups": q_doc_minhash_neardups,
+        "doc_simhash": q_doc_simhash,
+        "doc_simhash_neardups": q_doc_simhash_neardups,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_near_dups": q_emb_near_dups,
+        "media_payload_stats": q_media_payload_stats,
+        "media_decode": q_media_decode,
+        "media_frame_sample": q_media_frame_sample,
+        "media_resize_plan": q_media_resize_plan,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles — DuckDB side
+# ---------------------------------------------------------------------------
+
+# whitespace words per doc (empty tokens dropped — mirrors llm.text.words)
+_DWORDS = r"""
+WITH dwords AS (
+  SELECT doc_id, lang, source, text,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+)
+"""
+
+# distinct 3-gram shingles per doc (mirrors dedup.shingle_array)
+_DSH = r"""
+, dsh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(ws)-2, 1))]) AS shs
+  FROM dwords
+)
+"""
+
+# MinHash signatures, LSH bands, capped candidate pairs
+# (mirrors dedup.minhash_signature / lsh_pairs: k=16, bands=4, rows=4)
+_MINHASH = r"""
+, shx AS (
+  SELECT doc_id, unnest(shs) AS sh FROM dsh
+), sig AS (
+  SELECT doc_id, g.seed,
+         min(md5(CAST(g.seed AS VARCHAR) || '|' || sh)) AS mh
+  FROM shx, generate_series(0, 15) g(seed)
+  GROUP BY doc_id, g.seed
+), bandk AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, seed // 4
+), capped AS (
+  SELECT *, row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS brk
+  FROM bandk
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a
+  JOIN capped b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+  WHERE a.brk <= 1000 AND b.brk <= 1000
+)
+"""
+
+# EN stopword list rendered once (mirrors llm.text.STOPWORDS)
+_EN_SW = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"]) + "]"
+
+
+def _lang_ratio_cols() -> str:
+    cols = []
+    for lang in sorted(TX.STOPWORDS):
+        sw = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang]) + "]"
+        cols.append(
+            f"CAST(len(list_filter(ws, w -> list_contains({sw}, lower(w)))) AS DOUBLE)"
+            f" / CAST(greatest(len(ws), 1) AS DOUBLE) AS r_{lang}"
+        )
+    return ", ".join(cols)
+
+
+def _lang_pred_case() -> str:
+    langs = sorted(TX.STOPWORDS)
+    best = "greatest(" + ", ".join(f"r_{lang}" for lang in langs) + ")"
+    whens = "\n".join(
+        f"  WHEN r_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"CASE WHEN {best} <= 0.0 THEN 'und'\n{whens}\nEND"
+
+
+def _quantized_sql(expr: str) -> str:
+    # CAST to DOUBLE first: float*int would run in FLOAT precision in
+    # DuckDB, quantizing ~0.05% of values differently than Spark's
+    # double arithmetic.
+    return (
+        f"[CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) "
+        f"for x in {expr}]"
+    )
+
+
+def _plane_bucket_sql(n_planes: int) -> str:
+    """bucket expr over a quantized list column qv — integer plane dots
+    with literal weights, identical to similarity.signlsh_bucket."""
+    planes = SIM.quantized_planes(n_planes, EMB_DIM)
+    terms = []
+    for p, wts in enumerate(planes):
+        lit = "[" + ", ".join(str(w) for w in wts) + "]"
+        dot = (
+            f"list_sum([qv[i] * ({lit})[i] "
+            f"for i in generate_series(1, {EMB_DIM})])"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {2**p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def llm_oracle_sql() -> dict[str, str]:
+    v32w = v32_sql("'w:' || CAST(doc_id AS VARCHAR)")
+    v32h = v32_sql("'h:' || CAST(doc_id AS VARCHAR)")
+    v32f = v32_sql("'f:' || CAST(doc_id AS VARCHAR)")
+    modality = "(['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)]"
+    decoded = f"""
+WITH dec AS (
+  SELECT doc_id,
+         {modality} AS modality,
+         CAST(16 + {v32w} % 1024 AS INT) AS width,
+         CAST(16 + {v32h} % 1024 AS INT) AS height,
+         CAST(CASE WHEN {modality} = 'image' THEN 1
+                   ELSE 1 + {v32f} % 240 END AS INT) AS n_frames,
+         md5(text) AS checksum
+  FROM documents
+)
+"""
+    return {
+        "doc_token_stats": _DWORDS
+        + r"""
+        SELECT source, count(*) AS n_docs,
+               CAST(SUM(len(ws)) AS BIGINT) AS total_words,
+               CAST(SUM(len(regexp_extract_all(text,
+                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_tokens,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               CAST(SUM(len(regexp_extract_all(text,
+                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS avg_tokens
+        FROM dwords GROUP BY source
+        """,
+        "doc_language_id": _DWORDS
+        + f"""
+        , ratios AS (
+          SELECT doc_id, lang, {_lang_ratio_cols()} FROM dwords
+        )
+        SELECT lang, {_lang_pred_case()} AS pred_lang, count(*) AS cnt
+        FROM ratios GROUP BY 1, 2
+        """,
+        "doc_quality": _DWORDS
+        + r"""
+        SELECT doc_id, source,
+               CAST(len(ws) AS INT) AS n_words,
+               CAST(length(text) AS INT) AS n_chars,
+               CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                 / CAST(greatest(len(ws), 1) AS DOUBLE) AS mean_word_len,
+               CAST(len(list_filter(ws, w -> list_contains(""" + _EN_SW + r""", lower(w)))) AS DOUBLE)
+                 / CAST(greatest(len(ws), 1) AS DOUBLE) AS stopword_ratio,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+                    - len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS DOUBLE)
+                 / CAST(greatest(len(ws), 1) AS DOUBLE) AS symbol_ratio,
+               (CASE WHEN len(ws) BETWEEN 10 AND 100000
+                     THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                + CASE WHEN CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                            / CAST(greatest(len(ws), 1) AS DOUBLE) BETWEEN 2.0 AND 12.0
+                       THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                + CASE WHEN CAST(len(list_filter(ws, w -> list_contains(""" + _EN_SW + r""", lower(w)))) AS DOUBLE)
+                            / CAST(greatest(len(ws), 1) AS DOUBLE) >= 0.01
+                       THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                + CASE WHEN CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+                                 - len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS DOUBLE)
+                            / CAST(greatest(len(ws), 1) AS DOUBLE) <= 0.2
+                       THEN CAST(0.1 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS quality
+        FROM dwords
+        """,
+        "doc_fingerprint": r"""
+        WITH norm AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+          FROM documents
+        ), nw AS (
+          SELECT doc_id, nt,
+                 list_filter(regexp_split_to_array(nt, '\s+'), w -> w <> '') AS ws
+          FROM norm
+        )
+        SELECT doc_id, md5(nt) AS content_md5,
+               list_aggregate(
+                 [md5(array_to_string(ws[i:i+2], ' '))
+                  for i in generate_series(1, greatest(len(ws)-2, 1))],
+                 'min') AS min_shingle_md5
+        FROM nw
+        """,
+        "doc_exact_dedup": """
+        SELECT md5(text) AS content_md5,
+               min(doc_id) AS canonical_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1
+        """,
+        "doc_minhash_neardups": _DWORDS
+        + _DSH
+        + _MINHASH
+        + """
+        , sizes AS (
+          SELECT doc_id, len(shs) AS n FROM dsh
+        ), inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN shx a ON a.doc_id = c.doc_a
+          JOIN shx b ON b.doc_id = c.doc_b AND b.sh = a.sh
+          GROUP BY 1, 2
+        ), est AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+                 / 16.0 AS est_jaccard
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.doc_a
+          JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+          GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) AS jaccard,
+               e.est_jaccard
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.doc_a
+        JOIN sizes nb ON nb.doc_id = i.doc_b
+        JOIN est e ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+        WHERE CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) >= 0.8
+        """,
+        "doc_simhash": _DWORDS
+        + f"""
+        , w2 AS (
+          SELECT doc_id, unnest(ws) AS word FROM dwords
+        ), wh AS (
+          SELECT doc_id, {v32_sql('word')} AS h FROM w2
+        ), bits AS (
+          SELECT doc_id, g.j,
+                 SUM(CASE WHEN (h & (CAST(1 AS BIGINT) << g.j)) <> 0
+                          THEN 1 ELSE -1 END) AS s
+          FROM wh, generate_series(0, 31) g(j)
+          GROUP BY doc_id, g.j
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+        """,
+        "doc_simhash_neardups": _DWORDS
+        + f"""
+        , w2 AS (
+          SELECT doc_id, unnest(ws) AS word FROM dwords
+        ), wh AS (
+          SELECT doc_id, {v32_sql('word')} AS h FROM w2
+        ), bits AS (
+          SELECT doc_id, g.j,
+                 SUM(CASE WHEN (h & (CAST(1 AS BIGINT) << g.j)) <> 0
+                          THEN 1 ELSE -1 END) AS s
+          FROM wh, generate_series(0, 31) g(j)
+          GROUP BY doc_id, g.j
+        ), sim AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                               ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id
+        ), sbands AS (
+          SELECT doc_id, simhash, g.b AS band,
+                 (simhash >> (g.b * 8)) & 255 AS slice
+          FROM sim, generate_series(0, 3) g(b)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, c.simhash)) AS INT) AS hamming
+        FROM sbands a
+        JOIN sbands c ON a.band = c.band AND a.slice = c.slice
+                     AND a.doc_id < c.doc_id
+        WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+        """,
+        "emb_cosine_topk": f"""
+        WITH q AS (
+          SELECT vec_id, {_quantized_sql('embedding')} AS qv FROM embeddings
+        ), n AS (
+          SELECT vec_id, qv,
+                 list_sum([qv[i]*qv[i] for i in generate_series(1, {EMB_DIM})]) AS nrm
+          FROM q
+        ), scored AS (
+          SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+                 CAST(list_sum([a.qv[i]*b.qv[i]
+                                for i in generate_series(1, {EMB_DIM})]) AS DOUBLE)
+                 / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos_sim
+          FROM n a JOIN n b ON b.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+              FROM scored)
+        WHERE rn <= 5
+        """,
+        "emb_ivf_topk": f"""
+        WITH q AS (
+          SELECT vec_id, label, {_quantized_sql('embedding')} AS qv FROM embeddings
+        ), n AS (
+          SELECT vec_id, label, qv,
+                 list_sum([qv[i]*qv[i] for i in generate_series(1, {EMB_DIM})]) AS nrm
+          FROM q
+        ), scored AS (
+          SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+                 CAST(list_sum([a.qv[i]*b.qv[i]
+                                for i in generate_series(1, {EMB_DIM})]) AS DOUBLE)
+                 / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos_sim
+          FROM n a JOIN n b ON b.vec_id % 50 = 0 AND a.label = b.label
+                           AND a.vec_id <> b.vec_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+              FROM scored)
+        WHERE rn <= 5
+        """,
+        "emb_near_dups": f"""
+        WITH q AS (
+          SELECT vec_id, {_quantized_sql('embedding')} AS qv FROM embeddings
+        ), qb AS (
+          SELECT vec_id, qv, {_plane_bucket_sql(4)} AS bucket,
+                 list_sum([qv[i]*qv[i] for i in generate_series(1, {EMB_DIM})]) AS nrm
+          FROM q
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(list_sum([a.qv[i]*b.qv[i]
+                              for i in generate_series(1, {EMB_DIM})]) AS DOUBLE)
+               / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos_sim
+        FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE CAST(list_sum([a.qv[i]*b.qv[i]
+                             for i in generate_series(1, {EMB_DIM})]) AS DOUBLE)
+              / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) >= 0.3
+        """,
+        "media_payload_stats": f"""
+        SELECT source, {modality} AS modality,
+               count(*) AS n_docs,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(MIN(octet_length(encode(text))) AS INT) AS min_bytes,
+               CAST(MAX(octet_length(encode(text))) AS INT) AS max_bytes
+        FROM documents GROUP BY 1, 2
+        """,
+        "media_decode": decoded
+        + """
+        SELECT doc_id, modality, width, height, n_frames, checksum FROM dec
+        """,
+        "media_frame_sample": decoded
+        + """
+        SELECT doc_id, n_frames,
+               CAST(unnest(generate_series(0, n_frames - 1, 30)) AS INT) AS frame_idx
+        FROM dec WHERE modality = 'video'
+        """,
+        "media_resize_plan": decoded
+        + """
+        SELECT doc_id, modality, width, height,
+               CAST(CASE WHEN greatest(width, height) > 256
+                    THEN floor(CAST(width * 256 AS BIGINT) / greatest(width, height))
+                    ELSE width END AS INT) AS target_width,
+               CAST(CASE WHEN greatest(width, height) > 256
+                    THEN floor(CAST(height * 256 AS BIGINT) / greatest(width, height))
+                    ELSE height END AS INT) AS target_height
+        FROM dec
+        """,
+    }

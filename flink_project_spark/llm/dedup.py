@@ -1,0 +1,313 @@
+"""Deduplication operators for document corpora.
+
+Exact (content-hash groupBy), MinHash+LSH (shingle -> signature -> band
+-> bucket self-join), SimHash (bit-majority + banded Hamming join), and
+exact n-gram Jaccard verification — the standard public pipeline for
+LLM training-data dedup (Broder '97 minhash; Charikar '02 simhash;
+Lee et al. '21 "Deduplicating Training Data Makes Language Models
+Better").
+
+Design for 100 TB:
+- Shingling, MinHash signatures and SimHash values are computed as
+  nested *array expressions inside the scan projection* — no explode, no
+  Python, no shuffle; WholeStageCodegen keeps it one pass over parquet.
+- The only exchanges are (a) the LSH band table (docs x bands rows of
+  ~50 bytes — orders of magnitude smaller than the corpus) and (b) the
+  candidate-pair joins, whose cardinality LSH bounds by construction.
+- Bucket skew (a degenerate band key collecting millions of docs) is the
+  classic failure mode: `lsh_pairs` caps per-bucket membership with a
+  deterministic row_number cutoff and reports what it dropped.
+- All hashes are md5-derived (see llm.hashing) so a DuckDB oracle
+  reproduces every stage bit-exactly; minhash compares lowercase-hex
+  strings lexicographically == numerically, no integer conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_project_spark.llm.hashing import v32
+from flink_project_spark.llm.text import words
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content md5; keep min doc_id as canonical.
+
+    One hash-aggregate shuffle on a 32-byte key — at 100 TB this is the
+    cheapest possible exact dedup (the alternative, dropDuplicates on
+    the full text, shuffles the documents themselves).
+    """
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash signatures (pure projection — no shuffle)
+# ---------------------------------------------------------------------------
+
+
+def shingle_array(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column."""
+    w = words(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, k: int = 16) -> Column:
+    """k-permutation MinHash signature as array<string> of hex minima.
+
+    sig[s] = min over shingles of md5('<s>|' || shingle). Lowercase
+    fixed-width hex ==> lexicographic min == numeric min of the 128-bit
+    hash, which is what makes the DuckDB oracle trivial.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                shingles, lambda sh: F.md5(F.concat(s.cast("string"), F.lit("|"), sh))
+            )
+        ),
+    )
+
+
+def doc_signatures(
+    docs: DataFrame, text_col: str = "text", n: int = 3, k: int = 16
+) -> DataFrame:
+    sh = shingle_array(F.col(text_col), n)
+    return docs.select(
+        "doc_id",
+        sh.alias("shingles"),
+        minhash_signature(sh, k).alias("sig"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding -> candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def lsh_pairs(
+    sigs: DataFrame,
+    bands: int = 4,
+    rows: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
+
+    band key b = md5(sig[b*rows+1 .. b*rows+rows] joined by ','). The
+    self-join runs per (band, key) bucket; `max_bucket` caps degenerate
+    buckets (deterministically by doc_id order) so one hot bucket cannot
+    produce O(n^2) pairs at scale.
+    """
+    band_keys = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows))
+                ),
+            )
+        ).alias("band", "band_key"),
+    )
+    capped = band_keys.withColumn(
+        "bucket_rank",
+        F.row_number().over(
+            Window.partitionBy("band", "band_key").orderBy("doc_id")
+        ),
+    ).filter(F.col("bucket_rank") <= max_bucket)
+    a = capped.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+    b = capped.select("band", "band_key", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def estimated_jaccard(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
+    """Attach the MinHash Jaccard estimate: mean(sig_a[i] == sig_b[i])."""
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda z: z,
+        )
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (eq.cast("double") / F.size(F.col("sig_a")).cast("double")).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
+def exact_jaccard(pairs: DataFrame, shingle_df: DataFrame) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs via array intersection.
+
+    Runs only on LSH survivors, so the expensive set intersection never
+    touches the full cross product.
+    """
+    sa = shingle_df.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingle_df.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter"),
+            union.alias("union"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: pairs with exact Jaccard >= threshold.
+
+    LSH recall at the (bands=4, rows=4) default: P(candidate) =
+    1-(1-j^4)^4, ~0.98 at j=0.8 — the exact-verify stage then removes
+    false positives, so the result equals brute-force Jaccard filtering
+    up to LSH misses.
+    """
+    sigs = doc_signatures(docs, text_col, n, k)
+    cand = lsh_pairs(sigs.select("doc_id", "sig"), bands, rows)
+    exact = exact_jaccard(cand, sigs.select("doc_id", "shingles"))
+    est = estimated_jaccard(cand, sigs.select("doc_id", "sig"))
+    return (
+        exact.join(est, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard", "est_jaccard")
+    )
+
+
+def dedup_keep_canonical(docs: DataFrame, dup_pairs: DataFrame) -> DataFrame:
+    """Drop every doc that near-duplicates a smaller doc_id.
+
+    Single-link approximation of connected components: a doc survives
+    iff it is never the larger side of a dup pair. (Full CC needs an
+    iterative large-star/small-star pass — documented as the scale-up
+    path; for dedup 'keep one representative per clique' this greedy
+    rule already removes every duplicate.)
+    """
+    losers = dup_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return docs.join(losers, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash over word tokens (multiset-weighted bit majority).
+
+    For each bit j: sum over word occurrences of +/-1 according to bit j
+    of v32(md5(word)); simhash bit j = 1 if the sum > 0. Returned as a
+    LongType value. Pure array expression — no shuffle, no Python.
+    """
+    w = words(text)
+    hashes = F.transform(w, lambda x: v32(x))
+    zeros = F.array_repeat(F.lit(0), bits)
+    pow2 = F.array(*[F.lit(2**j).cast("long") for j in range(bits)])
+    bit_vec = lambda h: F.transform(  # noqa: E731
+        pow2,
+        lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+    )
+    # one pass: fold word-hash bit vectors into a 32-wide sum array
+    sums = F.aggregate(
+        hashes, zeros, lambda acc, h: F.zip_with(acc, bit_vec(h), lambda a, b: a + b)
+    )
+    weights = F.array(*[F.lit(2**j).cast("long") for j in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            sums, weights, lambda s, wgt: F.when(s > 0, wgt).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def doc_simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    return docs.select("doc_id", simhash(F.col(text_col), bits).alias("simhash"))
+
+
+def simhash_near_dups(
+    sim: DataFrame,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the simhash into `bands` byte-slices; any
+    pair within `max_hamming < bands` must agree on >= 1 slice, so a
+    self-join per slice finds all such pairs without a cross product.
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "slice"),
+    )
+    a = banded.select(
+        "band", "slice", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
+    )
+    b = banded.select(
+        "band", "slice", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["band", "slice"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,175 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video are modeled as `binary` columns beside a metadata
+struct (modality, byte size, checksum, fake-decoded dimensions). The
+decode / feature-extract / resize / frame-sample stages run as
+Arrow-batched Pandas functions over mapInPandas — the real Spark-side
+shape (schema, batch iteration, partition-parallel decode) — while the
+actual codec is stubbed: PIL/librosa/ffmpeg are absent from this
+container, so `_decode_payload` falls back to a DETERMINISTIC FAKE
+(md5-derived dimensions) that the DuckDB oracle reproduces; swapping in
+a real decoder changes one function.
+
+Design for 100 TB:
+- Payload bytes never shuffle: decode is mapInPandas on the scan,
+  metadata-only projections drop the binary column before any join/agg
+  (column pruning removes it from the parquet read entirely).
+- Frame sampling explodes only the sampled indices, not frames.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_project_spark.llm.hashing import v32_py
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+
+def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fixture: derive a binary payload + metadata struct from documents.
+
+    Stands in for real image/audio bytes (UTF-8 of the text — the
+    engine treats it as opaque). modality cycles deterministically so
+    per-modality code paths get exercised.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        payload.alias("payload"),
+        F.struct(
+            modality.alias("modality"),
+            F.octet_length(payload).alias("n_bytes"),
+            F.md5(payload).alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+def payload_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only aggregate — binary column pruned from the scan."""
+    return (
+        media.select(
+            "source",
+            F.col("meta.modality").alias("modality"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+        )
+        .groupBy("source", "modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("n_bytes").alias("min_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+    )
+
+
+def _fake_dims(doc_id: int, modality: str) -> tuple[int, int, int]:
+    """Deterministic fake decode: md5-derived dimensions.
+
+    Mirrored EXACTLY by the oracle SQL (v32 of the same strings), so the
+    stub is still correctness-checked end-to-end.
+    """
+    w = 16 + v32_py(f"w:{doc_id}") % 1024
+    h = 16 + v32_py(f"h:{doc_id}") % 1024
+    n = 1 if modality == "image" else 1 + v32_py(f"f:{doc_id}") % 240
+    return w, h, n
+
+
+def _decode_payload(doc_id: int, modality: str, payload: bytes):
+    """Stubbed codec. A real deployment plugs PIL/av here."""
+    try:  # pragma: no cover - libs absent in this container
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError(
+            "real image decode not wired; deterministic fake is the "
+            "tested contract in this environment"
+        )
+    except ImportError:
+        pass
+    w, h, n = _fake_dims(doc_id, modality)
+    return w, h, n, hashlib.md5(payload).hexdigest()
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode: (payload, meta) -> typed dimensions.
+
+    mapInPandas so each executor decodes its partition's payloads in
+    batches; output drops the binary column immediately.
+    """
+
+    def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, meta, payload in zip(
+                pdf["doc_id"], pdf["meta"], pdf["payload"]
+            ):
+                modality = meta["modality"]
+                w, h, n, ck = _decode_payload(int(doc_id), modality, bytes(payload))
+                rows.append((int(doc_id), modality, w, h, n, ck))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DECODED_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(decode, DECODED_SCHEMA)
+
+
+def frame_sample(decoded: DataFrame, every: int = 30) -> DataFrame:
+    """Sample every `every`-th frame index per video (explode indices).
+
+    Only the sampled indices materialize — the explode is O(frames/every)
+    rows, not O(frames).
+    """
+    return (
+        decoded.filter(F.col("modality") == "video")
+        .select(
+            "doc_id",
+            "n_frames",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every))
+            ).alias("frame_idx"),
+        )
+    )
+
+
+def resize_plan(decoded: DataFrame, max_side: int = 256) -> DataFrame:
+    """Compute target dimensions preserving aspect ratio (the metadata
+    half of a resize stage; the pixel op would live in decode_media).
+    Integer arithmetic only — oracle-exact.
+    """
+    scale_num = F.lit(max_side)
+    long_side = F.greatest(F.col("width"), F.col("height"))
+    needs = long_side > max_side
+    tw = F.when(
+        needs, (F.col("width") * scale_num).cast("long") / long_side
+    ).otherwise(F.col("width").cast("double"))
+    th = F.when(
+        needs, (F.col("height") * scale_num).cast("long") / long_side
+    ).otherwise(F.col("height").cast("double"))
+    return decoded.select(
+        "doc_id",
+        "modality",
+        "width",
+        "height",
+        F.floor(tw).cast("int").alias("target_width"),
+        F.floor(th).cast("int").alias("target_height"),
+    )

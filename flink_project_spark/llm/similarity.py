@@ -1,0 +1,207 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline; two scale paths:
+partition-pruned (IVF-style, search only the query's cell) and
+random-hyperplane sign-LSH buckets. Embedding near-dup detection reuses
+the same kernels.
+
+Determinism contract (DuckDB-oracle-exact): embeddings are quantized to
+fixed-point int64 (floor(x*1e6 + 0.5)) so dot products and squared
+norms are *exact integer arithmetic* in any engine; the final cosine is
+a single double division of identical inputs — bit-identical across
+Spark / DuckDB / NumPy. float->double widening is exact, and the
+products fit comfortably in int64 (|x|<~10 => per-term < 1e14, 4096
+dims => < 1e18).
+
+Design for 100 TB:
+- Brute force is ONE pass over the corpus with the query set broadcast
+  (queries are small by definition); no shuffle except the per-query
+  top-k, which Spark runs as partial top-k per partition (window over
+  broadcast-joined rows) — never a global sort.
+- IVF: a precomputed partition column (cluster id from any external
+  k-means) prunes the scan to matching cells — on parquet this is
+  partition pruning, i.e. the 100 TB scan reads only the cells touched.
+- sign-LSH: bucket = sign bits against `n_planes` fixed hyperplanes
+  (driver-side md5-derived literals, llm.hashing.plane_weights); the
+  self-join runs per bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_project_spark.llm.hashing import plane_weights
+
+SCALE = 1_000_000
+
+
+def quantize(col: Column) -> Column:
+    """array<float> -> array<long> fixed-point (floor(x*1e6+0.5))."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * SCALE + F.lit(0.5)).cast("long")
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a_q: Column, b_q: Column) -> Column:
+    """Exact-deterministic cosine of two quantized vectors."""
+    return _dot(a_q, b_q).cast("double") / F.sqrt(
+        _dot(a_q, a_q).cast("double") * _dot(b_q, b_q).cast("double")
+    )
+
+
+def with_quantized(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return emb.withColumn("q", quantize(F.col(vec_col)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    The query side is explicitly broadcast: the physical plan is a
+    BroadcastNestedLoopJoin-free broadcast hash-join-less map — each
+    corpus partition scores all queries locally, then a per-query
+    window takes the top k. Ties break on neighbor id (deterministic).
+    """
+    c = with_quantized(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("cq")
+    )
+    q = with_quantized(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("qq")
+    )
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qq"), F.col("cq")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style pruned top-k: search only the query's cell.
+
+    `cell_col` is a precomputed coarse-quantizer assignment (k-means
+    cell, or any partition column). Storing the corpus parquet
+    partitioned by it turns the cell equi-join into partition pruning —
+    the scan reads only touched cells. Recall < 1 by construction
+    (single-probe IVF); raise probes by unioning neighbor cells.
+    """
+    c = with_quantized(corpus, vec_col).select(
+        F.col(cell_col).alias("cell"), F.col(id_col).alias("neighbor_id"),
+        F.col("q").alias("cq"),
+    )
+    q = with_quantized(queries, vec_col).select(
+        F.col(cell_col).alias("cell"), F.col(id_col).alias("query_id"),
+        F.col("q").alias("qq"),
+    )
+    scored = c.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id", "neighbor_id", cosine(F.col("qq"), F.col("cq")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def quantized_planes(n_planes: int, dim: int, salt: str = "plane") -> list[list[int]]:
+    """Integer-quantized hyperplane weights (floor(w*1e6+0.5)).
+
+    Integer dot products are order-independent and exact, so the sign
+    decision is bit-identical in Spark / DuckDB / Python regardless of
+    summation order (a float fold would not be).
+    """
+    import math
+
+    return [
+        [int(math.floor(w * SCALE + 0.5)) for w in plane]
+        for plane in plane_weights(n_planes, dim, salt)
+    ]
+
+
+def signlsh_bucket(
+    q_col: Column, dim: int, n_planes: int = 8, salt: str = "plane"
+) -> Column:
+    """Random-hyperplane bucket id: bit p = 1 iff dot(q, plane_p) > 0.
+
+    Takes the QUANTIZED vector column; plane weights are md5-derived
+    integer literals baked into the plan (and into the oracle SQL) —
+    see llm.hashing.plane_weights.
+    """
+    planes = quantized_planes(n_planes, dim, salt)
+    bucket = F.lit(0).cast("long")
+    for p, wts in enumerate(planes):
+        warr = F.array(*[F.lit(w).cast("long") for w in wts])
+        dot = _dot(q_col, warr)
+        bucket = bucket + F.when(dot > 0, F.lit(2**p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-LSH bucketed self-join.
+
+    Pairs landing in the same bucket are scored exactly; recall follows
+    the sign-LSH collision curve P = (1 - theta/pi)^n_planes. At 100 TB
+    the self-join is per-bucket; n_planes tunes bucket granularity
+    against recall.
+    """
+    dim = emb.selectExpr(f"size({vec_col}) AS d").first()["d"]
+    b = with_quantized(emb, vec_col).select(
+        F.col(id_col), F.col("q"),
+        signlsh_bucket(F.col("q"), dim, n_planes).alias("bucket"),
+    )
+    a = b.select(
+        F.col("bucket"), F.col(id_col).alias("vec_a"), F.col("q").alias("qa")
+    )
+    c = b.select(
+        F.col("bucket"), F.col(id_col).alias("vec_b"), F.col("q").alias("qb")
+    )
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", cosine(F.col("qa"), F.col("qb")).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,143 @@
+"""Text-analysis operators for the documents table.
+
+Language-ID (stopword n-gram heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), document fingerprinting. All
+expressed as native Column expressions — no Python in the hot path, so
+every operator stays inside WholeStageCodegen and scales linearly with
+the scan (no shuffle except the final per-source aggregations).
+
+Scale notes (100 TB): each operator is a pure per-row map over the
+parquet scan; column pruning keeps the read to (doc_id, text[, source]);
+the only exchanges are the small per-source/per-lang aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Public, tiny per-language stopword lists (heuristic language-ID; the
+# point is the *operator shape* — swap in fastText/CLD3 off-cluster).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和"],
+}
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokens of a text column (empty strings removed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, "\\s+"), lambda w: w != "")
+
+
+def regex_tokens(col: Column | str) -> Column:
+    """BPE-ish pre-tokenization (letters/digits/symbols split apart)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(TOKEN_REGEX), F.lit(0))
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token counts: whitespace words + regex tokens.
+
+    Ref parity: generalizes WorldCount.scala:19's tokenize (P3) from a
+    demo to a corpus-statistics operator.
+    """
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(words(text_col)).alias("n_words"),
+        F.size(regex_tokens(text_col)).alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words(col), lambda w: F.array_contains(sw, F.lower(w))))
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language-ID: argmax over stopword hit ratios.
+
+    Deterministic tie-break: higher ratio wins, then lexicographically
+    smaller language code; all-zero => 'und'. Output keeps the labeled
+    lang so the caller can build a confusion matrix.
+    """
+    t = F.col(text_col)
+    n = F.greatest(F.size(words(t)), F.lit(1))
+    ratios = [
+        (stopword_hits(t, lang) / n).alias(f"r_{lang}")
+        for lang in sorted(STOPWORDS)
+    ]
+    d = docs.select("doc_id", "lang", *ratios)
+    best = F.greatest(*[F.col(f"r_{lang}") for lang in sorted(STOPWORDS)])
+    pred = F.when(best <= 0.0, F.lit("und"))
+    for lang in sorted(STOPWORDS):
+        pred = pred.when(F.col(f"r_{lang}") == best, F.lit(lang))
+    return d.select("doc_id", "lang", pred.alias("pred_lang"), best.alias("best_ratio"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics + composite score.
+
+    Metrics follow the public C4/Gopher-style filters: length, mean word
+    length, stopword ratio, symbol ratio. The composite is a plain
+    weighted sum — single IEEE ops on exact integer inputs, so the
+    DuckDB oracle reproduces it bit-exactly.
+    """
+    t = F.col(text_col)
+    w = words(t)
+    n_words = F.size(w)
+    n_chars = F.length(t)
+    sum_word_len = F.aggregate(
+        F.transform(w, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    en_sw = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    sw_hits = F.size(F.filter(w, lambda x: F.array_contains(en_sw, F.lower(x))))
+    n_symbols = F.size(regex_tokens(text_col)) - F.size(
+        F.regexp_extract_all(t, F.lit("[a-zA-Z]+|[0-9]+"), F.lit(0))
+    )
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = sum_word_len.cast("double") / nw
+    sw_ratio = sw_hits.cast("double") / nw
+    sym_ratio = n_symbols.cast("double") / nw
+    score = (
+        F.when((n_words >= 10) & (n_words <= 100000), F.lit(0.4)).otherwise(0.0)
+        + F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), F.lit(0.3)).otherwise(0.0)
+        + F.when(sw_ratio >= 0.01, F.lit(0.2)).otherwise(0.0)
+        + F.when(sym_ratio <= 0.2, F.lit(0.1)).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        mean_wl.alias("mean_word_len"),
+        sw_ratio.alias("stopword_ratio"),
+        sym_ratio.alias("symbol_ratio"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: content md5 over normalized text + the
+    minimum shingle hash (a 1-permutation MinHash — winnowing-style
+    representative), both order-stable across engines.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    w = words(norm)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("content_md5"),
+        F.array_min(F.transform(shingles, F.md5)).alias("min_shingle_md5"),
+    )

@@ -1,0 +1,149 @@
+"""Streaming window aggregations — T1-T8.
+
+Because F.window()/watermark semantics are identical over batch and
+streaming DataFrames, the batch operators in operators/windows.py run
+unchanged on a readStream input; this module adds the streaming-only
+concerns: watermarks (late-data drop), per-resolution query fan-out, and
+UV (distinct users) per window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_project_spark.operators.windows import tumbling_counts
+
+
+def with_watermark(stream: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """T3/T4/T6: bounded-out-of-orderness watermark.
+
+    Ref: EventTimeWindow.java:23-29 (BoundedOutOfOrdernessTimestampExtractor,
+    10 s), MyPeriodicAssigner.scala:10-21 (custom maxTs - bound assigner —
+    Spark computes exactly max-event-time - delay internally, so the
+    custom assigner needs no port), ActionLogJob.java:38,180-183 (10 min
+    allowed lateness: rows older than watermark are dropped and windows
+    finalize — identical semantics in append mode).
+    """
+    return stream.withWatermark(ts_col, delay)
+
+
+def tumbling_stream(
+    stream: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: list[str],
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """T1/T2: tumbling event-time window + count/sum over a stream.
+
+    Ref: WindowDemo.scala:14 (processing-time 10 s), EventTimeWindow.java:39-44
+    (event-time 5 s reduce). Event-time is the only mode exposed — the
+    reference's processing-time windows are a special case (ingest time
+    as event time).
+    """
+    return tumbling_counts(
+        with_watermark(stream, ts_col, watermark), ts_col, duration, keys
+    )
+
+
+def multi_resolution_streams(
+    stream: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    watermark: str = "10 minutes",
+    resolutions: dict[str, str] | None = None,
+    day_offset_hours: int = 8,
+) -> dict[str, DataFrame]:
+    """T5: the 5m/15m/1h/1d multi-resolution aggregation, one streaming
+    DataFrame per resolution.
+
+    Ref: ActionLogJobSecond.java:207-231. Returned as separate streams —
+    Structured Streaming forbids unioning independent stateful
+    aggregations into one query, and operationally each resolution is
+    its own writeStream (own trigger cadence, own state store), which is
+    also how the reference deploys (separate MapState per resolution).
+    The +8h day alignment matches the reference's UTC+8 dashboard day
+    (java:226).
+    """
+    resolutions = resolutions or {
+        "5m": "5 minutes",
+        "15m": "15 minutes",
+        "1h": "1 hour",
+        "1d": "1 day",
+    }
+    wm = with_watermark(stream, ts_col, watermark)
+    out = {}
+    for label, dur in resolutions.items():
+        start = f"-{day_offset_hours} hours" if label == "1d" else None
+        win = (
+            F.window(F.col(ts_col), dur, startTime=start)
+            if start
+            else F.window(F.col(ts_col), dur)
+        )
+        out[label] = (
+            wm.groupBy(win.alias("w"), *keys)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.lit(label).alias("resolution"),
+                F.col("w.start").alias("window_start"),
+                *keys,
+                "cnt",
+            )
+        )
+    return out
+
+
+def windowed_uv(
+    stream: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: list[str],
+    user_col: str = "user_id",
+    watermark: str = "10 minutes",
+    exact: bool = False,
+) -> DataFrame:
+    """T8: per-window distinct users.
+
+    Ref: ActionLogJob.java:255-257,285-329 — the reference pushes user
+    ids into an HBase set and reads the size back. Default is
+    approx_count_distinct (HLL — the 100 TB answer, no per-user state);
+    exact mode dedups (window,keys,user) first with watermark-scoped
+    state, matching the reference's exact HBase-set semantics.
+    SURVEY §4 documents this deviation-by-default.
+    """
+    wm = with_watermark(stream, ts_col, duration_max(watermark, duration))
+    if exact:
+        dedup = wm.dropDuplicates([*keys, user_col, ts_col])
+        # note: exact per-window distinct via dropDuplicatesWithinWatermark
+        # on (window, user) requires materializing the window column first
+        w = dedup.select(
+            F.window(F.col(ts_col), duration).alias("w"), *keys, user_col, ts_col
+        ).dropDuplicates(["w", *keys, user_col])
+        return (
+            w.groupBy("w", *keys)
+            .agg(F.count(F.lit(1)).alias("uv"))
+            .select(F.col("w.start").alias("window_start"), *keys, "uv")
+        )
+    return (
+        wm.groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys)
+        .agg(F.approx_count_distinct(user_col).alias("uv"))
+        .select(F.col("w.start").alias("window_start"), *keys, "uv")
+    )
+
+
+def duration_max(a: str, b: str) -> str:
+    """Pick the larger of two '<n> <unit>' durations (watermark must cover
+    at least one full window)."""
+
+    def secs(d: str) -> float:
+        n, unit = d.split()
+        mult = {
+            "second": 1, "seconds": 1,
+            "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600,
+            "day": 86400, "days": 86400,
+        }[unit]
+        return float(n) * mult
+
+    return a if secs(a) >= secs(b) else b

@@ -1,0 +1,171 @@
+"""M5 LLM-pipeline operator tests: dedup recall on planted near-dups,
+canonical-keep semantics, similarity-search ranking invariants, and
+multimodal plumbing (batch shapes, deterministic fake decode).
+
+The oracle-parity of every query is covered by test_entry_contract; these
+tests check the *semantic* properties the oracles can't express.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_project_spark import fixtures as FX
+from flink_project_spark.llm import dedup as DD
+from flink_project_spark.llm import multimodal as MM
+from flink_project_spark.llm import similarity as SIM
+from flink_project_spark.llm import text as TX
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return FX.load_tables(spark, SF_CORRECT)["documents"].cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return FX.load_tables(spark, SF_CORRECT)["embeddings"].cache()
+
+
+def test_minhash_lsh_finds_planted_neardups(spark, docs):
+    """The sf0.01 corpus plants 25 shuffled near-dup pairs (3-gram
+    jaccard > 0.8, cleanly separated from the background) — the
+    MinHash+LSH pipeline must recover them with exact-verify filtering.
+    """
+    pairs = DD.near_dup_pairs(docs, threshold=0.8).collect()
+    assert len(pairs) == 25
+    assert all(r.jaccard >= 0.8 and 0 <= r.est_jaccard <= 1.0 for r in pairs)
+
+
+def test_dedup_keep_canonical_drops_only_losers(spark, docs):
+    pairs = DD.near_dup_pairs(docs, threshold=0.8)
+    kept = DD.dedup_keep_canonical(docs, pairs)
+    n_docs = docs.count()
+    n_losers = pairs.select("doc_b").distinct().count()
+    assert kept.count() == n_docs - n_losers
+    survivors = {r.doc_id for r in kept.select("doc_id").collect()}
+    losers = {r.doc_b for r in pairs.select("doc_b").collect()}
+    assert survivors.isdisjoint(losers)
+    # the smaller side of every pair survives unless it lost elsewhere
+    for r in pairs.select("doc_a").collect():
+        assert r.doc_a in survivors or r.doc_a in losers
+
+
+def test_shuffled_duplicates_have_identical_simhash(spark, docs):
+    """Word-multiset-preserving shuffles leave SimHash unchanged, so
+    planted near-dup pairs must collide at hamming ~0."""
+    sh = DD.doc_simhash(docs)
+    pairs = DD.near_dup_pairs(docs, threshold=0.8)
+    joined = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "sim_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash", "sim_b"), "doc_b")
+        .select(F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("h"))
+        .collect()
+    )
+    assert len(joined) == 25
+    # shuffles keep the multiset identical (h=0); planted pairs also have
+    # small edits, so allow a few flipped bits — far below the ~16
+    # expected for unrelated 32-bit hashes
+    assert all(r.h <= 8 for r in joined), sorted(r.h for r in joined)
+
+
+def test_brute_force_topk_invariants(spark, emb):
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    topk = SIM.brute_force_topk(emb, queries, k=5).collect()
+    by_q: dict = {}
+    for r in topk:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == queries.count()
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0001 <= s <= 1.0001 for s in sims)
+        assert all(r.neighbor_id != q for r in rows)
+
+
+def test_ivf_is_subset_quality_of_brute_force(spark, emb):
+    """Single-probe IVF's best hit can't beat brute force's best hit."""
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    bf = {
+        (r.query_id, r.rank): r.cos_sim
+        for r in SIM.brute_force_topk(emb, queries, k=1).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): r.cos_sim
+        for r in SIM.ivf_topk(emb, queries, k=1).collect()
+    }
+    for key, sim in ivf.items():
+        assert sim <= bf[key] + 1e-12
+
+
+def test_quantization_preserves_cosine_closely(spark, emb):
+    """Fixed-point 1e-6 quantization changes cosine by < 1e-4."""
+    two = emb.limit(2).collect()
+    import math
+
+    a, b = [r.embedding for r in two]
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    exact = dot / (na * nb)
+    qa = [math.floor(x * 1e6 + 0.5) for x in a]
+    qb = [math.floor(x * 1e6 + 0.5) for x in b]
+    qdot = sum(x * y for x, y in zip(qa, qb))
+    qcos = qdot / math.sqrt(sum(x * x for x in qa) * sum(x * x for x in qb))
+    assert abs(exact - qcos) < 1e-4
+
+
+def test_language_id_deterministic_und_fallback(spark):
+    df = spark.createDataFrame(
+        [(1, "xyzzy plugh qwerty", "xx"), (2, "the cat and the hat", "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.doc_id: r.pred_lang for r in TX.language_id(df).collect()}
+    assert got[1] == "und"
+    assert got[2] == "en"
+
+
+def test_multimodal_decode_batch_shapes(spark, docs):
+    media = MM.attach_payload(docs)
+    decoded = MM.decode_media(media)
+    rows = decoded.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:20]:
+        assert r.modality in ("image", "audio", "video")
+        assert 16 <= r.width <= 16 + 1023 and 16 <= r.height <= 16 + 1023
+        assert (r.n_frames == 1) == (r.modality == "image")
+        assert len(r.checksum) == 32
+    # decode is deterministic: same input -> same output
+    again = {r.doc_id: (r.width, r.height) for r in MM.decode_media(media).collect()}
+    assert all(again[r.doc_id] == (r.width, r.height) for r in rows)
+
+
+def test_frame_sample_stride(spark, docs):
+    decoded = MM.decode_media(MM.attach_payload(docs))
+    frames = MM.frame_sample(decoded, every=30)
+    per_doc = (
+        frames.groupBy("doc_id", "n_frames")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("frame_idx").alias("mx"))
+        .collect()
+    )
+    assert len(per_doc) > 0
+    for r in per_doc:
+        assert r.n == (r.n_frames - 1) // 30 + 1
+        assert r.mx <= r.n_frames - 1
+
+
+def test_resize_preserves_aspect_and_bounds(spark, docs):
+    plan = MM.resize_plan(MM.decode_media(MM.attach_payload(docs)), max_side=256)
+    for r in plan.collect():
+        assert max(r.target_width, r.target_height) <= 256
+        if max(r.width, r.height) <= 256:
+            assert (r.target_width, r.target_height) == (r.width, r.height)
+        else:
+            # aspect ratio preserved within integer truncation
+            assert abs(
+                r.target_width / r.target_height - r.width / r.height
+            ) < 0.05 or min(r.target_width, r.target_height) >= 1

@@ -1,0 +1,272 @@
+"""Structured Streaming parity tests — T1-T11.
+
+Strategy (SURVEY §5): replay the deterministic events table through a
+file stream, drive with processAllAvailable(), land in a memory sink,
+and compare against the batch answer computed by the SAME operator
+(stream-batch equivalence) — plus targeted late-data and stateful-op
+scenarios with hand-built micro-batches.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_project_spark import fixtures as FX
+from flink_project_spark.operators import windows as W
+from flink_project_spark.streaming import stateful as ST
+from flink_project_spark.streaming import windows as SW
+from tests.conftest import SF_SMOKE
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_batch(spark):
+    return FX.load_tables(spark, SF_SMOKE)["events"]
+
+
+def _replay_dir(spark, tmp_path, name="replay"):
+    """Materialize the normalized events table as a streaming source dir."""
+    d = str(tmp_path / name)
+    _events_batch(spark).coalesce(1).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run_to_memory(stream_df, mode, name=None):
+    name = name or f"m{uuid.uuid4().hex[:10]}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def test_stream_batch_equivalence_tumbling(spark, tmp_path):
+    """T1/T2: the same tumbling operator over stream and batch agrees."""
+    src = _replay_dir(spark, tmp_path)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    agg = SW.tumbling_stream(stream, "ts", "5 minutes", ["event_type"])
+    name = _run_to_memory(agg, "complete")
+    got = {
+        (r.window_start, r.event_type): (r.cnt, r.sum_value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): (r.cnt, r.sum_value)
+        for r in W.tumbling_counts(
+            _events_batch(spark), "ts", "5 minutes", ["event_type"]
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_multi_resolution_stream_day_alignment(spark, tmp_path):
+    """T5: streaming multi-resolution agg matches the batch operator,
+    including the +8h-aligned day window."""
+    src = _replay_dir(spark, tmp_path)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    streams = SW.multi_resolution_streams(stream, "ts", ["event_type"])
+    batch = W.multi_resolution_counts(
+        _events_batch(spark), "ts", ["event_type"]
+    )
+    for label in ("5m", "1d"):
+        name = _run_to_memory(streams[label], "complete")
+        got = {
+            (r.window_start, r.event_type): r.cnt
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        expected = {
+            (r.window_start, r.event_type): r.cnt
+            for r in batch.filter(F.col("resolution") == label).collect()
+        }
+        assert got == expected and len(got) > 0
+        if label == "1d":
+            # day windows start at 16:00 UTC == 00:00 UTC+8
+            assert all(ws.hour == 16 for ws, _ in got), sorted(got)[:3]
+
+
+def test_windowed_uv_exact_matches_batch(spark, tmp_path):
+    """T8 exact mode == batch countDistinct per window."""
+    src = _replay_dir(spark, tmp_path)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    uv = SW.windowed_uv(
+        stream, "ts", "1 hour", ["event_type"], "user_id", exact=True
+    )
+    name = _run_to_memory(uv, "complete")
+    got = {
+        (r.window_start, r.event_type): r.uv
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    expected = {
+        (r.w, r.event_type): r.uv
+        for r in _events_batch(spark)
+        .groupBy(F.window("ts", "1 hour").start.alias("w"), "event_type")
+        .agg(F.countDistinct("user_id").alias("uv"))
+        .collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_late_data_dropped_in_append_mode(spark, tmp_path):
+    """T6: rows older than the watermark are dropped and finalized
+    windows never change (allowed-lateness parity).
+
+    Note: Spark commits a new watermark at batch end but applies it to
+    late-row filtering from the NEXT batch on, so the scenario needs
+    three micro-batches: data -> watermark-advancing batch -> late row.
+    """
+    src = tmp_path / "late_src"
+    src.mkdir()
+    base = "2024-01-01 00:"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "id long, ts_s string, key string"
+        ).select("id", F.col("ts_s").cast("timestamp").alias("ts"), "key")
+
+    batches = [
+        mk([(i, f"{base}{m:02d}:00", "k") for i, m in enumerate([0, 1, 2, 30])]),
+        mk([(50, f"{base}31:00", "k")]),      # advances applied watermark
+        mk([(99, f"{base}01:30", "k")]),      # late: far below 00:28 watermark
+    ]
+    now = time.time()
+    for i, b in enumerate(batches):
+        f = str(src / f"b{i}")
+        b.coalesce(1).write.parquet(f)
+        for p in [os.path.join(f, x) for x in os.listdir(f)]:
+            os.utime(p, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp, key string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "2 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "key", "cnt")
+    )
+    name = _run_to_memory(agg, "append")
+    emitted = [
+        (r.ws.isoformat(), r.cnt)
+        for r in spark.sql(f"SELECT * FROM {name} ORDER BY ws").collect()
+    ]
+    # windows 00:00-00:02 finalized with their original counts; the late
+    # 00:01:30 row was dropped (no duplicate emission, no count bump)
+    assert ("2024-01-01T00:01:00", 1) in emitted, emitted
+    assert ("2024-01-01T00:01:00", 2) not in emitted, emitted
+    assert len([e for e in emitted if e[0] == "2024-01-01T00:01:00"]) == 1
+
+
+def test_delta_alert_stream_matches_batch_lag(spark, tmp_path):
+    """T11: stateful delta alerts across micro-batches == batch lag()."""
+    src = tmp_path / "delta_src"
+    src.mkdir()
+    data = [
+        ("a", 1000, 60.0), ("a", 2000, 75.0), ("a", 3000, 76.0),
+        ("a", 4000, 50.0), ("b", 1500, 10.0), ("b", 2500, 11.0),
+    ]
+    b1 = [r for r in data if r[1] <= 2000]
+    b2 = [r for r in data if r[1] > 2000]
+    schema = "id string, event_ms long, temperature double"
+    f1, f2 = str(src / "b1"), str(src / "b2")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f2)
+    now = time.time()
+    for i, f in enumerate([f1, f2]):
+        for p in [os.path.join(f, x) for x in os.listdir(f)]:
+            os.utime(p, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    alerts = ST.delta_alert(stream, "id", "event_ms", "temperature", 10.0)
+    name = _run_to_memory(alerts, "append")
+    got = {
+        (r.key, r.event_ms): (r.prev_value, r.delta)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = W.lag_delta(
+        spark.createDataFrame(data, schema),
+        "id",
+        ["event_ms", "temperature"],
+        "temperature",
+        10.0,
+    ).filter(F.col("alert") == 1)
+    expected = {
+        (r.id, r.event_ms): (r.prev_value, r.delta) for r in batch.collect()
+    }
+    assert got == expected, (got, expected)
+    assert ("a", 2000) in got and ("a", 4000) in got  # cross-batch alert
+
+
+def test_rising_value_warning(spark, tmp_path):
+    """T10: warn fires only after an unbroken rise of >= rise_ms."""
+    src = tmp_path / "rise_src"
+    src.mkdir()
+    data = [
+        ("a", 0, 60.0), ("a", 4000, 61.0), ("a", 8000, 62.0),
+        ("a", 12000, 63.0),   # rising since 4000 -> 8s span >= 8s -> warn
+        ("b", 0, 60.0), ("b", 4000, 59.0), ("b", 8000, 60.5),  # fall resets
+    ]
+    schema = "id string, event_ms long, temperature double"
+    spark.createDataFrame(data, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    warns = ST.rising_value_warning(stream, "id", "event_ms", "temperature", 8_000)
+    name = _run_to_memory(warns, "append")
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert [(r.key, r.warn_ms) for r in rows] == [("a", 12000)], rows
+
+
+def test_count_with_timeout_emits_after_silence(spark, tmp_path):
+    """T9: per-key count emitted once the key goes silent.
+
+    NOTE: never call processAllAvailable() on a ProcessingTimeTimeout
+    query — FlatMapGroupsWithStateExec.shouldRunAnotherBatch is always
+    true for processing-time timeouts, so the no-new-data latch that
+    processAllAvailable waits on never fires and it blocks forever.
+    Poll the sink instead; the recurring trigger processes timeouts on
+    its own (no extra input file needed).
+    """
+    src = tmp_path / "timeout_src"
+    src.mkdir()
+    schema = "id string, event_ms long"
+    spark.createDataFrame(
+        [("k1", 100), ("k1", 200), ("k2", 150)], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    counted = ST.count_with_timeout(stream, "id", timeout_ms=300)
+    name = f"m{uuid.uuid4().hex[:10]}"
+    q = (
+        counted.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        if len(rows) >= 2:
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = {r.key: r.cnt for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got.get("k1") == 2 and got.get("k2") == 1, got
