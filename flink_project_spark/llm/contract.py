@@ -20,16 +20,21 @@ from flink_project_spark.llm import dedup as DD
 from flink_project_spark.llm import multimodal as MM
 from flink_project_spark.llm import similarity as SIM
 from flink_project_spark.llm import text as TX
-from flink_project_spark.llm.hashing import v32_sql
+from flink_project_spark.llm.hashing import v32_from_hex_sql, v32_sql
+from flink_project_spark.session import spread
 
 EMB_DIM = 64  # driver testdata embedding dimensionality (TESTDATA.md)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return FX.load_tables(spark, sf_dir)["documents"]
+    # spread(): these tables are tiny on disk (1-2 scan partitions) but
+    # every operator over them is CPU-dense per value — fan the rows out
+    # across all cores before the expensive projections.
+    return spread(FX.load_tables(spark, sf_dir)["documents"])
+
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return FX.load_tables(spark, sf_dir)["embeddings"]
+    return spread(FX.load_tables(spark, sf_dir)["embeddings"])
 
 
 # ---------------------------------------------------------------------------
@@ -80,7 +85,9 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.simhash_near_dups(DD.doc_simhash(_docs(spark, sf_dir)))
+    # persist: the banded self-join consumes the simhash projection on
+    # both sides; without it the per-word hash fold runs twice.
+    return DD.simhash_near_dups(DD.doc_simhash(_docs(spark, sf_dir)).persist())
 
 
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,7 +103,9 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.embedding_near_dups(_emb(spark, sf_dir), threshold=0.3, n_planes=4)
+    return SIM.embedding_near_dups(
+        _emb(spark, sf_dir), threshold=0.3, n_planes=4, dim=EMB_DIM
+    )
 
 
 def q_media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,18 +172,26 @@ _DSH = r"""
 """
 
 # MinHash signatures, LSH bands, capped candidate pairs
-# (mirrors dedup.minhash_signature / lsh_pairs: k=16, bands=4, rows=4)
-_MINHASH = r"""
+# (mirrors dedup.doc_signatures / lsh_pairs: k=16, bands=4, rows=4;
+# integer permutations (a*h+b) % P over ONE md5 per shingle)
+_MH_A, _MH_B = DD.minhash_coeffs(16)
+_MINHASH = f"""
 , shx AS (
   SELECT doc_id, unnest(shs) AS sh FROM dsh
+), shh AS (
+  SELECT doc_id, md5(sh) AS hx FROM shx
+), shv AS (
+  SELECT doc_id, {v32_from_hex_sql('hx')} AS h FROM shh
 ), sig AS (
   SELECT doc_id, g.seed,
-         min(md5(CAST(g.seed AS VARCHAR) || '|' || sh)) AS mh
-  FROM shx, generate_series(0, 15) g(seed)
+         min((([{','.join(map(str, _MH_A))}])[g.seed+1] * h
+              + ([{','.join(map(str, _MH_B))}])[g.seed+1])
+             % {DD.MINHASH_P}) AS mh
+  FROM shv, generate_series(0, 15) g(seed)
   GROUP BY doc_id, g.seed
 ), bandk AS (
   SELECT doc_id, seed // 4 AS band,
-         md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
   FROM sig GROUP BY doc_id, seed // 4
 ), capped AS (
   SELECT *, row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS brk

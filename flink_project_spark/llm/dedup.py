@@ -18,8 +18,9 @@ Design for 100 TB:
   classic failure mode: `lsh_pairs` caps per-bucket membership with a
   deterministic row_number cutoff and reports what it dropped.
 - All hashes are md5-derived (see llm.hashing) so a DuckDB oracle
-  reproduces every stage bit-exactly; minhash compares lowercase-hex
-  strings lexicographically == numerically, no integer conversion.
+  reproduces every stage bit-exactly; minhash hashes each shingle ONCE
+  (md5 -> 32-bit int) and derives the k permutations with universal
+  hashing (a*h+b mod 2^31-1) — integer folds, not k md5 passes.
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from flink_project_spark.llm.hashing import v32
+from flink_project_spark.llm.hashing import v32, v32_py
 from flink_project_spark.llm.text import words
 
 # ---------------------------------------------------------------------------
@@ -68,32 +69,56 @@ def shingle_array(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingles: Column, k: int = 16) -> Column:
-    """k-permutation MinHash signature as array<string> of hex minima.
+#: Mersenne prime 2^31-1 — the classic universal-hash modulus. All
+#: arithmetic stays < 2^63 (a < P, h < 2^32 => a*h+b < 2^63), so the
+#: expressions are safe under ANSI overflow checking in both engines.
+MINHASH_P = 2147483647
 
-    sig[s] = min over shingles of md5('<s>|' || shingle). Lowercase
-    fixed-width hex ==> lexicographic min == numeric min of the 128-bit
-    hash, which is what makes the DuckDB oracle trivial.
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                shingles, lambda sh: F.md5(F.concat(s.cast("string"), F.lit("|"), sh))
-            )
-        ),
-    )
+
+def minhash_coeffs(k: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) permutation coefficients, a in [1, P-1]."""
+    a = [v32_py(f"mh:a:{s}") % (MINHASH_P - 1) + 1 for s in range(k)]
+    b = [v32_py(f"mh:b:{s}") % MINHASH_P for s in range(k)]
+    return a, b
 
 
 def doc_signatures(
     docs: DataFrame, text_col: str = "text", n: int = 3, k: int = 16
 ) -> DataFrame:
-    sh = shingle_array(F.col(text_col), n)
-    return docs.select(
-        "doc_id",
-        sh.alias("shingles"),
-        minhash_signature(sh, k).alias("sig"),
+    """(doc_id, shingles, sig) — sig[s] = min over shingles of
+    (a_s * v32(sh) + b_s) mod P.
+
+    Implementation is explode -> codegen'd hash aggregate with k min()
+    columns, NOT a higher-order-function fold: HOF lambdas evaluate
+    interpreted per element, while a grouped min() runs inside
+    WholeStageCodegen with map-side partial aggregation — the shuffle
+    carries only 5k-groups x k longs regardless of corpus size. One md5
+    per shingle total (projected to an attribute before the aggregate so
+    the k permutation expressions reuse it). The shingle table is
+    persisted because both the exploded hash pass and the exact-Jaccard
+    verify stage consume it.
+    """
+    base = docs.select(
+        "doc_id", shingle_array(F.col(text_col), n).alias("shingles")
+    ).persist()
+    hashed = base.select("doc_id", F.explode("shingles").alias("sh")).select(
+        "doc_id", v32(F.col("sh")).alias("h")
     )
+    a, b = minhash_coeffs(k)
+    aggs = [
+        F.min(
+            (F.lit(a[s]).cast("long") * F.col("h") + F.lit(b[s])) % MINHASH_P
+        ).alias(f"_mh{s}")
+        for s in range(k)
+    ]
+    sig = (
+        hashed.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id", F.array(*[f"_mh{s}" for s in range(k)]).alias("sig")
+        )
+    )
+    return base.join(sig, "doc_id").select("doc_id", "shingles", "sig")
 
 
 # ---------------------------------------------------------------------------
@@ -109,7 +134,8 @@ def lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
 
-    band key b = md5(sig[b*rows+1 .. b*rows+rows] joined by ','). The
+    band key b = sig[b*rows+1 .. b*rows+rows] joined by ',' (the minhash
+    values are already uniform 31-bit ints — no re-hash needed). The
     self-join runs per (band, key) bucket; `max_bucket` caps degenerate
     buckets (deterministically by doc_id order) so one hot bucket cannot
     produce O(n^2) pairs at scale.
@@ -119,8 +145,12 @@ def lsh_pairs(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows))
+                lambda b: F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
                 ),
             )
         ).alias("band", "band_key"),
@@ -206,15 +236,47 @@ def near_dup_pairs(
     1-(1-j^4)^4, ~0.98 at j=0.8 — the exact-verify stage then removes
     false positives, so the result equals brute-force Jaccard filtering
     up to LSH misses.
+
+    The signature table is persisted: it feeds both sides of the band
+    self-join and both sides of the verify join, and recomputing the
+    shingle+minhash projection 4-6x dominated the wall clock otherwise.
+    (At cluster scale the same role is played by checkpointing the
+    signature table to parquet between the two stages.) Exact and
+    estimated Jaccard are computed in ONE join pass over the candidates
+    rather than two joins merged at the end.
     """
-    sigs = doc_signatures(docs, text_col, n, k)
+    sigs = doc_signatures(docs, text_col, n, k).persist()
     cand = lsh_pairs(sigs.select("doc_id", "sig"), bands, rows)
-    exact = exact_jaccard(cand, sigs.select("doc_id", "shingles"))
-    est = estimated_jaccard(cand, sigs.select("doc_id", "sig"))
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda z: z,
+        )
+    )
     return (
-        exact.join(est, ["doc_a", "doc_b"])
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+            (eq.cast("double") / F.size(F.col("sig_a")).cast("double")).alias(
+                "est_jaccard"
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard", "est_jaccard")
     )
 
 

@@ -44,6 +44,18 @@ def v32_sql(expr: str) -> str:
     return f"({terms})"
 
 
+def v32_from_hex_sql(hex_expr: str) -> str:
+    """DuckDB SQL turning an already-computed md5 hex VARCHAR expr into
+    the v32 integer — lets a CTE materialize md5 once per row instead of
+    inlining it 8x (once per nibble)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({hex_expr}, {i + 1}, 1)) - 1)"
+        f" * CAST({m} AS BIGINT)"
+        for i, m in enumerate(_NIBBLE_MULT)
+    )
+    return f"({terms})"
+
+
 def v32_py(s: str) -> int:
     """Python twin (for driver-side plane generation and stub decoders)."""
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)

@@ -59,8 +59,23 @@ def cosine(a_q: Column, b_q: Column) -> Column:
     )
 
 
+def cosine_from_parts(dot: Column, nrm_a: Column, nrm_b: Column) -> Column:
+    """Cosine from a pair dot product and PRE-COMPUTED squared norms.
+
+    Norms are per-vector, so computing them once per row instead of once
+    per joined pair cuts the dominant per-pair cost from 3 array folds
+    to 1. The double arithmetic (cast each long, multiply, sqrt) is
+    identical to `cosine`, so oracle bit-exactness is preserved.
+    """
+    return dot.cast("double") / F.sqrt(
+        nrm_a.cast("double") * nrm_b.cast("double")
+    )
+
+
 def with_quantized(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return emb.withColumn("q", quantize(F.col(vec_col)))
+    """Adds `q` (quantized vector) and `nrm` (exact squared norm)."""
+    q = quantize(F.col(vec_col))
+    return emb.withColumn("q", q).withColumn("nrm", _dot(F.col("q"), F.col("q")))
 
 
 def brute_force_topk(
@@ -78,15 +93,21 @@ def brute_force_topk(
     window takes the top k. Ties break on neighbor id (deterministic).
     """
     c = with_quantized(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("q").alias("cq")
+        F.col(id_col).alias("neighbor_id"),
+        F.col("q").alias("cq"),
+        F.col("nrm").alias("cn"),
     )
     q = with_quantized(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("q").alias("qq")
+        F.col(id_col).alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm").alias("qn"),
     )
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qq"), F.col("cq")).alias("cos_sim"),
+        cosine_from_parts(
+            _dot(F.col("qq"), F.col("cq")), F.col("qn"), F.col("cn")
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -116,16 +137,20 @@ def ivf_topk(
     """
     c = with_quantized(corpus, vec_col).select(
         F.col(cell_col).alias("cell"), F.col(id_col).alias("neighbor_id"),
-        F.col("q").alias("cq"),
+        F.col("q").alias("cq"), F.col("nrm").alias("cn"),
     )
     q = with_quantized(queries, vec_col).select(
         F.col(cell_col).alias("cell"), F.col(id_col).alias("query_id"),
-        F.col("q").alias("qq"),
+        F.col("q").alias("qq"), F.col("nrm").alias("qn"),
     )
     scored = c.join(F.broadcast(q), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     ).select(
-        "query_id", "neighbor_id", cosine(F.col("qq"), F.col("cq")).alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        cosine_from_parts(
+            _dot(F.col("qq"), F.col("cq")), F.col("qn"), F.col("cn")
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -178,30 +203,40 @@ def embedding_near_dups(
     n_planes: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via sign-LSH bucketed self-join.
 
     Pairs landing in the same bucket are scored exactly; recall follows
     the sign-LSH collision curve P = (1 - theta/pi)^n_planes. At 100 TB
     the self-join is per-bucket; n_planes tunes bucket granularity
-    against recall.
+    against recall. Pass `dim` when known to skip a schema-probe job.
+    The bucketed projection is persisted — it feeds both sides of the
+    self-join, and the n_planes 64-dim sign dots are the expensive part.
     """
-    dim = emb.selectExpr(f"size({vec_col}) AS d").first()["d"]
+    if dim is None:
+        dim = emb.selectExpr(f"size({vec_col}) AS d").first()["d"]
     b = with_quantized(emb, vec_col).select(
-        F.col(id_col), F.col("q"),
+        F.col(id_col), F.col("q"), F.col("nrm"),
         signlsh_bucket(F.col("q"), dim, n_planes).alias("bucket"),
-    )
+    ).persist()
     a = b.select(
-        F.col("bucket"), F.col(id_col).alias("vec_a"), F.col("q").alias("qa")
+        F.col("bucket"), F.col(id_col).alias("vec_a"),
+        F.col("q").alias("qa"), F.col("nrm").alias("na"),
     )
     c = b.select(
-        F.col("bucket"), F.col(id_col).alias("vec_b"), F.col("q").alias("qb")
+        F.col("bucket"), F.col(id_col).alias("vec_b"),
+        F.col("q").alias("qb"), F.col("nrm").alias("nb"),
     )
     return (
         a.join(c, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
-            "vec_a", "vec_b", cosine(F.col("qa"), F.col("qb")).alias("cos_sim")
+            "vec_a",
+            "vec_b",
+            cosine_from_parts(
+                _dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -73,3 +73,23 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def spread(df, parallelism: int | None = None):
+    """Repartition a DataFrame ahead of a CPU-dense projection.
+
+    Columnar scans parallelize by input bytes, but operators whose cost
+    is per-VALUE (hashing every shingle, folding 64-dim arrays) can be
+    compute-bound on a handful of scan partitions — locally a <1 MB
+    parquet file is ONE partition, and on a cluster a few compressed
+    row groups can starve a 1000-core job the same way. An explicit
+    round-robin repartition to the session's default parallelism costs
+    one tiny shuffle of the *input* rows and unlocks every core for the
+    expensive projection that follows. No-op when the frame is already
+    split at least that wide.
+    """
+    if parallelism is None:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)
