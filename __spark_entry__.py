@@ -29,6 +29,7 @@ from flink_project_spark import fixtures as FX
 from flink_project_spark.functions import scalars as SC
 from flink_project_spark.llm.contract import llm_oracle_sql, llm_queries
 from flink_project_spark.operators import auc as A
+from flink_project_spark.operators import cogroup as CG
 from flink_project_spark.operators import itemcf as CF
 from flink_project_spark.operators import relational as R
 from flink_project_spark.operators import setops as S
@@ -336,6 +337,29 @@ def _history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CF.user_item_history(_valid_actions(spark, sf_dir), max_history=500)
 
 
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10m/5m windows — each event lands in 2 windows."""
+    return W.sliding_counts(
+        _events(spark, sf_dir), "ts", "10 minutes", "5 minutes", ["event_type"]
+    )
+
+
+def q_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap."""
+    return W.session_counts(_events(spark, sf_dir), "ts", "30 minutes", ["user_id"])
+
+
+def q_cogroup_scene_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 coGroup (relational form): per-key counts of two logs, full outer."""
+    return CG.cogroup_counts(
+        _valid_actions(spark, sf_dir),
+        FX.fixture_df(spark, sf_dir, "recall_log"),
+        ["scene_id", "user_id"],
+        left_name="action_cnt",
+        right_name="recall_cnt",
+    )
+
+
 def q_multi_resolution_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 batch form: 5m/15m/1h/1d tumbling counts, +8h-aligned day.
 
@@ -416,6 +440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "whitelist_flag": q_whitelist_flag,
         "whitelist_semi": q_whitelist_semi,
         "multi_resolution_counts": q_multi_resolution_counts,
+        "sliding_window_counts": q_sliding_window_counts,
+        "session_window_counts": q_session_window_counts,
+        "cogroup_scene_stats": q_cogroup_scene_stats,
         **llm_queries(),
     }
 
@@ -861,6 +888,49 @@ def oracle_sql() -> dict[str, str]:
                time_bucket(INTERVAL '1 day', ts, TIMESTAMP '2000-01-01 16:00:00'),
                event_type, count(*)
         FROM events GROUP BY 2, 3
+        """,
+        "sliding_window_counts": """
+        SELECT ws AS window_start, event_type, count(*) AS cnt FROM (
+          SELECT time_bucket(INTERVAL '5 minutes', ts)
+                   - g.k * INTERVAL '5 minutes' AS ws,
+                 event_type
+          FROM events, generate_series(0, 1) g(k)
+        ) GROUP BY 1, 2
+        """,
+        "session_window_counts": """
+        WITH d AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), g AS (
+          SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM d
+        )
+        SELECT min(ts) AS session_start,
+               max(ts) + INTERVAL '30 minutes' AS session_end,
+               user_id, count(*) AS cnt
+        FROM g GROUP BY user_id, sid
+        """,
+        "cogroup_scene_stats": V("valid_actions", "recall_log")
+        + """
+        , ac AS (
+          SELECT scene_id, user_id, count(*) AS action_cnt
+          FROM valid_actions GROUP BY scene_id, user_id
+        ), rc AS (
+          SELECT scene_id, user_id, count(*) AS recall_cnt
+          FROM recall_log GROUP BY scene_id, user_id
+        )
+        SELECT COALESCE(ac.scene_id, rc.scene_id) AS scene_id,
+               COALESCE(ac.user_id, rc.user_id) AS user_id,
+               COALESCE(ac.action_cnt, 0) AS action_cnt,
+               COALESCE(rc.recall_cnt, 0) AS recall_cnt
+        FROM ac FULL OUTER JOIN rc
+          ON ac.scene_id = rc.scene_id AND ac.user_id = rc.user_id
         """,
         **llm_oracle_sql(),
     }

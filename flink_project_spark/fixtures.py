@@ -184,6 +184,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     engine and oracle see identical instants.
     """
     # runtime-settable: required when the harness passes its own session
+    cached = _TABLE_CACHE.get((id(spark), sf_dir))
+    if cached is not None:
+        return dict(cached)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out: dict[str, DataFrame] = {}
     for t in TABLES:
@@ -192,13 +195,27 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             # integer division: ns values (~1.7e18) exceed double precision
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         out[t] = df
+    _TABLE_CACHE[(id(spark), sf_dir)] = dict(out)
     return out
 
 
+# DataFrame handles are cheap immutable plan objects — memoize per
+# (session, sf_dir) so the 45-query driver loop doesn't re-list files and
+# re-read 10 parquet footers per query.
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# session id -> sf_dir whose tables are CURRENTLY bound to the views
+# (a set keyed by (session, sf_dir) would wrongly skip re-binding after
+# the same session switches to a different scale factor and back)
+_REGISTERED: dict[int, str] = {}
+
+
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
-    """Register the driver tables as temp views (idempotent)."""
+    """Register the driver tables as temp views (idempotent, memoized)."""
+    if _REGISTERED.get(id(spark)) == sf_dir:
+        return
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+    _REGISTERED[id(spark)] = sf_dir
 
 
 def fixture_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -183,3 +183,54 @@ def multi_resolution_counts(
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str,
+    size: str,
+    slide: str,
+    keys: list[str],
+) -> DataFrame:
+    """Sliding (hopping) event-time window counts.
+
+    The reference has no sliding windows (SURVEY §2.8 note) — Spark
+    provides them for free via F.window(size, slide); each event lands
+    in size/slide windows. Runs identically in batch and (with a
+    watermark) Structured Streaming. Window starts align to the epoch
+    grid of `slide`, so a DuckDB oracle can enumerate each event's
+    covering windows with generate_series.
+    """
+    return (
+        events.groupBy(F.window(F.col(ts_col), size, slide).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), *keys, "cnt")
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+) -> DataFrame:
+    """Session windows: per-key activity runs separated by >= gap.
+
+    Batch form of F.session_window (also legal in streaming with a
+    watermark). Emits one row per (keys, session) with the session
+    start/end and event count. Oracle-checkable: the classic
+    gaps-and-islands SQL (lag + cumulative new-session flags) produces
+    identical sessions.
+    """
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), *keys
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *keys,
+            "cnt",
+        )
+    )
