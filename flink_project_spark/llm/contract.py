@@ -108,23 +108,31 @@ def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # moderate fan-out for the Pandas-UDF decode path: with a stubbed
+    # (cheap) codec, per-partition Python worker + Arrow setup dominates,
+    # so 32 tiny partitions cost more than they parallelize. A real
+    # decoder (CPU-bound per byte) would want full spread() instead.
+    return spread(FX.load_tables(spark, sf_dir)["documents"], parallelism=8)
+
+
 def q_media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return MM.payload_stats(MM.attach_payload(_docs(spark, sf_dir)))
+    return MM.payload_stats(MM.attach_payload(_docs_media(spark, sf_dir)))
 
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return MM.decode_media(MM.attach_payload(_docs(spark, sf_dir)))
+    return MM.decode_media(MM.attach_payload(_docs_media(spark, sf_dir)))
 
 
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.frame_sample(
-        MM.decode_media(MM.attach_payload(_docs(spark, sf_dir))), every=30
+        MM.decode_media(MM.attach_payload(_docs_media(spark, sf_dir))), every=30
     )
 
 
 def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.resize_plan(
-        MM.decode_media(MM.attach_payload(_docs(spark, sf_dir))), max_side=256
+        MM.decode_media(MM.attach_payload(_docs_media(spark, sf_dir))), max_side=256
     )
 
 
