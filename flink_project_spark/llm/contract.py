@@ -80,6 +80,19 @@ def q_doc_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.near_dup_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
+def q_doc_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor set after near-dup removal: docs that never lose a pair.
+
+    Composes the full pipeline: minhash-LSH pairs -> drop every doc that
+    near-duplicates a smaller doc_id (single-link clique representative).
+    """
+    docs = _docs(spark, sf_dir)
+    pairs = DD.near_dup_pairs(docs, threshold=0.8)
+    return DD.dedup_keep_canonical(docs, pairs).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.doc_simhash(_docs(spark, sf_dir))
 
@@ -144,6 +157,7 @@ def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_neardups": q_doc_minhash_neardups,
+        "doc_dedup_keep_canonical": q_doc_dedup_keep_canonical,
         "doc_simhash": q_doc_simhash,
         "doc_simhash_neardups": q_doc_simhash_neardups,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -378,6 +392,29 @@ WITH dec AS (
         JOIN sizes nb ON nb.doc_id = i.doc_b
         JOIN est e ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
         WHERE CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) >= 0.8
+        """,
+        "doc_dedup_keep_canonical": _DWORDS
+        + _DSH
+        + _MINHASH
+        + """
+        , sizes AS (
+          SELECT doc_id, len(shs) AS n FROM dsh
+        ), inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN shx a ON a.doc_id = c.doc_a
+          JOIN shx b ON b.doc_id = c.doc_b AND b.sh = a.sh
+          GROUP BY 1, 2
+        ), losers AS (
+          SELECT DISTINCT i.doc_b AS doc_id
+          FROM inter i
+          JOIN sizes na ON na.doc_id = i.doc_a
+          JOIN sizes nb ON nb.doc_id = i.doc_b
+          WHERE CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) >= 0.8
+        )
+        SELECT d.doc_id, d.lang, d.source FROM documents d
+        LEFT JOIN losers l ON d.doc_id = l.doc_id
+        WHERE l.doc_id IS NULL
         """,
         "doc_simhash": _DWORDS
         + f"""

@@ -234,6 +234,40 @@ def test_rising_value_warning(spark, tmp_path):
     assert [(r.key, r.warn_ms) for r in rows] == [("a", 12000)], rows
 
 
+def test_side_output_dual_sink(spark, tmp_path):
+    """O7: one stream fans out to a main sink and an alert side output
+    inside a single foreachBatch (FreezingAlert.scala:15-28 parity) —
+    each record lands in exactly one output, both written atomically per
+    micro-batch.
+    """
+    src = tmp_path / "side_src"
+    src.mkdir()
+    schema = "id string, temperature double"
+    spark.createDataFrame(
+        [("s1", 50.0), ("s2", 30.0), ("s3", 33.0), ("s4", 20.0)], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    main_dir = str(tmp_path / "main_out")
+    alert_dir = str(tmp_path / "alert_out")
+
+    def route(batch_df, batch_id):
+        batch_df.filter(F.col("temperature") >= 32.0).write.mode(
+            "append"
+        ).parquet(alert_dir)
+        batch_df.filter(F.col("temperature") < 32.0).write.mode(
+            "append"
+        ).parquet(main_dir)
+
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q = stream.writeStream.foreachBatch(route).start()
+    q.processAllAvailable()
+    q.stop()
+    alerts = {r.id for r in spark.read.parquet(alert_dir).collect()}
+    mains = {r.id for r in spark.read.parquet(main_dir).collect()}
+    assert alerts == {"s1", "s3"} and mains == {"s2", "s4"}
+    assert alerts.isdisjoint(mains)
+
+
 def test_count_with_timeout_emits_after_silence(spark, tmp_path):
     """T9: per-key count emitted once the key goes silent.
 
