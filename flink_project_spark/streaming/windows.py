@@ -132,6 +132,42 @@ def windowed_uv(
     )
 
 
+def sliding_stream(
+    stream: DataFrame,
+    ts_col: str,
+    size: str,
+    slide: str,
+    keys: list[str],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding (hopping) windows over a stream — same operator as the
+    batch `operators.windows.sliding_counts`, plus a watermark."""
+    from flink_project_spark.operators.windows import sliding_counts
+
+    return sliding_counts(
+        with_watermark(stream, ts_col, watermark), ts_col, size, slide, keys
+    )
+
+
+def session_stream(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows over a stream (F.session_window + watermark).
+
+    Sessions merge across micro-batches until the watermark passes
+    session_end; append mode then emits each finalized session once.
+    """
+    from flink_project_spark.operators.windows import session_counts
+
+    return session_counts(
+        with_watermark(stream, ts_col, watermark), ts_col, gap, keys
+    )
+
+
 def duration_max(a: str, b: str) -> str:
     """Pick the larger of two '<n> <unit>' durations (watermark must cover
     at least one full window)."""

@@ -234,6 +234,41 @@ def test_rising_value_warning(spark, tmp_path):
     assert [(r.key, r.warn_ms) for r in rows] == [("a", 12000)], rows
 
 
+def test_sliding_and_session_stream_match_batch(spark, tmp_path):
+    """Sliding + session windows: streaming result == batch operator
+    over the same replayed events (complete mode)."""
+    src = _replay_dir(spark, tmp_path)
+    batch = _events_batch(spark)
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    sl = SW.sliding_stream(stream, "ts", "10 minutes", "5 minutes", ["event_type"])
+    name = _run_to_memory(sl, "complete")
+    got = {
+        (r.window_start, r.event_type): r.cnt
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): r.cnt
+        for r in W.sliding_counts(
+            batch, "ts", "10 minutes", "5 minutes", ["event_type"]
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
+
+    stream2 = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    se = SW.session_stream(stream2, "ts", "30 minutes", ["user_id"])
+    name2 = _run_to_memory(se, "complete")
+    got2 = {
+        (r.session_start, r.user_id): (r.session_end, r.cnt)
+        for r in spark.sql(f"SELECT * FROM {name2}").collect()
+    }
+    expected2 = {
+        (r.session_start, r.user_id): (r.session_end, r.cnt)
+        for r in W.session_counts(batch, "ts", "30 minutes", ["user_id"]).collect()
+    }
+    assert got2 == expected2 and len(got2) > 0
+
+
 def test_side_output_dual_sink(spark, tmp_path):
     """O7: one stream fans out to a main sink and an alert side output
     inside a single foreachBatch (FreezingAlert.scala:15-28 parity) —
