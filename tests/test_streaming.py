@@ -234,6 +234,31 @@ def test_rising_value_warning(spark, tmp_path):
     assert [(r.key, r.warn_ms) for r in rows] == [("a", 12000)], rows
 
 
+def test_sensor_stream_shape_and_distribution(spark):
+    """S7: rate-source sensor generator — schema, key fan-out, and the
+    Irwin-Hall Gaussian landing near N(60, 20) over a short run."""
+    from flink_project_spark.streaming.sensors import sensor_stream
+
+    st = sensor_stream(spark, rows_per_second=500, n_sensors=10)
+    assert [f.name for f in st.schema.fields] == ["id", "event_ms", "temperature"]
+    name = f"m{uuid.uuid4().hex[:10]}"
+    q = st.writeStream.outputMode("append").format("memory").queryName(name).start()
+    deadline = time.time() + 30
+    rows = []
+    while time.time() < deadline:
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        if len(rows) >= 300:
+            break
+        time.sleep(0.5)
+    q.stop()
+    assert len(rows) >= 300
+    ids = {r.id for r in rows}
+    assert ids <= {f"sensor_{i}" for i in range(10)} and len(ids) == 10
+    temps = [r.temperature for r in rows]
+    m = sum(temps) / len(temps)
+    assert 50 < m < 70, m  # ~N(60, 20); mean of 300+ draws well inside
+
+
 def test_sliding_and_session_stream_match_batch(spark, tmp_path):
     """Sliding + session windows: streaming result == batch operator
     over the same replayed events (complete mode)."""
