@@ -66,6 +66,46 @@ def top_k_per_group(
     )
 
 
+def top_k_per_group_salted(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    k: int,
+    ascending: bool = True,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof top-K: two-phase partial/final truncation.
+
+    `top_k_per_group`'s window sorts each group on ONE task — a hot key
+    with 10^8 rows serializes the job at 100 TB. This variant salts each
+    row into `salt_buckets` sub-groups, takes a partial top-K per
+    (group, salt) — map-side-bounded at k rows per sub-group — then a
+    final top-K over the <= k*salt_buckets survivors. Identical result
+    for any total order (the global top-K is contained in the union of
+    partial top-Ks); the heavy sort never sees more than max(|group| /
+    salt_buckets, k * salt_buckets) rows on one task.
+
+    The salt is a deterministic hash of the order columns, not a
+    random(), so re-planning/retries reproduce the same partials.
+    """
+    from pyspark.sql import Window
+
+    order = [
+        F.col(c).asc() if ascending else F.col(c).desc() for c in order_cols
+    ]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), salt_buckets)
+    partial_w = Window.partitionBy(*group_cols, "_salt").orderBy(*order)
+    final_w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("_salt", salt)
+        .withColumn("_prn", F.row_number().over(partial_w))
+        .filter(F.col("_prn") <= k)
+        .withColumn("_rn", F.row_number().over(final_w))
+        .filter(F.col("_rn") <= k)
+        .drop("_salt", "_prn", "_rn")
+    )
+
+
 def bucket_histogram(
     df: DataFrame, value_col: str, buckets: list[int]
 ) -> DataFrame:

@@ -148,3 +148,30 @@ def test_connect_comap_normalizes_heterogeneous_inputs(spark):
         ("t2", "reading", 30.0),
         ("a1", "overheat", None),
     }
+
+
+def test_salted_topk_equals_plain_topk(spark):
+    """Skew-proof two-phase top-K == single-window top-K for a total
+    order, including a deliberately hot key."""
+    import random
+
+    from flink_project_spark.operators import setops as S
+
+    rng = random.Random(11)
+    rows = [("hot", rng.random(), i) for i in range(5000)] + [
+        (f"g{i % 7}", rng.random(), 10_000 + i) for i in range(700)
+    ]
+    df = spark.createDataFrame(rows, "g string, score double, rid long")
+    plain = {
+        (r.g, r.rid)
+        for r in S.top_k_per_group(
+            df, ["g"], [F.col("score").desc(), F.col("rid")], 25
+        ).collect()
+    }
+    salted = {
+        (r.g, r.rid)
+        for r in S.top_k_per_group_salted(
+            df, ["g"], ["score", "rid"], 25, ascending=False
+        ).collect()
+    }
+    assert salted == plain and len({g for g, _ in plain}) == 8
