@@ -230,6 +230,8 @@ def neighbor_lists(
     k: int = 400,
     score_col: str = "score",
     render_decimals: int = 6,
+    pre_truncate: bool = False,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """A12/W3/O2: per-item neighbor list, score-desc, top-k, rendered
     'item:score,item:score,...' exactly like the reference's sink format.
@@ -238,7 +240,54 @@ def neighbor_lists(
     Hdfs2RedisVersion5.java:84-92 (truncate at 400). Deterministic order:
     score DESC, neighbor ASC (negated-score struct sort). One groupBy —
     the sort happens inside sort_array, no extra window shuffle.
+
+    pre_truncate=True is the 100 TB path: collect_list on a hot item
+    materializes EVERY candidate in one task before the slice; instead
+    the rows are cut to the top k per item with the skew-proof salted
+    two-phase top-K first, and total_candidates comes from a separate
+    count aggregate (map-side partial). Output is identical.
     """
+    if pre_truncate:
+        from flink_project_spark.operators.setops import top_k_per_group_salted
+
+        totals = scored.groupBy("item_a").agg(
+            F.count(F.lit(1)).alias("_total")
+        )
+        cut = top_k_per_group_salted(
+            scored.withColumn("_neg", -F.col(score_col)),
+            ["item_a"],
+            ["_neg", "item_b"],
+            k,
+            ascending=True,
+            salt_buckets=salt_buckets,
+        ).drop("_neg")
+        entry = F.struct(
+            (-F.col(score_col)).alias("neg_score"),
+            F.col("item_b").alias("nb"),
+        )
+        lists = (
+            cut.groupBy("item_a")
+            .agg(F.sort_array(F.collect_list(entry), asc=True).alias("entries"))
+            .join(totals, "item_a")
+        )
+        topk = F.col("entries")
+        rendered = F.array_join(
+            F.transform(
+                topk,
+                lambda x: F.concat(
+                    x["nb"],
+                    F.lit(":"),
+                    F.format_string(f"%.{render_decimals}f", -x["neg_score"]),
+                ),
+            ),
+            ",",
+        )
+        return lists.select(
+            F.col("item_a").alias("item_id"),
+            rendered.alias("neighbors"),
+            F.size("entries").alias("n_neighbors"),
+            F.col("_total").alias("total_candidates"),
+        )
     entry = F.struct(
         (-F.col(score_col)).alias("neg_score"),
         F.col("item_b").alias("nb"),

@@ -82,3 +82,20 @@ def test_neighbor_lists_render_and_truncate(spark):
         assert len(entries) == row.n_neighbors
         scores = [float(e.split(":")[1]) for e in entries]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_neighbor_lists_pre_truncate_path_identical(spark):
+    """The skew-proof pre-truncated assembly renders the same lists,
+    sizes, and totals as the plain collect-then-slice path."""
+    actions = FX.fixture_df(spark, SF_SMOKE, "valid_actions")
+    hist = CF.user_item_history(actions, max_history=500)
+    scored = CF.cosine_scores(CF.cooccurrence_pairs(hist), CF.item_user_counts(hist))
+    plain = {
+        r.item_id: (r.neighbors, r.n_neighbors, r.total_candidates)
+        for r in CF.neighbor_lists(scored, k=10).collect()
+    }
+    salted = {
+        r.item_id: (r.neighbors, r.n_neighbors, r.total_candidates)
+        for r in CF.neighbor_lists(scored, k=10, pre_truncate=True).collect()
+    }
+    assert salted == plain and len(plain) > 0
