@@ -55,6 +55,14 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.word_counts(_docs(spark, sf_dir))
+
+
+def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.top_terms(_docs(spark, sf_dir), k=5)
+
+
 def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion counts: labeled lang x heuristic prediction."""
     return (
@@ -152,6 +160,8 @@ def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_token_stats": q_doc_token_stats,
+        "word_counts": q_word_counts,
+        "doc_top_terms": q_doc_top_terms,
         "doc_language_id": q_doc_language_id,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -305,6 +315,33 @@ WITH dec AS (
                     '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS DOUBLE)
                / CAST(count(*) AS DOUBLE) AS avg_tokens
         FROM dwords GROUP BY source
+        """,
+        "word_counts": _DWORDS
+        + """
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(ws) AS word FROM dwords)
+        GROUP BY 1
+        """,
+        "doc_top_terms": _DWORDS
+        + """
+        , tf AS (
+          SELECT doc_id, unnest(ws) AS word FROM dwords
+        ), tfc AS (
+          SELECT doc_id, word, count(*) AS tf FROM tf GROUP BY 1, 2
+        ), dfc AS (
+          SELECT word, count(*) AS df FROM tfc GROUP BY 1
+        ), scored AS (
+          SELECT tfc.doc_id, tfc.word, tfc.tf, dfc.df,
+                 CAST(tfc.tf AS DOUBLE) / (dfc.df + 1) AS score
+          FROM tfc JOIN dfc ON tfc.word = dfc.word
+        )
+        SELECT doc_id, word, CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df, score, CAST(rn AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY score DESC, tf DESC, word) AS rn
+              FROM scored)
+        WHERE rn <= 5
         """,
         "doc_language_id": _DWORDS
         + f"""

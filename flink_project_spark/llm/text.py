@@ -125,6 +125,64 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The reference's flagship WordCount (S1+P3+A1 parity) over the
+    corpus: explode whitespace tokens, group, count.
+
+    Ref: flink-base wc/WorldCount.scala:17-19 (readTextFile -> flatMap
+    split -> groupBy(0).sum(1)); streaming twin StreamWorldCount.scala:15.
+    One narrow shuffle of (word, partial_count) pairs — map-side partial
+    aggregation makes the exchange O(vocabulary), not O(corpus).
+    """
+    return (
+        docs.select(F.explode(words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def top_terms(
+    docs: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """TF-IDF-style top-k terms per document.
+
+    score = tf / (df + 1): term frequency normalized by corpus document
+    frequency — monotone in tf-idf for the within-document ranking and,
+    unlike log-idf, a SINGLE IEEE division of exact integers, so the
+    score (and thus the ranking) is bit-identical in any engine.
+    Deterministic tie-break: higher tf, then lexicographic term.
+    """
+    from pyspark.sql.window import Window
+
+    tf = (
+        docs.select("doc_id", F.explode(words(text_col)).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tf.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    # no broadcast hint: the vocabulary can be huge at corpus scale —
+    # both sides are already partitioned on `word` from their aggs, so
+    # the join is co-partitioned; AQE still converts to broadcast when
+    # the df table turns out small.
+    scored = tf.join(df_counts, "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") / (F.col("df") + 1)).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tf").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "word", "tf", "df", "score", "rank")
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: content md5 over normalized text + the
     minimum shingle hash (a 1-permutation MinHash — winnowing-style

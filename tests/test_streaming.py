@@ -234,6 +234,51 @@ def test_rising_value_warning(spark, tmp_path):
     assert [(r.key, r.warn_ms) for r in rows] == [("a", 12000)], rows
 
 
+def test_streaming_word_count_matches_batch(spark, tmp_path):
+    """A6/StreamWorldCount parity: keyed running counts over a text
+    stream (update mode) converge to the batch word count."""
+    from flink_project_spark.llm.text import word_counts, words
+
+    src = tmp_path / "wc_src"
+    src.mkdir()
+    lines = ["to be or not to be", "be that as it may", "or not"]
+    for i, chunk in enumerate([lines[:2], lines[2:]]):
+        spark.createDataFrame(
+            [(ln,) for ln in chunk], "text string"
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema("text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    counts = (
+        stream.select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .count()
+    )
+    name = f"m{uuid.uuid4().hex[:10]}"
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # update mode re-emits rows as counts grow; the LAST value per word
+    # must equal the batch count
+    got = {}
+    for r in spark.sql(f"SELECT * FROM {name}").collect():
+        got[r.word] = max(got.get(r.word, 0), r["count"])
+    batch = spark.createDataFrame([(ln,) for ln in lines], "text string")
+    expected = {
+        r.word: r.cnt
+        for r in word_counts(batch.withColumn("doc_id", F.lit(0)), "text").collect()
+    }
+    assert got == expected and got["be"] == 3 and got["or"] == 2
+
+
 def test_sensor_stream_shape_and_distribution(spark):
     """S7: rate-source sensor generator — schema, key fan-out, and the
     Irwin-Hall Gaussian landing near N(60, 20) over a short run."""
