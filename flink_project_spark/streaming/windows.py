@@ -114,14 +114,27 @@ def windowed_uv(
     """
     wm = with_watermark(stream, ts_col, duration_max(watermark, duration))
     if exact:
-        dedup = wm.dropDuplicates([*keys, user_col, ts_col])
-        # note: exact per-window distinct via dropDuplicatesWithinWatermark
-        # on (window, user) requires materializing the window column first
-        w = dedup.select(
-            F.window(F.col(ts_col), duration).alias("w"), *keys, user_col, ts_col
-        ).dropDuplicates(["w", *keys, user_col])
+        # exact per-window distinct: materialize the window column, then
+        # dedup (window, keys, user). dropDuplicatesWithinWatermark
+        # evicts each dedup key once the watermark passes its event time
+        # — state is bounded by (watermark horizon x arrival rate), the
+        # property that makes exact UV viable at stream scale. Plain
+        # dropDuplicates would also evict here (the state key contains
+        # the event-time-derived window), but the WithinWatermark form
+        # states the contract explicitly and survives key-set changes.
+        # project ONLY the window struct as the event-time column —
+        # keeping the raw ts too gives the stream two event-time columns,
+        # which DeduplicateWithinWatermark rejects
+        w = wm.select(
+            F.window(F.col(ts_col), duration).alias("w"), *keys, user_col
+        )
+        dedup = (
+            w.dropDuplicatesWithinWatermark(["w", *keys, user_col])
+            if hasattr(w, "dropDuplicatesWithinWatermark") and w.isStreaming
+            else w.dropDuplicates(["w", *keys, user_col])
+        )
         return (
-            w.groupBy("w", *keys)
+            dedup.groupBy("w", *keys)
             .agg(F.count(F.lit(1)).alias("uv"))
             .select(F.col("w.start").alias("window_start"), *keys, "uv")
         )
