@@ -209,6 +209,22 @@ _TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 _REGISTERED: dict[int, str] = {}
 
 
+def clear_tables(spark: SparkSession | None = None) -> None:
+    """Forget the memoized table handles / view registrations.
+
+    DataFrame handles hold no executor memory (plan objects only), but a
+    long-lived session switching across many sf_dirs accumulates stale
+    entries — this is the companion lifecycle hook to ``cache.clear``.
+    """
+    sid = None if spark is None else id(spark)
+    for k in list(_TABLE_CACHE):
+        if sid is None or k[0] == sid:
+            del _TABLE_CACHE[k]
+    for k in list(_REGISTERED):
+        if sid is None or k == sid:
+            del _REGISTERED[k]
+
+
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
     """Register the driver tables as temp views (idempotent, memoized)."""
     if _REGISTERED.get(id(spark)) == sf_dir:

@@ -16,7 +16,12 @@ Design for 100 TB:
   candidate-pair joins, whose cardinality LSH bounds by construction.
 - Bucket skew (a degenerate band key collecting millions of docs) is the
   classic failure mode: `lsh_pairs` caps per-bucket membership with a
-  deterministic row_number cutoff and reports what it dropped.
+  deterministic row_number cutoff; `lsh_overflow` reports exactly which
+  buckets dropped members and how many (no silent caps).
+- The exact-Jaccard verify stage never joins shingle *arrays*: pair
+  intersections come from an exploded (doc, shingle-md5) equi-join whose
+  rows are three fixed-width values — the same narrow plan the DuckDB
+  oracle uses — so candidate verification shuffles KBs, not documents.
 - All hashes are md5-derived (see llm.hashing) so a DuckDB oracle
   reproduces every stage bit-exactly; minhash hashes each shingle ONCE
   (md5 -> 32-bit int) and derives the k permutations with universal
@@ -29,7 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from flink_project_spark.llm.hashing import v32, v32_py
+from flink_project_spark.llm.hashing import v32, v32_from_hex, v32_py
 from flink_project_spark.llm.text import words
 
 # ---------------------------------------------------------------------------
@@ -82,28 +87,33 @@ def minhash_coeffs(k: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
-def doc_signatures(
-    docs: DataFrame, text_col: str = "text", n: int = 3, k: int = 16
+def shingle_hashes(
+    docs: DataFrame, text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(doc_id, shingles, sig) — sig[s] = min over shingles of
-    (a_s * v32(sh) + b_s) mod P.
+    """(doc_id, hx) — one row per distinct shingle, hx = md5(shingle).
 
-    Implementation is explode -> codegen'd hash aggregate with k min()
-    columns, NOT a higher-order-function fold: HOF lambdas evaluate
-    interpreted per element, while a grouped min() runs inside
-    WholeStageCodegen with map-side partial aggregation — the shuffle
-    carries only 5k-groups x k longs regardless of corpus size. One md5
-    per shingle total (projected to an attribute before the aggregate so
-    the k permutation expressions reuse it). The shingle table is
-    persisted because both the exploded hash pass and the exact-Jaccard
-    verify stage consume it.
+    The exploded narrow form is the workhorse of the whole MinHash
+    pipeline: signatures derive v32 from hx, and the exact-Jaccard
+    verify stage counts pair intersections by equi-joining hx — both
+    without ever shuffling the shingle strings themselves.
     """
     base = docs.select(
         "doc_id", shingle_array(F.col(text_col), n).alias("shingles")
-    ).persist()
-    hashed = base.select("doc_id", F.explode("shingles").alias("sh")).select(
-        "doc_id", v32(F.col("sh")).alias("h")
     )
+    return base.select("doc_id", F.explode("shingles").alias("sh")).select(
+        "doc_id", F.md5(F.col("sh")).alias("hx")
+    )
+
+
+def _sig_from_hashes(hashed: DataFrame, k: int) -> DataFrame:
+    """(doc_id, sig) from an exploded (doc_id, h) 32-bit-hash table.
+
+    Explode -> codegen'd hash aggregate with k min() columns, NOT a
+    higher-order-function fold: HOF lambdas evaluate interpreted per
+    element, while a grouped min() runs inside WholeStageCodegen with
+    map-side partial aggregation — the shuffle carries only
+    |docs| x k longs regardless of corpus size.
+    """
     a, b = minhash_coeffs(k)
     aggs = [
         F.min(
@@ -111,13 +121,33 @@ def doc_signatures(
         ).alias(f"_mh{s}")
         for s in range(k)
     ]
-    sig = (
+    return (
         hashed.groupBy("doc_id")
         .agg(*aggs)
         .select(
             "doc_id", F.array(*[f"_mh{s}" for s in range(k)]).alias("sig")
         )
     )
+
+
+def doc_signatures(
+    docs: DataFrame, text_col: str = "text", n: int = 3, k: int = 16
+) -> DataFrame:
+    """(doc_id, shingles, sig) — sig[s] = min over shingles of
+    (a_s * v32(sh) + b_s) mod P. One md5 per shingle total.
+
+    Kept for callers that want the shingle arrays alongside the
+    signature; the near-dup pipeline itself uses the narrow
+    `shingle_hashes` + `_sig_from_hashes` path and never materializes
+    arrays into a join.
+    """
+    base = docs.select(
+        "doc_id", shingle_array(F.col(text_col), n).alias("shingles")
+    ).persist()
+    hashed = base.select("doc_id", F.explode("shingles").alias("sh")).select(
+        "doc_id", v32(F.col("sh")).alias("h")
+    )
+    sig = _sig_from_hashes(hashed, k)
     return base.join(sig, "doc_id").select("doc_id", "shingles", "sig")
 
 
@@ -126,21 +156,9 @@ def doc_signatures(
 # ---------------------------------------------------------------------------
 
 
-def lsh_pairs(
-    sigs: DataFrame,
-    bands: int = 4,
-    rows: int = 4,
-    max_bucket: int = 1000,
-) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
-
-    band key b = sig[b*rows+1 .. b*rows+rows] joined by ',' (the minhash
-    values are already uniform 31-bit ints — no re-hash needed). The
-    self-join runs per (band, key) bucket; `max_bucket` caps degenerate
-    buckets (deterministically by doc_id order) so one hot bucket cannot
-    produce O(n^2) pairs at scale.
-    """
-    band_keys = sigs.select(
+def _band_keys(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band, band_key) — one row per signature band."""
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -155,7 +173,51 @@ def lsh_pairs(
             )
         ).alias("band", "band_key"),
     )
-    capped = band_keys.withColumn(
+
+
+def lsh_overflow(
+    sigs: DataFrame,
+    bands: int = 4,
+    rows: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Buckets that hit `lsh_pairs`' cap: (band, band_key, members,
+    dropped). Empty result = the cap dropped nothing.
+
+    Companion to `lsh_pairs` so the cap is never silent: a pipeline run
+    should aggregate/log this (the brief's "no silent caps" rule). At
+    scale it is one extra map-side-combined count over the band table.
+    """
+    return (
+        _band_keys(sigs, bands, rows)
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("members"))
+        .filter(F.col("members") > max_bucket)
+        .select(
+            "band",
+            "band_key",
+            "members",
+            (F.col("members") - max_bucket).alias("dropped"),
+        )
+    )
+
+
+def lsh_pairs(
+    sigs: DataFrame,
+    bands: int = 4,
+    rows: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
+
+    band key b = sig[b*rows+1 .. b*rows+rows] joined by ',' (the minhash
+    values are already uniform 31-bit ints — no re-hash needed). The
+    self-join runs per (band, key) bucket; `max_bucket` caps degenerate
+    buckets (deterministically by doc_id order) so one hot bucket cannot
+    produce O(n^2) pairs at scale. The cap's casualties are reported by
+    `lsh_overflow` — run it alongside when the cap can plausibly bind.
+    """
+    capped = _band_keys(sigs, bands, rows).withColumn(
         "bucket_rank",
         F.row_number().over(
             Window.partitionBy("band", "band_key").orderBy("doc_id")
@@ -237,45 +299,42 @@ def near_dup_pairs(
     false positives, so the result equals brute-force Jaccard filtering
     up to LSH misses.
 
-    The signature table is persisted: it feeds both sides of the band
-    self-join and both sides of the verify join, and recomputing the
-    shingle+minhash projection 4-6x dominated the wall clock otherwise.
-    (At cluster scale the same role is played by checkpointing the
-    signature table to parquet between the two stages.) Exact and
-    estimated Jaccard are computed in ONE join pass over the candidates
-    rather than two joins merged at the end.
+    Plan shape (the 100 TB-safe one): everything derives from the
+    exploded (doc_id, shingle-md5) table — persisted because the
+    signature aggregate and the verify join both consume it. Pair
+    intersections are an exploded equi-join on the 32-byte shingle hash
+    (candidates ⋈ shingles_a ⋈ shingles_b on hash equality, then a
+    grouped count) — rows in flight are (doc_a, doc_b, hx), never the
+    shingle arrays, so candidate verification shuffles three fixed-width
+    columns instead of KB-wide documents. Shingle sizes and the MinHash
+    estimate ride on narrow per-doc side tables. (At cluster scale the
+    persists become checkpoints of the exploded table to parquet.)
     """
-    sigs = doc_signatures(docs, text_col, n, k).persist()
-    cand = lsh_pairs(sigs.select("doc_id", "sig"), bands, rows)
-    sa = sigs.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        F.col("sig").alias("sig_a"),
+    ex = shingle_hashes(docs, text_col, n).persist()
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sigs = _sig_from_hashes(
+        ex.select("doc_id", v32_from_hex(F.col("hx")).alias("h")), k
+    ).persist()
+    cand = lsh_pairs(sigs, bands, rows)
+    ea = ex.select(F.col("doc_id").alias("doc_a"), "hx")
+    eb = ex.select(F.col("doc_id").alias("doc_b"), "hx")
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "hx"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
     )
-    sb = sigs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        F.col("sig").alias("sig_b"),
-    )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    eq = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda z: z,
-        )
-    )
+    est = estimated_jaccard(cand, sigs)
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("i").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("i")
+    ).cast("double")
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
-            (eq.cast("double") / F.size(F.col("sig_a")).cast("double")).alias(
-                "est_jaccard"
-            ),
-        )
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .join(est, ["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", jac.alias("jaccard"), "est_jaccard")
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -304,6 +363,10 @@ def simhash(text: Column, bits: int = 32) -> Column:
     For each bit j: sum over word occurrences of +/-1 according to bit j
     of v32(md5(word)); simhash bit j = 1 if the sum > 0. Returned as a
     LongType value. Pure array expression — no shuffle, no Python.
+    NOTE: HOF folds evaluate interpreted per element; use this form when
+    a single-pass projection is required (e.g. inside a streaming map).
+    For batch corpora `doc_simhash` computes the identical value through
+    an explode -> codegen'd bit-sum aggregate, which is faster.
     """
     w = words(text)
     hashes = F.transform(w, lambda x: v32(x))
@@ -328,7 +391,39 @@ def simhash(text: Column, bits: int = 32) -> Column:
 
 
 def doc_simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
-    return docs.select("doc_id", simhash(F.col(text_col), bits).alias("simhash"))
+    """(doc_id, simhash) via explode -> grouped bit-sum aggregate.
+
+    Equivalent to `simhash()` per row but runs as `bits` codegen'd
+    conditional sums with map-side partial aggregation — the shuffle
+    carries |docs| x bits longs. Documents with zero whitespace tokens
+    produce no exploded rows; the left join restores them with
+    simhash = 0, matching the fold semantics (and the DuckDB oracle
+    applies the identical COALESCE).
+    """
+    wh = docs.select(
+        "doc_id", F.explode(words(F.col(text_col))).alias("w")
+    ).select("doc_id", v32(F.col("w")).alias("h"))
+    aggs = [
+        F.sum(
+            F.when(
+                F.col("h").bitwiseAND(F.lit(1 << j).cast("long")) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"_s{j}")
+        for j in range(bits)
+    ]
+    sim_val = None
+    for j in range(bits):
+        term = F.when(
+            F.col(f"_s{j}") > 0, F.lit(2**j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim_val = term if sim_val is None else sim_val + term
+    simdf = wh.groupBy("doc_id").agg(*aggs).select(
+        "doc_id", sim_val.alias("simhash")
+    )
+    return docs.select("doc_id").join(simdf, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"),
+    )
 
 
 def simhash_near_dups(

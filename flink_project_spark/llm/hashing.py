@@ -34,6 +34,12 @@ def v32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def v32_from_hex(hex_col: Column) -> Column:
+    """v32 from an already-computed md5 hex column — lets a pipeline
+    materialize md5 once per row and derive the integer hash from it."""
+    return F.conv(F.substring(hex_col, 1, 8), 16, 10).cast("long")
+
+
 def v32_sql(expr: str) -> str:
     """DuckDB SQL computing the identical value for a VARCHAR expr."""
     terms = " + ".join(

@@ -187,15 +187,25 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: content md5 over normalized text + the
     minimum shingle hash (a 1-permutation MinHash — winnowing-style
     representative), both order-stable across engines.
+
+    The min-shingle-md5 runs as explode -> grouped min() (codegen +
+    map-side partial agg), not an in-array HOF transform: HOF lambdas
+    evaluate md5 interpreted per element, which made this the slowest
+    per-row operator in round 1. Every doc yields >= 1 shingle (the
+    sequence floor is 1, so an empty text produces the "" shingle), so
+    the join back to the content-md5 projection preserves row counts.
     """
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
-    w = words(norm)
+    base = docs.select(
+        "doc_id", F.md5(norm).alias("content_md5"), words(norm).alias("ws")
+    )
     shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+        F.sequence(F.lit(1), F.greatest(F.size(F.col("ws")) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, 3)),
     )
-    return docs.select(
-        "doc_id",
-        F.md5(norm).alias("content_md5"),
-        F.array_min(F.transform(shingles, F.md5)).alias("min_shingle_md5"),
+    mins = (
+        base.select("doc_id", F.explode(shingles).alias("sh"))
+        .groupBy("doc_id")
+        .agg(F.min(F.md5(F.col("sh"))).alias("min_shingle_md5"))
     )
+    return base.select("doc_id", "content_md5").join(mins, "doc_id")

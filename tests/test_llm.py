@@ -144,6 +144,42 @@ def test_multimodal_decode_batch_shapes(spark, docs):
     assert all(again[r.doc_id] == (r.width, r.height) for r in rows)
 
 
+def test_decode_media_udf_matches_native(spark, docs):
+    """The Arrow-batched codec hook and the native stub produce
+    identical frames (same fake dims, same checksum)."""
+    media = MM.attach_payload(docs.limit(60))
+    native = {tuple(r) for r in MM.decode_media(media).collect()}
+    udf = {tuple(r) for r in MM.decode_media_udf(media).collect()}
+    assert native == udf
+
+
+def test_simhash_zero_token_docs_get_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "   "), (2, "hello world hello")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.simhash for r in DD.doc_simhash(df).collect()}
+    assert got[1] == 0
+    assert got[2] != 0
+
+
+def test_lsh_overflow_reports_capped_buckets(spark):
+    """5 identical docs collide in every band; cap at 3 -> each bucket
+    reports 2 dropped, and pairs only form among the 3 kept doc_ids."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    sigs = DD.doc_signatures(docs).select("doc_id", "sig")
+    over = DD.lsh_overflow(sigs, max_bucket=3).collect()
+    assert over
+    assert all(r.members == 5 and r.dropped == 2 for r in over)
+    pairs = DD.lsh_pairs(sigs, max_bucket=3).collect()
+    ids = {x for r in pairs for x in (r.doc_a, r.doc_b)}
+    assert ids == {0, 1, 2}
+    assert not DD.lsh_overflow(sigs, max_bucket=5).collect()
+
+
 def test_frame_sample_stride(spark, docs):
     decoded = MM.decode_media(MM.attach_payload(docs))
     frames = MM.frame_sample(decoded, every=30)
