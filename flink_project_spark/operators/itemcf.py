@@ -23,13 +23,16 @@ Scale notes (100 TB):
 - The per-item counts table is tiny (|items|) -> broadcast join for the
   cosine step, zero extra shuffles.
 
-Determinism: the decay weight is computed in *scaled integer* arithmetic
-(floor((n-d)*SCALE / (2n+1))) so pair scores are exact and
-order-independent — the reference's float exp() accumulation is kept as
-`decay_pairs_exp` for fidelity, but any float sum over pairs is
-partition-order-dependent and therefore unsuitable for reproducible
-output contracts (documented deviation; ranking differences are
-negligible because exp is monotone in the rational argument).
+Determinism: the decay weight follows the reference formula exactly —
+score(d) = 1 for position distance d <= n, exp((n-d)/(2n+1)) otherwise,
+with n the configured 'itemcf.itemid.distances' threshold
+(ItemIdCfVersion5.java:46,160-167) — but the per-distance weights are
+quantized to scaled int64 ONCE on the driver (`decay_lut`) and embedded
+as literals in both the Spark plan and the DuckDB oracle, so pair sums
+are exact integer arithmetic: order-independent and engine-independent.
+`decay_pairs_exp` keeps the reference's raw float accumulation for
+fidelity checks (a float sum over pairs is partition-order-dependent,
+so it is pytest-verified, not oracle-hashed).
 """
 
 from __future__ import annotations
@@ -140,21 +143,42 @@ def _with_positions(history: DataFrame, user_col: str, item_col: str) -> DataFra
     return history.withColumn("pos", F.row_number().over(w))
 
 
-def decay_pairs(
-    history: DataFrame,
-    user_col: str = "user_id",
-    item_col: str = "item_id",
-    scale: int = DECAY_SCALE,
-) -> DataFrame:
-    """A7 (decay variant, deterministic form): position-distance decay.
+#: default for the reference's 'itemcf.itemid.distances' config
+#: (ItemIdCfVersion5.java:46) — the properties file is not in the repo,
+#: so the value is a documented choice, not recovered from the reference.
+DECAY_N_DISTANCES = 5
 
-    Ref: ItemIdCfVersion5.java:147-192 — weight exp((n-d)/(2n+1)) where
-    n = user's history length, d = |pos_i - pos_j| over the time-sorted
-    history. This variant accumulates the *rational* decay argument in
-    scaled int64 (exact, order-independent); `decay_pairs_exp` is the
-    float-faithful form. Exposes both the exact integer sum and its
-    double rendering.
+
+def decay_lut(
+    n_distances: int = DECAY_N_DISTANCES,
+    scale: int = DECAY_SCALE,
+    max_d: int = 500,
+) -> list[int]:
+    """Quantized reference decay weights indexed by position distance.
+
+    lut[d-1] = round(score(d) * scale) with score(d) = 1 for d <= n and
+    exp((n-d)/(2n+1)) otherwise — exactly ItemIdCfVersion5.java:160-167.
+    Computed once on the driver (like llm.hashing.plane_weights) and
+    embedded as literals into BOTH the Spark plan and the DuckDB oracle,
+    so the quantization — not libm — defines the value in every engine.
+    max_d bounds the table; distances beyond it clamp to the last entry
+    (monotone tail, weight already < 1e-6 * scale well before d=500 for
+    small n).
     """
+    import math
+
+    out = []
+    for d in range(1, max_d + 1):
+        s = (
+            1.0
+            if d <= n_distances
+            else math.exp((n_distances - d) / (2 * n_distances + 1))
+        )
+        out.append(int(math.floor(s * scale + 0.5)))
+    return out
+
+
+def _pair_frame(history: DataFrame, user_col: str, item_col: str) -> DataFrame:
     pos = _with_positions(history, user_col, item_col)
     a = pos.select(
         F.col(user_col),
@@ -167,15 +191,37 @@ def decay_pairs(
         F.col(item_col).alias("item_b"),
         F.col("pos").alias("pos_b"),
     )
-    d = F.abs(F.col("pos_a") - F.col("pos_b"))
-    w_scaled = F.expr(
-        f"CAST(((n_items - abs(pos_a - pos_b)) * {scale}) DIV "
-        "(2 * n_items + 1) AS BIGINT)"
+    return a.join(b, on=user_col, how="inner").filter(
+        F.col("item_a") != F.col("item_b")
     )
+
+
+def decay_pairs(
+    history: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    n_distances: int = DECAY_N_DISTANCES,
+    scale: int = DECAY_SCALE,
+    max_d: int = 500,
+) -> DataFrame:
+    """A7 (decay variant, deterministic form): reference decay weights,
+    summed in exact scaled-integer arithmetic.
+
+    Ref: ItemIdCfVersion5.java:147-192 — per user, items sorted by time;
+    each pair (i, j) scores 1 if |pos_i - pos_j| <= n, else
+    exp((n-d)/(2n+1)); pair scores sum over users. n is the configured
+    distance threshold (java:46), NOT the history length. The weight for
+    each distance comes from the driver-side `decay_lut`, so the
+    aggregation is an order-independent int64 sum that any oracle
+    reproduces bit-exactly; `decay_pairs_exp` is the float-faithful twin.
+    """
+    lut = F.array(
+        *[F.lit(v).cast("long") for v in decay_lut(n_distances, scale, max_d)]
+    )
+    d = F.abs(F.col("pos_a") - F.col("pos_b"))
+    w_scaled = F.element_at(lut, F.least(d, F.lit(max_d)).cast("int"))
     return (
-        a.join(b, on=user_col, how="inner")
-        .filter(F.col("item_a") != F.col("item_b"))
-        .withColumn("d", d)
+        _pair_frame(history, user_col, item_col)
         .withColumn("w_scaled", w_scaled)
         .groupBy("item_a", "item_b")
         .agg(
@@ -192,33 +238,24 @@ def decay_pairs_exp(
     history: DataFrame,
     user_col: str = "user_id",
     item_col: str = "item_id",
+    n_distances: int = DECAY_N_DISTANCES,
 ) -> DataFrame:
-    """A7 reference-faithful float decay: sum of exp((n-d)/(2n+1)).
+    """A7 reference-faithful float decay: score 1 for d <= n, else
+    exp((n-d)/(2n+1)), summed per directed pair.
 
-    Matches ItemIdCfVersion5.java:166 exactly, including float
+    Matches ItemIdCfVersion5.java:160-167 exactly, including float
     accumulation. Not oracle-checkable bit-for-bit (libm exp differs by
     ulps across engines and the sum is order-dependent) — covered by
-    pytest invariants against the scaled-integer variant instead.
+    pytest invariants against the quantized variant and a Python
+    re-execution of the reference's reduce loop.
     """
-    pos = _with_positions(history, user_col, item_col)
-    a = pos.select(
-        F.col(user_col),
-        F.col(item_col).alias("item_a"),
-        F.col("pos").alias("pos_a"),
-        F.col("n_items"),
-    )
-    b = pos.select(
-        F.col(user_col),
-        F.col(item_col).alias("item_b"),
-        F.col("pos").alias("pos_b"),
-    )
-    w = F.exp(
-        (F.col("n_items") - F.abs(F.col("pos_a") - F.col("pos_b"))).cast("double")
-        / (F.lit(2) * F.col("n_items") + 1).cast("double")
+    n = F.lit(n_distances)
+    d = F.abs(F.col("pos_a") - F.col("pos_b"))
+    w = F.when(d <= n, F.lit(1.0)).otherwise(
+        F.exp((n - d).cast("double") / (F.lit(2 * n_distances + 1)).cast("double"))
     )
     return (
-        a.join(b, on=user_col, how="inner")
-        .filter(F.col("item_a") != F.col("item_b"))
+        _pair_frame(history, user_col, item_col)
         .withColumn("w", w)
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("cooc"), F.sum("w").alias("decay_score"))
@@ -230,7 +267,7 @@ def neighbor_lists(
     k: int = 400,
     score_col: str = "score",
     render_decimals: int = 6,
-    pre_truncate: bool = False,
+    pre_truncate: bool = True,
     salt_buckets: int = 16,
 ) -> DataFrame:
     """A12/W3/O2: per-item neighbor list, score-desc, top-k, rendered
@@ -241,11 +278,15 @@ def neighbor_lists(
     score DESC, neighbor ASC (negated-score struct sort). One groupBy —
     the sort happens inside sort_array, no extra window shuffle.
 
-    pre_truncate=True is the 100 TB path: collect_list on a hot item
-    materializes EVERY candidate in one task before the slice; instead
-    the rows are cut to the top k per item with the skew-proof salted
-    two-phase top-K first, and total_candidates comes from a separate
-    count aggregate (map-side partial). Output is identical.
+    pre_truncate=True (the DEFAULT — it is the path that survives 100x
+    scale, so it is also the path the oracle checks): rows are cut to
+    the top k per item with the skew-proof salted two-phase top-K before
+    any collect_list, and total_candidates comes from a separate count
+    aggregate (map-side partial). pre_truncate=False collect_lists ALL
+    candidates of an item into one task before slicing — a hot item
+    materializes its entire candidate set in one place; kept only as the
+    simple form for small inputs. Output is identical either way
+    (equivalence-tested).
     """
     if pre_truncate:
         from flink_project_spark.operators.setops import top_k_per_group_salted

@@ -118,14 +118,19 @@ def tumbling_counts(
     this single operator serves both the batch analog and (with
     withWatermark upstream) the streaming job. Windows align to the epoch,
     matching DuckDB's time_bucket for oracle checks.
+
+    sum_value quantizes each double to cents with an EXPLICIT
+    floor(x*100 + 0.5) before the exact decimal sum: a double->decimal
+    CAST rounds the shortest decimal repr HALF_UP in Spark but the exact
+    binary value in DuckDB, so inputs like 1.305 (binary ~1.30499...)
+    would disagree; floor of the identical double is engine-independent.
     """
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("decimal(28,0)")
     return (
         events.groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys)
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_value"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

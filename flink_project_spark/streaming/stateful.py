@@ -15,10 +15,23 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
+
+
+def _sorted_batch(
+    pdfs: Iterable[pd.DataFrame], ts_col: str, value_col: str
+) -> pd.DataFrame | None:
+    """Concatenate a group's Arrow chunks and impose the deterministic
+    (ts, value) processing order. Returns None for an empty batch."""
+    frames = [p for p in pdfs if len(p)]
+    if not frames:
+        return None
+    pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
+    return pdf.sort_values([ts_col, value_col], kind="mergesort")
 
 
 def count_with_timeout(
@@ -93,6 +106,11 @@ def delta_alert(
     (ts, value) order so replaying a batch is deterministic. The batch
     analog (operators.windows.lag_delta) computes the identical alerts —
     asserted by the stream/batch equivalence test.
+
+    Vectorized: the lag compare is a shift over the sorted batch (the
+    state's last value seeds position 0), not a per-row iterrows loop —
+    on a busy key a micro-batch holds thousands of readings and the
+    Python-loop form was the round-1 scale hazard.
     """
     out_schema = T.StructType(
         [
@@ -108,21 +126,35 @@ def delta_alert(
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
-        prev = state.get[0] if state.exists else None
-        rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
-            for _, r in pdf.iterrows():
-                cur = float(r[value_col])
-                if prev is not None and abs(cur - prev) >= threshold:
-                    rows.append(
-                        (key[0], int(r[ts_col]), cur, prev, abs(cur - prev))
-                    )
-                prev = cur
-        if prev is not None:
-            state.update((prev,))
+        prev0 = state.get[0] if state.exists else None
+        pdf = _sorted_batch(pdfs, ts_col, value_col)
+        if pdf is None:
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(dtype=object),
+                    "event_ms": pd.Series(dtype="int64"),
+                    "value": pd.Series(dtype="float64"),
+                    "prev_value": pd.Series(dtype="float64"),
+                    "delta": pd.Series(dtype="float64"),
+                }
+            )
+            return
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        ts = pdf[ts_col].to_numpy(dtype="int64")
+        prevs = np.empty_like(vals)
+        prevs[0] = np.nan if prev0 is None else prev0
+        prevs[1:] = vals[:-1]
+        delta = np.abs(vals - prevs)
+        mask = ~np.isnan(prevs) & (delta >= threshold)
+        state.update((float(vals[-1]),))
         yield pd.DataFrame(
-            rows, columns=["key", "event_ms", "value", "prev_value", "delta"]
+            {
+                "key": np.full(int(mask.sum()), key[0], dtype=object),
+                "event_ms": ts[mask],
+                "value": vals[mask],
+                "prev_value": prevs[mask],
+                "delta": delta[mask],
+            }
         )
 
     return stream.groupBy(key_col).applyInPandasWithState(
@@ -149,6 +181,11 @@ def rising_value_warning(
     fall, warns when the timer survives 10 s. State = (last value,
     rise-start ts); a warning is emitted for the reading that completes
     an unbroken rising run of >= rise_ms, then the run restarts.
+
+    Vectorized: rising flags come from one shifted compare; the scan
+    then walks maximal rising RUNS (not rows), locating each warn with
+    a searchsorted on the run's timestamps — per-batch Python work is
+    O(runs + warns), both tiny, instead of O(rows) iterrows.
     """
     out_schema = T.StructType(
         [
@@ -170,19 +207,43 @@ def rising_value_warning(
     ) -> Iterable[pd.DataFrame]:
         last, rise_start = state.get if state.exists else (None, -1)
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
-            for _, r in pdf.iterrows():
-                cur, ts = float(r[value_col]), int(r[ts_col])
-                if last is not None and cur > last:
-                    if rise_start < 0:
-                        rise_start = ts
-                    elif ts - rise_start >= rise_ms:
-                        rows.append((key[0], ts, cur, rise_start))
-                        rise_start = -1  # timer fired; re-arm on next rise
-                else:
-                    rise_start = -1  # fall clears the timer
-                last = cur
+        pdf = _sorted_batch(pdfs, ts_col, value_col)
+        if pdf is not None:
+            vals = pdf[value_col].to_numpy(dtype="float64")
+            ts = pdf[ts_col].to_numpy(dtype="int64")
+            prevs = np.empty_like(vals)
+            prevs[0] = np.nan if last is None else last
+            prevs[1:] = vals[:-1]
+            rising = ~np.isnan(prevs) & (vals > prevs)
+            n = len(vals)
+            i = 0
+            while i < n:
+                if not rising[i]:
+                    rise_start = -1  # fall (or first-ever reading)
+                    i += 1
+                    continue
+                # maximal rising run [i, e)
+                e = i
+                while e < n and rising[e]:
+                    e += 1
+                j = i
+                if rise_start < 0:
+                    rise_start = int(ts[j])  # run arms the timer here
+                    j += 1
+                while j < e:
+                    # first index whose ts completes rise_ms since arming
+                    w = j + int(
+                        np.searchsorted(ts[j:e], rise_start + rise_ms, "left")
+                    )
+                    if w >= e:
+                        break  # timer survives the batch un-fired
+                    rows.append((key[0], int(ts[w]), float(vals[w]), rise_start))
+                    rise_start = -1
+                    if w + 1 < e:
+                        rise_start = int(ts[w + 1])  # re-arm on next rise
+                    j = w + 2
+                i = e
+            last = float(vals[-1])
         state.update((last if last is not None else 0.0, rise_start))
         yield pd.DataFrame(
             rows, columns=["key", "warn_ms", "value", "rise_started_ms"]

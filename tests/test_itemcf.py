@@ -40,12 +40,10 @@ def test_cosine_scores_bounded(spark):
     assert bad.count() == 0
 
 
-def test_decay_exp_vs_scaled_consistency(spark):
-    """The scaled-integer decay is a monotone stand-in for the float exp
-    decay at pair level: per pair, |scaled_arg_sum/1e6 - sum(args)| is
-    bounded by n_pairs quantization steps, and exp-based scores are
-    within exp() of the argument sums.
-    """
+def test_decay_quantized_matches_float_exp(spark):
+    """The oracle-checked decay (driver-side quantized LUT) and the
+    reference-faithful float exp form agree to the 1e-6 quantization
+    step per summed term."""
     h = _history(spark)
     exact = CF.decay_pairs(h).select("item_a", "item_b", "decay_score", "cooc")
     expd = CF.decay_pairs_exp(h).select(
@@ -53,14 +51,42 @@ def test_decay_exp_vs_scaled_consistency(spark):
     )
     j = exact.join(expd, on=["item_a", "item_b"], how="inner").collect()
     assert len(j) > 0
-    import math
-
     for row in j:
-        # each pair contributes exp(arg) with arg in (0,0.5]; the scaled
-        # variant sums arg directly. exp-sum must be within
-        # [cooc*exp(min_arg), cooc*e^0.5] and >= sum(arg) since exp(x)>x.
-        assert row.exp_score > row.decay_score, row
-        assert row.exp_score <= row.cooc * math.exp(0.5) + 1e-9, row
+        assert abs(row.exp_score - row.decay_score) <= row.cooc * 1e-5, row
+
+
+def test_decay_exp_matches_reference_loop(spark):
+    """Re-execute the reference's reduceGroup verbatim in Python
+    (ItemIdCfVersion5.java:147-192: per user, items time-sorted; pair
+    (i, j<i...) scores 1 if j-i <= n else exp((n-(j-i))/(2n+1)); both
+    directions emitted; summed over users) and compare decay_pairs_exp.
+    """
+    import math
+    from collections import defaultdict
+
+    h = _history(spark)
+    n = CF.DECAY_N_DISTANCES
+    rows = h.select("user_id", "item_id", "first_time").collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.first_time, r.item_id))
+    expected: dict = defaultdict(float)
+    for items in by_user.values():
+        items.sort()  # (first_time, item_id) — matches _with_positions
+        ids = [i for _, i in items]
+        for i in range(len(ids) - 1):
+            for j in range(i + 1, len(ids)):
+                d = j - i
+                score = 1.0 if d <= n else math.exp((n - d) / (2 * n + 1))
+                expected[(ids[i], ids[j])] += score
+                expected[(ids[j], ids[i])] += score
+    got = {
+        (r.item_a, r.item_b): r.decay_score
+        for r in CF.decay_pairs_exp(h).collect()
+    }
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
 
 
 def test_max_history_cap_drops_heavy_users(spark):
@@ -92,7 +118,7 @@ def test_neighbor_lists_pre_truncate_path_identical(spark):
     scored = CF.cosine_scores(CF.cooccurrence_pairs(hist), CF.item_user_counts(hist))
     plain = {
         r.item_id: (r.neighbors, r.n_neighbors, r.total_candidates)
-        for r in CF.neighbor_lists(scored, k=10).collect()
+        for r in CF.neighbor_lists(scored, k=10, pre_truncate=False).collect()
     }
     salted = {
         r.item_id: (r.neighbors, r.n_neighbors, r.total_candidates)
