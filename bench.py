@@ -44,6 +44,16 @@ def main() -> None:
         .save()
     )
 
+    # Cache-build phase: materialize the shared persisted intermediates
+    # once, timed separately, so per-query numbers measure the query
+    # rather than whichever chain build it happens to trigger first.
+    # The build time is INCLUDED in the reported total (value) — the
+    # split only makes attribution honest, it doesn't hide the cost.
+    t0 = time.perf_counter()
+    for df in entrymod.shared_intermediates(spark, sf_dir).values():
+        df.write.format("noop").mode("overwrite").save()
+    cache_build = round(time.perf_counter() - t0, 4)
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
@@ -51,13 +61,14 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings.values()) + cache_build, 4)
     print(
         json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
+                "cache_build_seconds": cache_build,
                 "queries": timings,
                 "sf": sf,
             }

@@ -187,6 +187,19 @@ def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_shared_intermediates(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """The persisted intermediates the LLM queries share, for explicit
+    pre-materialization (bench cache-build phase / pipeline warmup)."""
+    return {
+        "docs": _docs(spark, sf_dir),
+        "emb": _emb(spark, sf_dir),
+        "neardups": _near_dup_pairs(spark, sf_dir),
+        "simhash": _simhash(spark, sf_dir),
+    }
+
+
 def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_token_stats": q_doc_token_stats,

@@ -60,18 +60,14 @@ def user_item_history(
     h = actions.groupBy(user_col, item_col).agg(
         F.min(time_col).alias("first_time")
     )
+    # per-user count as a window over the (user,item) aggregate: one
+    # exchange on user_col instead of the count-groupBy + join-back form
+    # (which costs two). Result is identical to joining a filtered count
+    # table (the oracle CTE's form).
+    w = Window.partitionBy(user_col)
+    h = h.withColumn("n_items", F.count(F.lit(1)).over(w))
     if max_history is not None:
-        counts = h.groupBy(user_col).agg(F.count(F.lit(1)).alias("n_items"))
-        h = h.join(
-            counts.filter(F.col("n_items") <= max_history).select(
-                user_col, "n_items"
-            ),
-            on=user_col,
-            how="inner",
-        )
-    else:
-        w = Window.partitionBy(user_col)
-        h = h.withColumn("n_items", F.count(F.lit(1)).over(w))
+        h = h.filter(F.col("n_items") <= max_history)
     return h
 
 
@@ -184,7 +180,6 @@ def _pair_frame(history: DataFrame, user_col: str, item_col: str) -> DataFrame:
         F.col(user_col),
         F.col(item_col).alias("item_a"),
         F.col("pos").alias("pos_a"),
-        F.col("n_items"),
     )
     b = pos.select(
         F.col(user_col),
@@ -214,6 +209,14 @@ def decay_pairs(
     each distance comes from the driver-side `decay_lut`, so the
     aggregation is an order-independent int64 sum that any oracle
     reproduces bit-exactly; `decay_pairs_exp` is the float-faithful twin.
+
+    Parity scope: the reference additionally max-gates repeated pair
+    emissions through a per-user itemIdScoreMap (java ~168-186), which
+    only matters when one user's history repeats an item. Our
+    `user_item_history` is (user, item)-distinct by construction, so the
+    gate is a no-op on every input this operator receives; callers
+    passing a history with repeated items would see sums deviate from
+    the reference's gated emission.
     """
     lut = F.array(
         *[F.lit(v).cast("long") for v in decay_lut(n_distances, scale, max_d)]
@@ -268,40 +271,52 @@ def neighbor_lists(
     score_col: str = "score",
     render_decimals: int = 6,
     pre_truncate: bool = True,
-    salt_buckets: int = 16,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """A12/W3/O2: per-item neighbor list, score-desc, top-k, rendered
     'item:score,item:score,...' exactly like the reference's sink format.
 
     Ref: ItemIdCfVersion5.java:221-240 (sorted assembly + size),
     Hdfs2RedisVersion5.java:84-92 (truncate at 400). Deterministic order:
-    score DESC, neighbor ASC (negated-score struct sort). One groupBy —
-    the sort happens inside sort_array, no extra window shuffle.
+    score DESC, neighbor ASC (negated-score struct sort).
 
     pre_truncate=True (the DEFAULT — it is the path that survives 100x
     scale, so it is also the path the oracle checks): rows are cut to
-    the top k per item with the skew-proof salted two-phase top-K before
-    any collect_list, and total_candidates comes from a separate count
-    aggregate (map-side partial). pre_truncate=False collect_lists ALL
-    candidates of an item into one task before slicing — a hot item
-    materializes its entire candidate set in one place; kept only as the
-    simple form for small inputs. Output is identical either way
-    (equivalence-tested).
+    the top k per item BEFORE any collect_list, and total_candidates
+    comes from a separate count aggregate (map-side partial). The cut is
+    a plain single-window row_number by default; pass salt_buckets
+    (e.g. 16) to switch to the salted two-phase top-K when a hot item's
+    candidate set would serialize one task — on an evenly-keyed pair
+    table the two extra shuffles the salted form costs are pure overhead
+    (round-2 bench: it tripled the group's wall time), so skew handling
+    is an explicit escape hatch, not the default. Both cuts are
+    equivalence-tested. pre_truncate=False collect_lists ALL candidates
+    of an item into one task before slicing — kept only as the simple
+    form for small inputs. Output is identical in all three paths.
     """
     if pre_truncate:
-        from flink_project_spark.operators.setops import top_k_per_group_salted
+        from flink_project_spark.operators.setops import (
+            top_k_per_group,
+            top_k_per_group_salted,
+        )
 
         totals = scored.groupBy("item_a").agg(
             F.count(F.lit(1)).alias("_total")
         )
-        cut = top_k_per_group_salted(
-            scored.withColumn("_neg", -F.col(score_col)),
-            ["item_a"],
-            ["_neg", "item_b"],
-            k,
-            ascending=True,
-            salt_buckets=salt_buckets,
-        ).drop("_neg")
+        neg = scored.withColumn("_neg", -F.col(score_col))
+        if salt_buckets:
+            cut = top_k_per_group_salted(
+                neg,
+                ["item_a"],
+                ["_neg", "item_b"],
+                k,
+                ascending=True,
+                salt_buckets=salt_buckets,
+            ).drop("_neg")
+        else:
+            cut = top_k_per_group(
+                neg, ["item_a"], ["_neg", "item_b"], k
+            ).drop("_neg")
         entry = F.struct(
             (-F.col(score_col)).alias("neg_score"),
             F.col("item_b").alias("nb"),
