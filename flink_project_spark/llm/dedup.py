@@ -291,6 +291,8 @@ def near_dup_pairs(
     bands: int = 4,
     rows: int = 4,
     threshold: float = 0.8,
+    max_bucket: int = 1000,
+    log_overflow: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: pairs with exact Jaccard >= threshold.
 
@@ -298,6 +300,17 @@ def near_dup_pairs(
     1-(1-j^4)^4, ~0.98 at j=0.8 — the exact-verify stage then removes
     false positives, so the result equals brute-force Jaccard filtering
     up to LSH misses.
+
+    `threshold` must be > 0: pair intersections come from an inner
+    equi-join on shingle hashes, so candidate pairs with ZERO shingle
+    overlap never reach the filter (they'd carry jaccard = 0.0). Callers
+    who want every candidate's jaccard including zeros should use
+    `exact_jaccard` over `lsh_pairs` instead.
+
+    With log_overflow=True (default) the per-band bucket cap is never
+    silent: when any bucket exceeds `max_bucket`, a WARNING with the
+    dropped-member total is logged (one extra map-side-combined count
+    over the persisted band table — negligible next to the verify join).
 
     Plan shape (the 100 TB-safe one): everything derives from the
     exploded (doc_id, shingle-md5) table — persisted because the
@@ -315,7 +328,26 @@ def near_dup_pairs(
     sigs = _sig_from_hashes(
         ex.select("doc_id", v32_from_hex(F.col("hx")).alias("h")), k
     ).persist()
-    cand = lsh_pairs(sigs, bands, rows)
+    cand = lsh_pairs(sigs, bands, rows, max_bucket)
+    if log_overflow:
+        over = (
+            lsh_overflow(sigs, bands, rows, max_bucket)
+            .agg(
+                F.count(F.lit(1)).alias("buckets"),
+                F.coalesce(F.sum("dropped"), F.lit(0)).alias("dropped"),
+            )
+            .collect()[0]
+        )
+        if over["buckets"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "lsh_pairs bucket cap bound: %d buckets over max_bucket=%d, "
+                "%d memberships dropped (run lsh_overflow() for the list)",
+                over["buckets"],
+                max_bucket,
+                over["dropped"],
+            )
     ea = ex.select(F.col("doc_id").alias("doc_a"), "hx")
     eb = ex.select(F.col("doc_id").alias("doc_b"), "hx")
     inter = (
@@ -339,16 +371,124 @@ def near_dup_pairs(
     )
 
 
-def dedup_keep_canonical(docs: DataFrame, dup_pairs: DataFrame) -> DataFrame:
-    """Drop every doc that near-duplicates a smaller doc_id.
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(doc_id, component) — component = min doc_id reachable in the
+    undirected dup-pair graph.
 
-    Single-link approximation of connected components: a doc survives
-    iff it is never the larger side of a dup pair. (Full CC needs an
-    iterative large-star/small-star pass — documented as the scale-up
-    path; for dedup 'keep one representative per clique' this greedy
-    rule already removes every duplicate.)
+    Alternating large-star / small-star (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond" — the standard
+    shuffle-based CC for graphs too large for one machine):
+
+    - large-star: every node points its LARGER neighbors at the minimum
+      of its neighborhood (incl. itself);
+    - small-star: every node points its smaller neighbors and itself at
+      that minimum.
+
+    Each round is two groupBy/join passes over the edge list; the edge
+    list only shrinks toward the star graph (node -> component min), so
+    rounds converge in O(log n) in practice. Convergence is detected
+    with a count + order-independent xxhash64 checksum of the edge set
+    (one cheap aggregate — no full EXCEPT shuffle), and every round is
+    localCheckpoint()ed to truncate lineage (cluster analog: checkpoint
+    the edge list to the DFS each round).
+
+    Isolated nodes never appear in `pairs` and are their own component;
+    callers union them in (see `dedup_keep_canonical`).
     """
-    losers = dup_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig: tuple[int, int] | None = None
+    for _ in range(max_rounds):
+        # large-star
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        edges = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star (edges now all point large -> small)
+        dirn = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = dirn.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        edges = (
+            dirn.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # 31-bit-reduced hashes: the sum stays far below 2^63 under
+        # ANSI overflow checking for any realistic edge count
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(2147483647))),
+                F.lit(0),
+            ).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged star graph: every edge is (node, component-min); roots
+    # appear only on the v side
+    comp = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))
+    roots = (
+        edges.select(F.col("v").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+    )
+    return comp.union(roots).groupBy("doc_id").agg(
+        F.min("component").alias("component")
+    )
+
+
+def dedup_keep_canonical(
+    docs: DataFrame, dup_pairs: DataFrame, mode: str = "single_link"
+) -> DataFrame:
+    """Keep one representative per duplicate group.
+
+    mode="single_link" (the greedy rule): drop every doc that is the
+    larger side of any dup pair — a doc survives iff it is a LOCAL
+    minimum among its pairs. Cheap (one anti join), removes every
+    duplicate, but on transitive structures it can keep more than one
+    doc per connected component (e.g. pairs (1,3),(2,3): both 1 and 2
+    survive although they share component {1,2,3}).
+
+    mode="cc" (the principled rule): iterative large-star/small-star
+    connected components over the pair graph; exactly ONE doc — the
+    component-minimum doc_id — survives per component, so transitive
+    chains A~B~C collapse to a single representative.
+    """
+    if mode == "cc":
+        comp = connected_components(dup_pairs)
+        losers = comp.filter(F.col("doc_id") != F.col("component")).select(
+            "doc_id"
+        )
+    elif mode == "single_link":
+        losers = dup_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    else:
+        raise ValueError(f"unknown dedup mode: {mode!r}")
     return docs.join(losers, "doc_id", "left_anti")
 
 

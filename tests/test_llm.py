@@ -205,3 +205,55 @@ def test_resize_preserves_aspect_and_bounds(spark, docs):
             assert abs(
                 r.target_width / r.target_height - r.width / r.height
             ) < 0.05 or min(r.target_width, r.target_height) >= 1
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A~B~C chain plus a separate D~E island plus isolated F:
+    components are min-labeled; exactly one survivor per component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    comp = {
+        r.doc_id: r.component
+        for r in DD.connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_cc_keeps_exactly_one_per_component(spark):
+    """Transitive chain A~B~C (A and C NOT paired directly) must
+    collapse to ONE survivor under mode='cc'. single_link also happens
+    to keep one here; the star case below is where they diverge."""
+    docs = spark.createDataFrame(
+        [(i, "en", "web") for i in range(1, 7)], ["doc_id", "lang", "source"]
+    )
+    chain = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    kept_cc = {
+        r.doc_id
+        for r in DD.dedup_keep_canonical(docs, chain, mode="cc").collect()
+    }
+    assert kept_cc == {1, 4, 5, 6}
+
+
+def test_dedup_cc_vs_single_link_divergence(spark):
+    """Star into a shared dup (1~3, 2~3): single_link keeps both local
+    minima 1 AND 2; cc keeps only the component minimum 1."""
+    docs = spark.createDataFrame(
+        [(i, "en", "web") for i in range(1, 5)], ["doc_id", "lang", "source"]
+    )
+    star = spark.createDataFrame([(1, 3), (2, 3)], ["doc_a", "doc_b"])
+    kept_sl = {
+        r.doc_id
+        for r in DD.dedup_keep_canonical(docs, star, mode="single_link").collect()
+    }
+    kept_cc = {
+        r.doc_id
+        for r in DD.dedup_keep_canonical(docs, star, mode="cc").collect()
+    }
+    assert kept_sl == {1, 2, 4}
+    assert kept_cc == {1, 4}
+
+
+def test_connected_components_empty_pairs(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert DD.connected_components(empty).count() == 0
