@@ -53,9 +53,26 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     w.parquet(path)
 
 
-def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append") -> None:
-    """K3 (insert path): JDBC sink. Ref: flink-process sink/Sink2Mysql.java:36-58."""
-    df.write.mode(mode).format("jdbc").option("url", url).option("dbtable", table).save()
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    column_types: str | None = None,
+) -> None:
+    """K3 (insert path): JDBC sink. Ref: flink-process sink/Sink2Mysql.java:36-58.
+
+    `column_types` (createTableColumnTypes, e.g. "name VARCHAR(128)")
+    overrides the dialect's default DDL types — needed on engines whose
+    unbounded-string default is non-comparable (Derby maps StringType to
+    CLOB, which rejects pushed-down equality filters).
+    """
+    w = df.write.mode(mode).format("jdbc").option("url", url).option(
+        "dbtable", table
+    )
+    if column_types:
+        w = w.option("createTableColumnTypes", column_types)
+    w.save()
 
 
 # ------------------------- pluggable KV sink (K4/K6) ------------------------

@@ -113,6 +113,101 @@ def read_kafka_stream(
     return reader.load()
 
 
+#: the fixed schema the Kafka DSv2 source emits — any frame with this
+#: shape can stand in for a live topic (file-replayed in tests, since
+#: the sandbox has no broker)
+KAFKA_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
+def as_kafka_records(
+    df: DataFrame,
+    topic: str,
+    ts_col: str,
+    key_col: str | None = None,
+    n_partitions: int = 3,
+) -> DataFrame:
+    """Render a row frame in Kafka's wire shape: every payload column
+    JSON-encoded into the binary `value`, plus topic/partition/offset/
+    timestamp metadata.
+
+    The test-side twin of `read_kafka_stream`: what a producer would
+    publish (ref: flink-base source/KafkaSource.scala:28-30) and exactly
+    what the Kafka source would hand back, so the parse chain
+    (`parse_kafka_json`) is exercised unchanged against file-replayed
+    data. Partition is a deterministic key hash, offset a per-partition
+    row_number — both reproducible.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    payload = [c for c in df.columns]
+    key = (
+        F.col(key_col).cast("string").cast("binary")
+        if key_col
+        else F.lit(None).cast("binary")
+    )
+    part = F.pmod(
+        F.xxhash64(F.col(key_col) if key_col else F.lit(topic)),
+        F.lit(n_partitions),
+    ).cast("int")
+    out = df.select(
+        key.alias("key"),
+        F.to_json(F.struct(*payload)).cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+        part.alias("partition"),
+        F.col(ts_col).cast("timestamp").alias("timestamp"),
+    )
+    w = Window.partitionBy("partition").orderBy("timestamp")
+    return out.select(
+        "key",
+        "value",
+        "topic",
+        "partition",
+        (F.row_number().over(w).cast("long") - 1).alias("offset"),
+        "timestamp",
+        F.lit(0).alias("timestampType"),
+    )
+
+
+def parse_kafka_json(
+    kafka_df: DataFrame,
+    schema: T.StructType | str,
+    required_field: str | None = None,
+) -> DataFrame:
+    """S6→P1/P2: decode a Kafka record frame's JSON `value` payload.
+
+    Ref: flink-statistics action/ActionLogJob.java:116-127 — map JSON
+    string -> ActionLog POJO, corrupt rows dropped (the filter
+    replicates the reference's emit-or-skip flatMap). from_json in
+    PERMISSIVE mode renders an unparseable payload as a struct of
+    nulls, so pass `required_field` (a column every real record
+    carries) to drop corrupt records the way the reference does.
+    Works identically on the live `read_kafka_stream` output and on a
+    file-replayed `as_kafka_records` frame; `kafka_ts` (the broker
+    append time) rides along for processing-time uses.
+    """
+    from pyspark.sql import functions as F
+
+    parsed = kafka_df.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("r"),
+        F.col("timestamp").alias("kafka_ts"),
+    )
+    cond = F.col("r").isNotNull()
+    if required_field:
+        cond = cond & F.col(f"r.{required_field}").isNotNull()
+    return parsed.filter(cond).select("r.*", "kafka_ts")
+
+
 def read_socket_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
     """S5: socket text stream (dev only). Ref: StreamWorldCount.scala:13."""
     return (

@@ -409,3 +409,84 @@ def test_count_with_timeout_emits_after_silence(spark, tmp_path):
     q.stop()
     got = {r.key: r.cnt for r in spark.sql(f"SELECT * FROM {name}").collect()}
     assert got.get("k1") == 2 and got.get("k2") == 1, got
+
+
+ACTION_JSON_SCHEMA = (
+    "scene_id string, user_id string, item_id string, action string, "
+    "context_exist string, action_time long, label int, channel string, "
+    "score double, ts timestamp"
+)
+
+
+def test_kafka_shaped_ingest_chain(spark, tmp_path):
+    """S6→P2→T2: the reference's primary streaming ingest path
+    (flink-statistics action/ActionLogJob.java:107-135) without a
+    broker — Kafka wire-shaped records (JSON binary value + topic/
+    partition/offset/timestamp metadata) are file-replayed through a
+    stream, from_json'd into action-log rows, gate-filtered
+    (contextExist='1', non-blank ids), and windowed-counted; the result
+    must equal the same chain computed in batch."""
+    from flink_project_spark.sources import readers as RD
+
+    actions = FX.fixture_df(spark, SF_SMOKE, "action_log").withColumn(
+        "ts", F.timestamp_millis(F.col("action_time"))
+    )
+    wire = RD.as_kafka_records(
+        actions, topic="0_action", ts_col="ts", key_col="scene_id"
+    )
+    assert [(f.name, f.dataType) for f in wire.schema] == [
+        (f.name, f.dataType) for f in RD.KAFKA_RECORD_SCHEMA
+    ]
+    src = str(tmp_path / "kafka_replay")
+    wire.write.mode("overwrite").parquet(src)
+
+    def chain(kafka_df):
+        parsed = RD.parse_kafka_json(kafka_df, ACTION_JSON_SCHEMA)
+        valid = parsed.filter(
+            (F.col("context_exist") == "1")
+            & (F.col("user_id") != "")
+            & (F.col("item_id") != "")
+        )
+        # tumbling_counts aggregates a `value` column (cnt + sum_value)
+        return valid.withColumn("value", F.col("score"))
+
+    stream = spark.readStream.schema(RD.KAFKA_RECORD_SCHEMA).parquet(src)
+    agg = SW.tumbling_stream(
+        chain(stream), "ts", "5 minutes", ["scene_id", "action"]
+    )
+    name = _run_to_memory(agg, "complete")
+    got = {
+        (r.window_start, r.scene_id, r.action): r.cnt
+        for r in spark.table(name).collect()
+    }
+
+    batch_valid = chain(spark.read.parquet(src))
+    expected = {
+        (r.window_start, r.scene_id, r.action): r.cnt
+        for r in W.tumbling_counts(
+            batch_valid, "ts", "5 minutes", ["scene_id", "action"]
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
+    # the gate dropped the context_exist='0' rows (1/20 of events)
+    assert batch_valid.count() < spark.read.parquet(src).count()
+
+
+def test_kafka_parse_drops_corrupt_values(spark):
+    """from_json returns null on corrupt payloads; the parse chain must
+    drop them exactly like the reference's emit-or-skip flatMap."""
+    from flink_project_spark.sources import readers as RD
+
+    rows = [
+        ('{"scene_id":"s1","user_id":"u1","item_id":"i1","action":"show",'
+         '"context_exist":"1","action_time":1,"label":0,"channel":"c",'
+         '"score":1.0,"ts":"2024-01-01T00:00:00Z"}'),
+        "NOT JSON {{{",
+    ]
+    kafka_like = spark.createDataFrame(
+        [(v.encode(), None) for v in rows], "value binary, timestamp timestamp"
+    )
+    out = RD.parse_kafka_json(
+        kafka_like, ACTION_JSON_SCHEMA, required_field="scene_id"
+    ).collect()
+    assert len(out) == 1 and out[0].scene_id == "s1"
