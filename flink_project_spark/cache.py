@@ -1,6 +1,6 @@
 """Materialized-intermediate registry with an explicit lifecycle.
 
-Several query groups share expensive intermediates (the item-CF cosine
+Several query groups share expensive intermediates (the item-CF pair
 table, the MinHash near-dup pair table, the spread documents corpus).
 Recomputing them per query dominated the round-1 bench, so they are
 persisted once per (session, key) here. Unlike ad-hoc module-level
@@ -8,22 +8,35 @@ dicts, this registry exposes ``clear()`` so a long-lived session can
 release executor memory — the cluster-scale analog is writing each
 intermediate to parquet once per pipeline run and dropping it when the
 pipeline finishes.
+
+Keys use ``sparkContext.applicationId`` (not ``id(spark)``): a stopped
+session's Python object id can be reused by a later session, which
+would hand out persisted DataFrames bound to a dead SparkContext.
+Operators that persist *internal* step tables (e.g. the exploded
+shingle table inside ``llm.dedup.near_dup_pairs``) register them via
+``persist_tracked`` so ``clear()`` releases those too.
 """
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-_CACHE: dict[tuple[int, str], DataFrame] = {}
+_CACHE: dict[tuple[str, str], DataFrame] = {}
+_seq = itertools.count()
+
+
+def _sid(spark: SparkSession) -> str:
+    return spark.sparkContext.applicationId
 
 
 def materialize(
     spark: SparkSession, key: str, builder: Callable[[], DataFrame]
 ) -> DataFrame:
     """Build-once, persist, and memoize a DataFrame per (session, key)."""
-    k = (id(spark), key)
+    k = (_sid(spark), key)
     df = _CACHE.get(k)
     if df is None:
         df = builder().persist()
@@ -31,15 +44,29 @@ def materialize(
     return df
 
 
+def persist_tracked(df: DataFrame, label: str = "internal") -> DataFrame:
+    """Persist a step table AND register it for ``clear()`` release.
+
+    For persists that are internal to one operator call (not shared
+    across queries): they are not memoized — every call persists anew —
+    but the registry remembers them so the advertised lifecycle hook
+    actually frees all executor memory.
+    """
+    k = (_sid(df.sparkSession), f"_tracked:{label}:{next(_seq)}")
+    out = df.persist()
+    _CACHE[k] = out
+    return out
+
+
 def clear(spark: SparkSession | None = None) -> int:
-    """Unpersist and forget cached intermediates.
+    """Unpersist and forget cached intermediates (memoized AND tracked).
 
     With a session, clears only that session's entries; without, clears
     everything. Returns the number of entries released. Also clears the
     fixture table/view memoization so a re-`materialize` starts from a
     clean plan.
     """
-    sid = None if spark is None else id(spark)
+    sid = None if spark is None else _sid(spark)
     n = 0
     for k in list(_CACHE):
         if sid is None or k[0] == sid:

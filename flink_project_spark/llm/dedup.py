@@ -141,9 +141,14 @@ def doc_signatures(
     `shingle_hashes` + `_sig_from_hashes` path and never materializes
     arrays into a join.
     """
-    base = docs.select(
-        "doc_id", shingle_array(F.col(text_col), n).alias("shingles")
-    ).persist()
+    from flink_project_spark.cache import persist_tracked
+
+    base = persist_tracked(
+        docs.select(
+            "doc_id", shingle_array(F.col(text_col), n).alias("shingles")
+        ),
+        "doc_signatures_base",
+    )
     hashed = base.select("doc_id", F.explode("shingles").alias("sh")).select(
         "doc_id", v32(F.col("sh")).alias("h")
     )
@@ -323,11 +328,16 @@ def near_dup_pairs(
     estimate ride on narrow per-doc side tables. (At cluster scale the
     persists become checkpoints of the exploded table to parquet.)
     """
-    ex = shingle_hashes(docs, text_col, n).persist()
+    from flink_project_spark.cache import persist_tracked
+
+    ex = persist_tracked(shingle_hashes(docs, text_col, n), "neardup_shingles")
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sigs = _sig_from_hashes(
-        ex.select("doc_id", v32_from_hex(F.col("hx")).alias("h")), k
-    ).persist()
+    sigs = persist_tracked(
+        _sig_from_hashes(
+            ex.select("doc_id", v32_from_hex(F.col("hx")).alias("h")), k
+        ),
+        "neardup_sigs",
+    )
     cand = lsh_pairs(sigs, bands, rows, max_bucket)
     if log_overflow:
         over = (

@@ -124,6 +124,13 @@ def tumbling_counts(
     CAST rounds the shortest decimal repr HALF_UP in Spark but the exact
     binary value in DuckDB, so inputs like 1.305 (binary ~1.30499...)
     would disagree; floor of the identical double is engine-independent.
+
+    Negative-value rounding semantics: floor(x*100 + 0.5) rounds halves
+    toward +infinity for NEGATIVE values too (-1.305 -> -130 cents),
+    whereas a decimal(18,2) cast would round HALF_UP away from zero
+    (-1.31). The engine and every oracle apply the identical rule, so
+    parity holds; callers needing ledger-style half-away-from-zero on
+    negative amounts should apply a sign-aware quantization first.
     """
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("decimal(28,0)")
     return (

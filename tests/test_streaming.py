@@ -490,3 +490,79 @@ def test_kafka_parse_drops_corrupt_values(spark):
         kafka_like, ACTION_JSON_SCHEMA, required_field="scene_id"
     ).collect()
     assert len(out) == 1 and out[0].scene_id == "s1"
+
+
+def test_exact_uv_day_window_state_bound(spark, tmp_path):
+    """T5/T8: exact-UV state at the 1-day resolution is bounded by the
+    distinct (window, key, user) tuple count inside the watermark
+    horizon, while the approx (HLL) default carries only one state row
+    per (window, key) group — the property that decides which mode is
+    viable at 100 TB (SURVEY §4: approx is the default, exact the
+    documented opt-in)."""
+    src = _replay_dir(spark, tmp_path)
+    batch = _events_batch(spark)
+    day_groups = (
+        batch.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.countDistinct("user_id").alias("uv"))
+        .collect()
+    )
+    n_groups = len(day_groups)
+    distinct_tuples = (
+        batch.select(
+            F.window("ts", "1 day").alias("w"), "event_type", "user_id"
+        )
+        .distinct()
+        .count()
+    )
+
+    def run(exact):
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+        uv = SW.windowed_uv(
+            stream, "ts", "1 day", ["event_type"], exact=exact
+        )
+        name = f"uvday{int(exact)}"
+        q = (
+            uv.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        ops = q.lastProgress["stateOperators"]
+        state_rows = sum(op["numRowsTotal"] for op in ops)
+        # rows that passed through the store this batch: still-retained
+        # updates plus watermark-evicted inserts (a single-batch replay
+        # evicts every dedup key whose window the final watermark passed,
+        # so the write volume is updated + removed)
+        state_writes = sum(
+            op["numRowsUpdated"] + op["numRowsRemoved"] for op in ops
+        )
+        q.stop()
+        rows = {
+            (r.window_start, r.event_type): r.uv
+            for r in spark.table(name).collect()
+        }
+        return rows, state_rows, state_writes
+
+    exact_rows, exact_state, exact_writes = run(exact=True)
+    approx_rows, approx_state, approx_writes = run(exact=False)
+
+    # exact mode reproduces batch countDistinct bit-for-bit
+    expected = {(r.w.start, r.event_type): r.uv for r in day_groups}
+    assert exact_rows == expected
+    # approx mode: right cardinality of groups, HLL estimate within 5%
+    assert set(approx_rows) == set(expected)
+    for k, uv in approx_rows.items():
+        assert abs(uv - expected[k]) <= max(1, int(0.05 * expected[k]))
+
+    # state bounds: approx carries ONE state row per group, and its
+    # write volume is group-bounded too — independent of user count
+    assert approx_state == n_groups
+    assert approx_writes <= 2 * n_groups
+    # exact mode WRITES one dedup key per distinct (window,key,user)
+    # tuple — state cost scales with users — but RETAINED state stays
+    # within the watermark horizon: after the watermark passes a window,
+    # its dedup keys are evicted (here, everything older than
+    # max_ts - 1 day), so long-run state is bounded, not unbounded
+    assert exact_writes >= distinct_tuples
+    assert exact_state <= distinct_tuples + n_groups
