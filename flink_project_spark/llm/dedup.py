@@ -338,10 +338,33 @@ def near_dup_pairs(
         ),
         "neardup_sigs",
     )
-    cand = lsh_pairs(sigs, bands, rows, max_bucket)
+    # banded table computed ONCE and persisted (|docs| x bands tiny
+    # rows): both sides of the candidate self-join AND the overflow
+    # audit read it, where calling lsh_pairs + lsh_overflow separately
+    # would run the band-window subtree three times
+    bandt = persist_tracked(
+        _band_keys(sigs, bands, rows).withColumn(
+            "bucket_rank",
+            F.row_number().over(
+                Window.partitionBy("band", "band_key").orderBy("doc_id")
+            ),
+        ),
+        "neardup_bands",
+    )
+    capped = bandt.filter(F.col("bucket_rank") <= max_bucket)
+    a = capped.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+    b = capped.select("band", "band_key", F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     if log_overflow:
         over = (
-            lsh_overflow(sigs, bands, rows, max_bucket)
+            bandt.filter(F.col("bucket_rank") > max_bucket)
+            .groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("dropped"))
             .agg(
                 F.count(F.lit(1)).alias("buckets"),
                 F.coalesce(F.sum("dropped"), F.lit(0)).alias("dropped"),
