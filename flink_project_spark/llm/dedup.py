@@ -441,31 +441,30 @@ def connected_components(
     )
     prev_sig: tuple[int, int] | None = None
     for _ in range(max_rounds):
-        # large-star
+        # each star is ONE window pass (min over the neighborhood)
+        # instead of a groupBy + join-back — half the shuffles per round
+        # large-star: point u's larger neighbors at its neighborhood min
         sym = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        mins = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.col("u")).alias("m")
-        )
+        m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
         edges = (
-            sym.join(mins, "u")
+            sym.withColumn("m", m)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        # small-star (edges now all point large -> small)
+        # small-star: point u's smaller neighbors AND u at that min
         dirn = edges.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-        mins = dirn.groupBy("u").agg(
-            F.least(F.min("v"), F.col("u")).alias("m")
+        dm = dirn.withColumn(
+            "m", F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
         )
         edges = (
-            dirn.join(mins, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            dm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(dm.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint()
