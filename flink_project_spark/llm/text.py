@@ -68,14 +68,33 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Deterministic tie-break: higher ratio wins, then lexicographically
     smaller language code; all-zero => 'und'. Output keeps the labeled
     lang so the caller can build a confusion matrix.
+
+    Shape: explode words once, then one codegen'd conditional-sum
+    aggregate per language (map-side combined, one exchange on doc_id).
+    The per-row higher-order-function form (5 interpreted array walks
+    per document) measured ~2x slower on the same corpus — HOF lambdas
+    evaluate outside WholeStageCodegen, a grouped conditional sum
+    inside. explode_outer keeps zero-token docs (count 0 -> 'und').
     """
-    t = F.col(text_col)
-    n = F.greatest(F.size(words(t)), F.lit(1))
-    ratios = [
-        (stopword_hits(t, lang) / n).alias(f"r_{lang}")
+    wl = docs.select(
+        "doc_id", "lang", F.explode_outer(words(F.col(text_col))).alias("w0")
+    ).select("doc_id", "lang", F.lower(F.col("w0")).alias("w"))
+    aggs = [
+        F.sum(
+            F.when(F.col("w").isin(*STOPWORDS[lang]), 1).otherwise(0)
+        ).alias(f"h_{lang}")
         for lang in sorted(STOPWORDS)
-    ]
-    d = docs.select("doc_id", "lang", *ratios)
+    ] + [F.count("w").alias("n")]
+    per_doc = wl.groupBy("doc_id", "lang").agg(*aggs)
+    nd = F.greatest(F.col("n"), F.lit(1)).cast("double")
+    d = per_doc.select(
+        "doc_id",
+        "lang",
+        *[
+            (F.col(f"h_{lang}").cast("double") / nd).alias(f"r_{lang}")
+            for lang in sorted(STOPWORDS)
+        ],
+    )
     best = F.greatest(*[F.col(f"r_{lang}") for lang in sorted(STOPWORDS)])
     pred = F.when(best <= 0.0, F.lit("und"))
     for lang in sorted(STOPWORDS):
