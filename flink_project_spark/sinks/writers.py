@@ -265,3 +265,48 @@ def write_console(df: DataFrame, n: int = 20, tag: str | None = None) -> None:
     if tag:
         print(f"== {tag} ==")
     df.show(n, truncate=False)
+
+
+def write_es_documents(
+    df: DataFrame,
+    index: str,
+    id_col: str,
+    doc_cols: list[str] | None = None,
+    bulk_size: int = 500,
+    store_name: str = "default",
+) -> None:
+    """K5: Elasticsearch-shaped document indexing.
+
+    Ref: flink-base sink/MyEsSink.scala:24-29 +
+    MyElasticsearchSinkFunction.scala:15-27 — one IndexRequest per
+    record (index name, doc id, JSON source). Spark-first shape: the
+    JSON source renders as a Catalyst `to_json` projection (JVM-side),
+    and the partition writer batches requests `bulk_size` at a time —
+    the _bulk API pattern a real ES cluster requires at scale (a
+    request-per-document sink melts at 100 TB). The KV store stands in
+    for the ES client (sandbox has no cluster); a real client swaps
+    into `_flush` untouched.
+    """
+    doc_cols = doc_cols or [c for c in df.columns if c != id_col]
+    rows = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.to_json(F.struct(*doc_cols)).alias("_source"),
+    )
+
+    def _write(it: Iterable[Row]) -> None:
+        client = get_kv_store(store_name)
+        batch: list[Row] = []
+
+        def _flush() -> None:
+            # stand-in for one _bulk call; real ES client: helpers.bulk
+            for r in batch:
+                client.put(f"{index}/{r['_id']}", "_source", r["_source"])
+            batch.clear()
+
+        for row in it:
+            batch.append(row)
+            if len(batch) >= bulk_size:
+                _flush()
+        _flush()
+
+    rows.foreachPartition(_write)

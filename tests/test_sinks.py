@@ -85,3 +85,35 @@ def test_csv_text_roundtrip(spark, tmp_path):
     WR.write_text(df.select(F.concat_ws(",", "k", "v")), txt_path)
     lines = sorted(r.value for r in spark.read.text(txt_path).collect())
     assert lines == ["a,1", "b,2"]
+
+
+def test_es_document_indexing(spark, tmp_path):
+    """K5: index-request shape — one (index/id, JSON source) per row,
+    bulk-batched per partition; re-index overwrites (idempotent)."""
+    import json
+    import shutil
+
+    from flink_project_spark.sinks import writers as WR
+
+    store = WR.get_kv_store("es_test")
+    shutil.rmtree(store.root, ignore_errors=True)
+    store = WR.get_kv_store("es_test")
+    df = spark.createDataFrame(
+        [(1, "alpha", 0.5), (2, "beta", 1.5)],
+        "doc_id long, title string, score double",
+    )
+    WR.write_es_documents(
+        df, "docs", "doc_id", bulk_size=1, store_name="es_test"
+    )
+    hashes = store.hashes
+    assert set(hashes) == {"docs/1", "docs/2"}
+    src = json.loads(hashes["docs/1"]["_source"])
+    assert src == {"title": "alpha", "score": 0.5}
+    # idempotent re-index (exactly-once effect under replay)
+    WR.write_es_documents(
+        df.withColumn("title", F.lit("updated")),
+        "docs",
+        "doc_id",
+        store_name="es_test",
+    )
+    assert json.loads(store.hashes["docs/2"]["_source"])["title"] == "updated"

@@ -566,3 +566,62 @@ def test_exact_uv_day_window_state_bound(spark, tmp_path):
     # max_ts - 1 day), so long-run state is bounded, not unbounded
     assert exact_writes >= distinct_tuples
     assert exact_state <= distinct_tuples + n_groups
+
+
+def test_socket_stream_ingest(spark):
+    """S5: real socket-source ingest against an in-process TCP server —
+    lines arrive over the wire, flow through the word-count chain
+    (StreamWorldCount.scala:13-15), and land in the memory sink."""
+    import socket
+    import threading
+
+    from flink_project_spark.sources import readers as RD
+
+    try:
+        server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        server.bind(("127.0.0.1", 0))
+    except OSError:
+        pytest.skip("sandbox forbids local TCP sockets")
+    port = server.getsockname()[1]
+    server.listen(1)
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        try:
+            conn.sendall(b"hello world\nhello spark\n")
+            # keep the connection open until the query has drained it --
+            # the socket source treats EOF as end-of-stream
+            stop.wait(timeout=30)
+        finally:
+            conn.close()
+            server.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+
+    stream = RD.read_socket_stream(spark, "127.0.0.1", port)
+    counts = (
+        stream.select(F.explode(F.split(F.col("value"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = "socket_wc"
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        got = {}
+        while time.time() < deadline:
+            got = {r.word: r.cnt for r in spark.table(name).collect()}
+            if got.get("hello") == 2:
+                break
+            time.sleep(0.5)
+        assert got == {"hello": 2, "world": 1, "spark": 1}, got
+    finally:
+        stop.set()
+        q.stop()
