@@ -178,10 +178,17 @@ def _expand(names: tuple[str, ...]) -> list[str]:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all driver parquet tables as DataFrames.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) — Spark reads it as a long
-    (nanosAsLong) and we normalize to a microsecond TIMESTAMP by
-    truncation, which is exactly what DuckDB's parquet reader does, so
-    engine and oracle see identical instants.
+    ``events.ts`` arrives in one of two physical shapes depending on the
+    testdata generation: parquet TIMESTAMP(NANOS) — which Spark reads as
+    a long under nanosAsLong and we truncate to microseconds, exactly
+    what DuckDB's parquet reader does — or parquet TIMESTAMP(MICROS)
+    isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ. The
+    session timezone is pinned UTC (session.py), so casting NTZ to the
+    session-zoned TIMESTAMP is micros-identical to DuckDB treating the
+    naive value as UTC: engine and oracle see identical instants either
+    way. Timestamp columns in the other tables (o_orderdate, l_shipdate)
+    get the same NTZ->UTC normalization so epoch/date math stays
+    dialect-portable.
     """
     # runtime-settable: required when the harness passes its own session
     cached = _TABLE_CACHE.get((id(spark), sf_dir))
@@ -191,9 +198,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     out: dict[str, DataFrame] = {}
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        if t == "events":
-            # integer division: ns values (~1.7e18) exceed double precision
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        for name, dtype in df.dtypes:
+            if dtype == "timestamp_ntz":
+                df = df.withColumn(name, F.col(name).cast("timestamp"))
+            elif name == "ts" and dtype == "bigint":
+                # integer division: ns values (~1.7e18) exceed double
+                # precision, so never round-trip through double
+                df = df.withColumn(
+                    name, F.timestamp_micros(F.expr(f"{name} DIV 1000"))
+                )
         out[t] = df
     _TABLE_CACHE[(id(spark), sf_dir)] = dict(out)
     return out
