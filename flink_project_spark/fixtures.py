@@ -178,30 +178,31 @@ def _expand(names: tuple[str, ...]) -> list[str]:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all driver parquet tables as DataFrames.
 
-    ``events.ts`` arrives in one of two physical shapes depending on the
-    testdata generation: parquet TIMESTAMP(NANOS) — which Spark reads as
-    a long under nanosAsLong and we truncate to microseconds, exactly
-    what DuckDB's parquet reader does — or parquet TIMESTAMP(MICROS)
-    isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ. The
-    session timezone is pinned UTC (session.py), so casting NTZ to the
-    session-zoned TIMESTAMP is micros-identical to DuckDB treating the
-    naive value as UTC: engine and oracle see identical instants either
-    way. Timestamp columns in the other tables (o_orderdate, l_shipdate)
-    get the same NTZ->UTC normalization so epoch/date math stays
-    dialect-portable.
+    Timestamp columns arrive in one of two physical shapes depending on
+    the testdata generation: parquet TIMESTAMP(NANOS) — which Spark
+    reads as a long under nanosAsLong and we truncate to microseconds,
+    exactly what DuckDB's parquet reader does — or parquet
+    TIMESTAMP(MICROS) isAdjustedToUTC=false. For the latter,
+    ``inferTimestampNTZ.enabled=false`` makes Spark read the stored
+    micros directly as the session-zoned TIMESTAMP (the pre-3.4
+    behavior): with the session pinned UTC (session.py) that is
+    micros-identical to DuckDB treating the naive value as UTC, AND it
+    keeps the column a bare scan column — a cast/withColumn
+    normalization here would sit between the scan and every date filter
+    and break parquet predicate pushdown (e.g. pricing_summary's
+    l_shipdate range).
     """
     # runtime-settable: required when the harness passes its own session
     cached = _TABLE_CACHE.get((id(spark), sf_dir))
     if cached is not None:
         return dict(cached)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     out: dict[str, DataFrame] = {}
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         for name, dtype in df.dtypes:
-            if dtype == "timestamp_ntz":
-                df = df.withColumn(name, F.col(name).cast("timestamp"))
-            elif name == "ts" and dtype == "bigint":
+            if name == "ts" and dtype == "bigint":
                 # integer division: ns values (~1.7e18) exceed double
                 # precision, so never round-trip through double
                 df = df.withColumn(

@@ -50,15 +50,39 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH verified pair table, shared by doc_minhash_neardups,
-    doc_dedup_keep_canonical and doc_dedup_cc — built & persisted once
-    per (session, sf)."""
-    return CACHE.materialize(
+# applicationId-keyed handle on the deferred LSH-cap audit frame (a plan
+# object over the persisted band table — no executor memory held)
+_NEARDUP_AUDIT: dict[tuple[str, str], DataFrame] = {}
+
+
+def _near_dup_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame | None]:
+    """(pairs, overflow_audit) — MinHash-LSH verified pair table plus
+    the deferred bucket-cap audit, built & persisted once per
+    (session, sf). The audit is NOT collect()ed here (that would force
+    the whole shingle->band chain at plan-construction time); it is
+    exposed as its own shared intermediate, materialized after the pair
+    table when the band table is already persisted — the cap stays
+    non-silent at the cost of one tiny aggregate."""
+    sink: list[DataFrame] = []
+    pairs = CACHE.materialize(
         spark,
         f"neardups:{sf_dir}",
-        lambda: DD.near_dup_pairs(_docs(spark, sf_dir), threshold=0.8),
+        lambda: DD.near_dup_pairs(
+            _docs(spark, sf_dir), threshold=0.8, audit_sink=sink
+        ),
     )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if sink:
+        _NEARDUP_AUDIT[key] = sink[0]
+    return pairs, _NEARDUP_AUDIT.get(key)
+
+
+def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH verified pair table, shared by doc_minhash_neardups,
+    doc_dedup_keep_canonical and doc_dedup_cc."""
+    return _near_dup_tables(spark, sf_dir)[0]
 
 
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,13 +225,22 @@ def llm_shared_intermediates(
     spark: SparkSession, sf_dir: str
 ) -> dict[str, DataFrame]:
     """The persisted intermediates the LLM queries share, for explicit
-    pre-materialization (bench cache-build phase / pipeline warmup)."""
-    return {
+    pre-materialization (bench cache-build phase / pipeline warmup).
+
+    Dict order matters: ``neardups_overflow`` (the LSH bucket-cap
+    audit — the "no silent caps" companion table) comes after
+    ``neardups`` so materializing it in order reads the then-persisted
+    band table instead of rebuilding the chain."""
+    pairs, audit = _near_dup_tables(spark, sf_dir)
+    out = {
         "docs": _docs(spark, sf_dir),
         "emb": _emb(spark, sf_dir),
-        "neardups": _near_dup_pairs(spark, sf_dir),
+        "neardups": pairs,
         "simhash": _simhash(spark, sf_dir),
     }
+    if audit is not None:
+        out["neardups_overflow"] = audit
+    return out
 
 
 def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -298,6 +298,7 @@ def near_dup_pairs(
     threshold: float = 0.8,
     max_bucket: int = 1000,
     log_overflow: bool = True,
+    audit_sink: list | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: pairs with exact Jaccard >= threshold.
 
@@ -316,6 +317,14 @@ def near_dup_pairs(
     silent: when any bucket exceeds `max_bucket`, a WARNING with the
     dropped-member total is logged (one extra map-side-combined count
     over the persisted band table — negligible next to the verify join).
+    The log's collect() is this plan's FIRST action, so in a cold
+    session it pays the whole shingle->signature->band build up front.
+    Callers that materialize the result later (e.g. a pipeline's
+    cache-build phase) should pass `audit_sink=[]` instead: the audit
+    aggregate DataFrame is appended to the list un-executed, to be
+    materialized AFTER the pair table — at that point it reads the
+    already-persisted band table and costs one tiny aggregate.
+    `audit_sink` takes precedence over log_overflow.
 
     Plan shape (the 100 TB-safe one): everything derives from the
     exploded (doc_id, shingle-md5) table — persisted because the
@@ -360,17 +369,19 @@ def near_dup_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    if log_overflow:
-        over = (
-            bandt.filter(F.col("bucket_rank") > max_bucket)
-            .groupBy("band", "band_key")
-            .agg(F.count(F.lit(1)).alias("dropped"))
-            .agg(
-                F.count(F.lit(1)).alias("buckets"),
-                F.coalesce(F.sum("dropped"), F.lit(0)).alias("dropped"),
-            )
-            .collect()[0]
+    over_df = (
+        bandt.filter(F.col("bucket_rank") > max_bucket)
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("dropped"))
+        .agg(
+            F.count(F.lit(1)).alias("buckets"),
+            F.coalesce(F.sum("dropped"), F.lit(0)).alias("dropped"),
         )
+    )
+    if audit_sink is not None:
+        audit_sink.append(over_df)
+    elif log_overflow:
+        over = over_df.collect()[0]
         if over["buckets"]:
             import logging
 
