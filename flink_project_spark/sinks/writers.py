@@ -310,3 +310,73 @@ def write_es_documents(
         _flush()
 
     rows.foreachPartition(_write)
+
+
+def kafka_sink_frame(
+    df: DataFrame,
+    topic: str | None = None,
+    key_col: str | None = None,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """K7: coerce a row frame into the Kafka sink's column contract.
+
+    The kafka data source writes exactly these columns: `value`
+    (binary, required), and optionally `key` (binary), `topic`
+    (string, required unless the writer sets the `topic` option),
+    `partition` (int), `headers`. Ref: flink-base
+    source/KafkaSource.scala:28-30 (FlinkKafkaProducer010 publishing a
+    string payload). Spark-first shape: the payload renders as one
+    JVM-side `to_json` projection over `value_cols` (default: every
+    column — the key is routing metadata, not a reason to drop the
+    field from the record) — the exact inverse of `parse_kafka_json`,
+    so produce -> consume round-trips losslessly. Keys cast through
+    string so any key column type publishes deterministic bytes.
+    """
+    value_cols = value_cols or list(df.columns)
+    cols = [F.to_json(F.struct(*value_cols)).cast("binary").alias("value")]
+    if key_col:
+        cols.insert(0, F.col(key_col).cast("string").cast("binary").alias("key"))
+    if topic:
+        cols.append(F.lit(topic).alias("topic"))
+    return df.select(*cols)
+
+
+def write_kafka(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str | None = None,
+    checkpoint_location: str | None = None,
+):
+    """K7: configured Kafka producer writer (batch or streaming).
+
+    Returns the configured writer unstarted — callers `.save()` /
+    `.start()` it, so tests can assert the wiring without a broker
+    (the sandbox has none; starting raises the data-source resolution
+    error from Spark, not from this code). Exactly-once: the streaming
+    form rides the checkpoint like every other sink (T13/T14); the
+    kafka sink itself is at-least-once, deduplicated downstream by
+    key (the reference's Kafka 0.10 producer had the same contract).
+    """
+    frame = df
+    required = {"value"}
+    missing = required - set(frame.columns)
+    if missing:
+        raise ValueError(
+            f"kafka sink frame missing column(s) {sorted(missing)}: "
+            "build it with kafka_sink_frame() first"
+        )
+    if topic is None and "topic" not in frame.columns:
+        raise ValueError("pass topic= or include a 'topic' column")
+    if frame.isStreaming:
+        w = frame.writeStream.format("kafka").option(
+            "kafka.bootstrap.servers", bootstrap_servers
+        )
+        if checkpoint_location:
+            w = w.option("checkpointLocation", checkpoint_location)
+    else:
+        w = frame.write.format("kafka").option(
+            "kafka.bootstrap.servers", bootstrap_servers
+        )
+    if topic:
+        w = w.option("topic", topic)
+    return w

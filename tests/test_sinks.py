@@ -117,3 +117,44 @@ def test_es_document_indexing(spark, tmp_path):
         store_name="es_test",
     )
     assert json.loads(store.hashes["docs/2"]["_source"])["title"] == "updated"
+
+
+def test_kafka_sink_frame_contract_and_roundtrip(spark):
+    """K7: the producer frame meets the kafka sink's column contract and
+    round-trips losslessly through the consumer-side parser."""
+    from flink_project_spark.sources import readers as RD
+
+    df = spark.createDataFrame(
+        [("scene_1", "u1", 5.0), ("scene_2", "u2", 7.5)],
+        "scene_id string, user_id string, score double",
+    )
+    frame = WR.kafka_sink_frame(df, topic="t_actions", key_col="scene_id")
+    assert dict(frame.dtypes) == {
+        "key": "binary", "value": "binary", "topic": "string"
+    }
+    # produce -> consume symmetry: parse_kafka_json recovers the payload
+    wire = frame.withColumn(
+        "timestamp", F.current_timestamp()
+    )
+    back = RD.parse_kafka_json(
+        wire, "scene_id string, user_id string, score double",
+        required_field="scene_id",
+    ).select("scene_id", "user_id", "score")
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_write_kafka_validates_frame_and_wires_sink(spark, tmp_path):
+    """K7/T14: write_kafka rejects malformed frames; a valid frame
+    reaches Spark's kafka sink resolution (no broker in the sandbox, so
+    saving fails inside Spark's data-source lookup, not in our code)."""
+    import pytest
+
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    with pytest.raises(ValueError, match="kafka sink frame missing"):
+        WR.write_kafka(df, "localhost:9092", topic="t")
+    frame = WR.kafka_sink_frame(df, key_col="k")
+    with pytest.raises(ValueError, match="topic"):
+        WR.write_kafka(frame, "localhost:9092")
+    writer = WR.write_kafka(frame, "localhost:9092", topic="t")
+    with pytest.raises(Exception, match="(?i)kafka|data.?source|classpath|find"):
+        writer.save()
