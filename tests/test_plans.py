@@ -1,0 +1,87 @@
+"""Physical-plan contracts — the scale properties the engine promises.
+
+These tests read `executedPlan` strings (plan construction only — no
+job runs) and pin the properties that make the plans survive a 100x
+scale-up: filters reach the parquet scan, scans are column-pruned,
+windowed aggregations shuffle exactly once, and no query plan contains
+an unbounded cartesian product. They exist because regressions here are
+silent: every result stays correct while the plan quietly stops
+scaling (round 3 example: a timestamp normalization cast inserted
+between scan and filter disabled predicate pushdown on every date
+filter — caught only by timing drift).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    import __spark_entry__ as E
+
+    df = E.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_date_filter_pushes_to_parquet_scan(spark):
+    """pricing_summary's l_shipdate range must reach the scan —
+    PushedFilters, not a post-scan Filter over a cast column."""
+    plan = _plan(spark, "pricing_summary")
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert pushed, plan
+    assert any("l_shipdate" in p and "LessThanOrEqual" in p for p in pushed), pushed
+
+
+def test_scans_are_column_pruned(spark):
+    """Window-count queries project 2 columns of the 6-column events
+    table; the scan must read only those (ReadSchema pruning)."""
+    plan = _plan(spark, "multi_resolution_counts")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    assert schemas, plan
+    cols = {c.split(":")[0] for c in schemas[0].split(",") if c}
+    assert cols <= {"ts", "event_type"}, cols
+
+
+def test_windowed_aggregation_shuffles_once(spark):
+    """T5/sliding/session: partial agg -> ONE exchange -> final agg.
+    A second exchange would double the shuffle volume at scale."""
+    for name in (
+        "multi_resolution_counts",
+        "sliding_window_counts",
+        "session_window_counts",
+    ):
+        plan = _plan(spark, name)
+        assert plan.count("Exchange") == 1, (name, plan)
+
+
+def test_cosine_count_joins_broadcast(spark):
+    """J2: the per-item counts table must broadcast onto the pair
+    stream — a shuffle join here would re-shuffle the pair table twice."""
+    plan = _plan(spark, "itemcf_cosine")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+#: queries whose plan legitimately contains a nested-loop join:
+#: brute-force cosine top-k is the documented exact baseline (every
+#: query vector scores every corpus vector by design; the scale path is
+#: emb_ivf_topk / emb_near_dups, which stay equi-join).
+NESTED_LOOP_OK = {"emb_cosine_topk"}
+
+
+def test_no_unbounded_cartesian_products(spark):
+    """No query plan may contain CartesianProduct; nested-loop joins
+    only where the operator is explicitly the brute-force baseline."""
+    import __spark_entry__ as E
+
+    offenders = {}
+    for name in E.queries():
+        plan = _plan(spark, name)
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
