@@ -20,6 +20,7 @@ from flink_project_spark import fixtures as FX
 from flink_project_spark.llm import dedup as DD
 from flink_project_spark.llm import multimodal as MM
 from flink_project_spark.llm import similarity as SIM
+from flink_project_spark.llm import curation as CUR
 from flink_project_spark.llm import text as TX
 from flink_project_spark.llm.hashing import v32_from_hex_sql, v32_sql
 from flink_project_spark.session import spread
@@ -168,6 +169,34 @@ def q_doc_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 hash split — per-split doc and char counts."""
+    return (
+        CUR.train_split(_docs(spark, sf_dir))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+def q_doc_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-domination: keep at most 15 longest docs per source (binds
+    at every SF: the corpus carries 20 sources x sf*2500 docs)."""
+    return CUR.source_quota(_docs(spark, sf_dir), quota=15)
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination flags: corpus docs (doc_id % 7 != 0)
+    whose fingerprint collides with the held-out set (doc_id % 7 == 0)."""
+    docs = _docs(spark, sf_dir)
+    return CUR.decontaminate(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+    )
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash(spark, sf_dir)
 
@@ -272,6 +301,11 @@ def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_plan": q_media_resize_plan,
         "doc_simhash": q_doc_simhash,
         "word_counts": q_word_counts,
+        # curation ops sit past the driver's 50-row cap like the two
+        # above; the pytest sweep oracle-checks them every run
+        "doc_train_split": q_doc_train_split,
+        "doc_source_quota": q_doc_source_quota,
+        "doc_decontaminate": q_doc_decontaminate,
     }
 
 
@@ -416,6 +450,52 @@ WITH dec AS (
         SELECT word, count(*) AS cnt
         FROM (SELECT unnest(ws) AS word FROM dwords)
         GROUP BY 1
+        """,
+        "doc_train_split": f"""
+        SELECT CASE WHEN b < 98 THEN 'train'
+                    WHEN b < 99 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM (SELECT n_chars,
+                     {v32_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b
+              FROM documents)
+        GROUP BY 1
+        """,
+        "doc_source_quota": """
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 15
+        """,
+        "doc_decontaminate": r"""
+        WITH norm AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+          FROM documents
+        ), nw AS (
+          SELECT doc_id, nt,
+                 list_filter(regexp_split_to_array(nt, '\s+'), w -> w <> '') AS ws
+          FROM norm
+        ), fp AS (
+          SELECT doc_id, md5(nt) AS content_md5,
+                 list_aggregate(
+                   [md5(array_to_string(ws[i:i+2], ' '))
+                    for i in generate_series(1, greatest(len(ws)-2, 1))],
+                   'min') AS min_shingle_md5
+          FROM nw
+        ), fb AS (SELECT * FROM fp WHERE doc_id % 7 = 0),
+           fc AS (SELECT * FROM fp WHERE doc_id % 7 <> 0),
+           m AS (
+             SELECT doc_id, 'exact' AS match_type FROM fc
+             WHERE content_md5 IN (SELECT content_md5 FROM fb)
+             UNION ALL
+             SELECT doc_id, 'ngram' AS match_type FROM fc
+             WHERE min_shingle_md5 IN (SELECT min_shingle_md5 FROM fb)
+           )
+        SELECT doc_id, min(match_type) AS match_type FROM m GROUP BY 1
         """,
         "doc_top_terms": _DWORDS
         + """

@@ -257,3 +257,75 @@ def test_dedup_cc_vs_single_link_divergence(spark):
 def test_connected_components_empty_pairs(spark):
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     assert DD.connected_components(empty).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# curation operators (train split / source quota / decontamination)
+# ---------------------------------------------------------------------------
+
+
+def test_train_split_deterministic_and_complete(spark):
+    from flink_project_spark.llm import curation as CUR
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "web", 10) for i in range(500)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    a = CUR.train_split(docs).groupBy("split").count().collect()
+    b = CUR.train_split(docs).groupBy("split").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    counts = {r["split"]: r["count"] for r in a}
+    assert sum(counts.values()) == 500          # every row labeled
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > 400                # ~98% of 500
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 100"):
+        CUR.train_split(docs, ratios=(("train", 50), ("val", 10)))
+
+
+def test_source_quota_caps_and_prefers_longer(spark):
+    from flink_project_spark.llm import curation as CUR
+
+    rows = [(i, f"t{i}", "en", f"s{i % 2}", 100 + i) for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    kept = CUR.source_quota(docs, quota=3).collect()
+    by_source = {}
+    for r in kept:
+        by_source.setdefault(r["source"], []).append(r["n_chars"])
+    assert all(len(v) == 3 for v in by_source.values())
+    # longest docs of each source survive
+    assert sorted(by_source["s0"]) == [104, 106, 108]
+    assert sorted(by_source["s1"]) == [105, 107, 109]
+    # salted two-phase cut returns the identical kept set
+    salted = CUR.source_quota(docs, quota=3, salted=True).collect()
+    assert sorted(map(tuple, salted)) == sorted(map(tuple, kept))
+
+
+def test_decontaminate_flags_exact_and_near_matches(spark):
+    from flink_project_spark.llm import curation as CUR
+
+    bench_text = "the quick brown fox jumps over the lazy dog every day"
+    near_text = "the quick brown fox jumps over the lazy dog every night"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    benchmark = spark.createDataFrame(
+        [(0, bench_text, "en", "bench", len(bench_text))], schema
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_text.upper(), "en", "web", len(bench_text)),  # exact after normalization
+            (2, near_text, "en", "web", len(near_text)),            # shares the min shingle
+            (3, "completely unrelated words here", "en", "web", 31),
+        ],
+        schema,
+    )
+    flags = {r["doc_id"]: r["match_type"] for r in
+             CUR.decontaminate(corpus, benchmark).collect()}
+    assert flags.get(1) == "exact"
+    assert 3 not in flags
+    # doc 2 may or may not share the 1-perm min shingle; if flagged it
+    # must be the coarse ngram tag, never exact
+    assert flags.get(2) in (None, "ngram")
