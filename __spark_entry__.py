@@ -471,6 +471,20 @@ def q_itemcf_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_scores(spark, sf_dir)
 
 
+def q_itemcf_decay_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 exact-parity variant: the reference's max-gated repeat-pair
+    emission over the (user, item, time)-distinct action triple —
+    reference semantics for multi-visit users (ItemIdCfVersion5.java:147-192),
+    gate expressed on integer clamped distances (no float hazard).
+
+    Scoped to one scene's users (the reference jobs run per-scene too):
+    full gating semantics at 1/5 the pair volume — the operator-level
+    tests cover the unfiltered form."""
+    return CF.decay_pairs_gated(
+        _valid_actions(spark, sf_dir).filter(F.col("scene_id") == "scene_1")
+    )
+
+
 def q_itemcf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists = CF.neighbor_lists(_cosine(spark, sf_dir), k=10)
     return S.bucket_histogram(lists, "total_candidates", [20, 40, 60, 80])
@@ -543,6 +557,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_counts": q_session_window_counts,
         "cogroup_scene_stats": q_cogroup_scene_stats,
         **llm_queries(),
+        # past the driver's 50-row cap (pytest-oracle-checked): the
+        # gated decay twin keeps the ungated itemcf_decay entry's
+        # driver row as the primary A7 check
+        "itemcf_decay_gated": q_itemcf_decay_gated,
     }
 
 
@@ -948,6 +966,49 @@ def oracle_sql() -> dict[str, str]:
         FROM pos a JOIN pos b
           ON a.user_id = b.user_id AND a.item_id <> b.item_id
         GROUP BY 1, 2
+        """,
+        "itemcf_decay_gated": V("valid_actions")
+        + f"""
+        , trip AS (
+          SELECT DISTINCT user_id, item_id, action_time FROM valid_actions
+          WHERE scene_id = 'scene_1'
+        ), gpos AS (
+          SELECT user_id, item_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY action_time, item_id) AS pos
+          FROM trip
+        ), pr AS (
+          SELECT a.user_id, a.item_id AS item_a, b.item_id AS item_b,
+                 a.pos AS pos_a, b.pos AS pos_b,
+                 greatest(b.pos - a.pos, {CF.DECAY_N_DISTANCES}) AS clamped,
+                 ([{','.join(map(str, CF.decay_lut()))}])
+                   [least(b.pos - a.pos, 500)] AS w_scaled
+          FROM gpos a JOIN gpos b
+            ON a.user_id = b.user_id AND a.pos < b.pos
+               AND a.item_id <> b.item_id
+        ), gated AS (
+          SELECT *, min(clamped) OVER (
+                   PARTITION BY user_id, item_a, item_b
+                   ORDER BY pos_a, pos_b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_min
+          FROM pr
+        ), em AS (
+          SELECT user_id, item_a, item_b,
+                 count(*) AS emissions, SUM(w_scaled) AS e_scaled
+          FROM gated WHERE prev_min IS NULL OR clamped < prev_min
+          GROUP BY 1, 2, 3
+        ), directed AS (
+          SELECT item_a, item_b, emissions, e_scaled FROM em
+          UNION ALL
+          SELECT item_b AS item_a, item_a AS item_b, emissions, e_scaled
+          FROM em
+        )
+        SELECT item_a, item_b,
+               CAST(SUM(emissions) AS BIGINT) AS emissions,
+               CAST(SUM(e_scaled) AS BIGINT) AS decay_scaled,
+               CAST(SUM(e_scaled) AS DOUBLE) / 1000000.0 AS decay_score
+        FROM directed GROUP BY 1, 2
         """,
         "itemcf_histogram": V("valid_actions")
         + _HIST_CTE

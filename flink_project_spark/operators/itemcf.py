@@ -215,8 +215,9 @@ def decay_pairs(
     only matters when one user's history repeats an item. Our
     `user_item_history` is (user, item)-distinct by construction, so the
     gate is a no-op on every input this operator receives; callers
-    passing a history with repeated items would see sums deviate from
-    the reference's gated emission.
+    with repeated-item histories (the reference's own triple-distinct
+    path for multi-visit users) should use `decay_pairs_gated`, which
+    implements the gate exactly.
     """
     lut = F.array(
         *[F.lit(v).cast("long") for v in decay_lut(n_distances, scale, max_d)]
@@ -405,3 +406,100 @@ def whitelist_semi(
     """
     wl = F.broadcast(whitelist.select(F.col(wl_col).alias(item_col)))
     return items.join(wl, on=item_col, how="left_semi")
+
+
+def decay_pairs_gated(
+    actions: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    time_col: str = "action_time",
+    n_distances: int = DECAY_N_DISTANCES,
+    scale: int = DECAY_SCALE,
+    max_d: int = 500,
+) -> DataFrame:
+    """A7 decay variant with the reference's per-user max-gated
+    repeat-pair emission — exact parity for histories where one user
+    holds the SAME item at several positions.
+
+    Ref: ItemIdCfVersion5.java:147-192. The reference dedupes the
+    (userId, itemId, ts) TRIPLE (java:143), so a multi-visit user's
+    sorted history repeats items; its reduce loop then keeps a per-user
+    map keyed by the ordered pair (item[i], item[j]) storing the max
+    score seen, emits the score only when it strictly improves that max
+    (both emission directions gate on the same max — the two map slots
+    always hold equal values in this version), and the global
+    groupBy(0,1).sum(2) adds up every emission.
+
+    Spark-first translation with NO floats in the gate: score(d) is
+    constant 1 for d <= n and strictly decreasing for d > n, so
+    "score strictly improves the stored max" is EXACTLY "clamped
+    distance max(d, n) strictly undercuts the running min over earlier
+    iteration-order pairs" — an integer window predicate, immune to
+    quantization. The emitted scores then sum via the same driver-side
+    integer LUT as `decay_pairs`, so the result is oracle-exact. The
+    iteration order of the reference's nested loop is lexicographic
+    (pos_a, pos_b), which the gate window reproduces.
+
+    Plan shape: position window on user -> pair self-join (pos_a <
+    pos_b) -> gate window on (user, item_a, item_b) -> two map-side
+    combined aggregations; the per-user cap from `user_item_history`
+    does not apply here (the reference's Version5 pipeline has none on
+    the triple-distinct path), so callers at corpus scale should
+    pre-cap histories the same way.
+    """
+    h = actions.select(user_col, item_col, time_col).distinct()
+    w = Window.partitionBy(user_col).orderBy(F.col(time_col).asc(), F.col(item_col).asc())
+    pos = h.withColumn("pos", F.row_number().over(w))
+    a = pos.select(
+        F.col(user_col),
+        F.col(item_col).alias("item_a"),
+        F.col("pos").alias("pos_a"),
+    )
+    b = pos.select(
+        F.col(user_col),
+        F.col(item_col).alias("item_b"),
+        F.col("pos").alias("pos_b"),
+    )
+    pairs = a.join(b, on=user_col, how="inner").filter(
+        (F.col("pos_a") < F.col("pos_b")) & (F.col("item_a") != F.col("item_b"))
+    )
+    d = F.col("pos_b") - F.col("pos_a")
+    clamped = F.greatest(d, F.lit(n_distances))
+    lut = F.array(
+        *[F.lit(v).cast("long") for v in decay_lut(n_distances, scale, max_d)]
+    )
+    w_scaled = F.element_at(lut, F.least(d, F.lit(max_d)).cast("int"))
+    gate_w = (
+        Window.partitionBy(user_col, "item_a", "item_b")
+        .orderBy("pos_a", "pos_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    emitted = (
+        pairs.withColumn("_clamped", clamped)
+        .withColumn("_prev_min", F.min("_clamped").over(gate_w))
+        .filter(F.col("_prev_min").isNull() | (F.col("_clamped") < F.col("_prev_min")))
+        .withColumn("w_scaled", w_scaled)
+    )
+    per_user = emitted.groupBy(user_col, "item_a", "item_b").agg(
+        F.count(F.lit(1)).alias("emissions"),
+        F.sum("w_scaled").alias("e_scaled"),
+    )
+    directed = per_user.select("item_a", "item_b", "emissions", "e_scaled").unionByName(
+        per_user.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "emissions",
+            "e_scaled",
+        )
+    )
+    return (
+        directed.groupBy("item_a", "item_b")
+        .agg(
+            F.sum("emissions").alias("emissions"),
+            F.sum("e_scaled").alias("decay_scaled"),
+        )
+        .withColumn(
+            "decay_score",
+            F.col("decay_scaled").cast("double") / F.lit(float(scale)),
+        )
+    )

@@ -125,3 +125,86 @@ def test_neighbor_lists_pre_truncate_path_identical(spark):
         for r in CF.neighbor_lists(scored, k=10, pre_truncate=True).collect()
     }
     assert salted == plain and len(plain) > 0
+
+
+def test_decay_gated_matches_reference_loop_with_repeats(spark):
+    """decay_pairs_gated re-executes ItemIdCfVersion5.java:147-192's
+    max-gated emission on a history where users revisit items — the
+    case the ungated variant documents as out of scope."""
+    import math
+
+    rows = [
+        # user u1 revisits A and B: repeat pairs with improving and
+        # non-improving distances exercise both gate branches
+        ("u1", "A", 1), ("u1", "B", 2), ("u1", "A", 3),
+        ("u1", "C", 4), ("u1", "B", 5), ("u1", "A", 6),
+        # u2: monotone improvement for (X,Y): d=3 then d=1
+        ("u2", "X", 1), ("u2", "Z", 2), ("u2", "W", 3),
+        ("u2", "Y", 4), ("u2", "X", 5), ("u2", "Y", 6),
+        # u3: repeat-free control
+        ("u3", "A", 1), ("u3", "B", 2),
+    ]
+    n = 2
+    df = spark.createDataFrame(
+        rows, "user_id string, item_id string, action_time long"
+    )
+    got = {
+        (r["item_a"], r["item_b"]): (r["emissions"], r["decay_scaled"])
+        for r in CF.decay_pairs_gated(df, n_distances=n).collect()
+    }
+
+    # ---- reference loop, verbatim semantics (raw doubles) ----
+    def quant(s: float) -> int:
+        return int(math.floor(s * 1_000_000 + 0.5))
+
+    expected: dict[tuple[str, str], list[int]] = {}
+    by_user: dict[str, list[tuple[int, str]]] = {}
+    for u, it, ts in rows:
+        by_user.setdefault(u, []).append((ts, it))
+    for u, evs in by_user.items():
+        items = [it for ts, it in sorted(evs)]
+        gate: dict[str, list[float]] = {}
+        for i in range(len(items) - 1):
+            for j in range(i + 1, len(items)):
+                a, b = items[i], items[j]
+                if a == b:
+                    continue
+                d = j - i
+                score = 1.0 if d <= n else math.exp((n - d) / (2 * n + 1))
+                key = f"{a}_{b}"
+                emits = []
+                if key in gate:
+                    arr = gate[key]
+                    if arr[0] < score:
+                        arr[0] = score
+                        emits.append((a, b))
+                    if arr[1] < score:
+                        arr[1] = score
+                        emits.append((b, a))
+                else:
+                    gate[key] = [score, score]
+                    emits = [(a, b), (b, a)]
+                for pair in emits:
+                    e = expected.setdefault(pair, [0, 0])
+                    e[0] += 1
+                    e[1] += quant(score)
+    assert got == {k: tuple(v) for k, v in expected.items()}
+
+
+def test_decay_gated_reduces_to_ungated_on_distinct_history(spark):
+    """On a repeat-free history the gate never fires: gated sums equal
+    the plain decay_pairs sums on the same positions."""
+    rows = [("u%d" % u, "item_%d" % i, 100 + i) for u in range(3) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "user_id string, item_id string, action_time long"
+    )
+    gated = {
+        (r["item_a"], r["item_b"]): r["decay_scaled"]
+        for r in CF.decay_pairs_gated(df).collect()
+    }
+    hist = CF.user_item_history(df)
+    plain = {
+        (r["item_a"], r["item_b"]): r["decay_scaled"]
+        for r in CF.decay_pairs(hist).collect()
+    }
+    assert gated == plain
