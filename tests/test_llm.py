@@ -329,3 +329,31 @@ def test_decontaminate_flags_exact_and_near_matches(spark):
     # doc 2 may or may not share the 1-perm min shingle; if flagged it
     # must be the coarse ngram tag, never exact
     assert flags.get(2) in (None, "ngram")
+
+
+def test_v32_hash_parity_across_engines(spark):
+    """The md5-derived v32 hash is the determinism foundation of every
+    dedup/LSH/split operator — prove Spark, DuckDB and the Python twin
+    agree on a diverse corpus (ascii, unicode, whitespace, empty-ish)."""
+    import duckdb
+
+    from flink_project_spark.llm import hashing as H
+
+    samples = (
+        [f"plain_{i}" for i in range(50)]
+        + [f"sp ace\t{i}\n" for i in range(10)]
+        + [f"uni_ü_漢_{i}" for i in range(10)]
+        + ["", " ", "|", "a|b", "0", "split:42"]
+    )
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", H.v32(F.col("s")).alias("h")).collect()
+    }
+    py = {s: H.v32_py(s) for s in samples}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in samples])
+    duck = dict(con.execute(f"SELECT s, {H.v32_sql('s')} FROM t").fetchall())
+    assert got == py
+    assert {k: int(v) for k, v in duck.items()} == py
