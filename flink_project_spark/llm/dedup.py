@@ -105,14 +105,21 @@ def shingle_hashes(
     )
 
 
-def _sig_from_hashes(hashed: DataFrame, k: int) -> DataFrame:
-    """(doc_id, sig) from an exploded (doc_id, h) 32-bit-hash table.
+def _sig_from_hashes(
+    hashed: DataFrame, k: int, with_count: bool = False
+) -> DataFrame:
+    """(doc_id, sig[, n_sh]) from an exploded (doc_id, h) 32-bit-hash table.
 
     Explode -> codegen'd hash aggregate with k min() columns, NOT a
     higher-order-function fold: HOF lambdas evaluate interpreted per
     element, while a grouped min() runs inside WholeStageCodegen with
     map-side partial aggregation — the shuffle carries only
     |docs| x k longs regardless of corpus size.
+
+    with_count=True fuses the per-doc shingle count (the exact-Jaccard
+    union denominator) into the SAME aggregate — the near-dup pipeline
+    needs both, and a fused pass saves a full second aggregation over
+    the exploded table.
     """
     a, b = minhash_coeffs(k)
     aggs = [
@@ -121,13 +128,12 @@ def _sig_from_hashes(hashed: DataFrame, k: int) -> DataFrame:
         ).alias(f"_mh{s}")
         for s in range(k)
     ]
-    return (
-        hashed.groupBy("doc_id")
-        .agg(*aggs)
-        .select(
-            "doc_id", F.array(*[f"_mh{s}" for s in range(k)]).alias("sig")
-        )
-    )
+    if with_count:
+        aggs.append(F.count(F.lit(1)).alias("n_sh"))
+    out_cols = ["doc_id", F.array(*[f"_mh{s}" for s in range(k)]).alias("sig")]
+    if with_count:
+        out_cols.append(F.col("n_sh"))
+    return hashed.groupBy("doc_id").agg(*aggs).select(*out_cols)
 
 
 def doc_signatures(
@@ -340,10 +346,14 @@ def near_dup_pairs(
     from flink_project_spark.cache import persist_tracked
 
     ex = persist_tracked(shingle_hashes(docs, text_col, n), "neardup_shingles")
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # ONE aggregate over the exploded table produces both the signature
+    # and the shingle count (union denominator) — the old separate
+    # `sizes` aggregate ran twice more (once per join side)
     sigs = persist_tracked(
         _sig_from_hashes(
-            ex.select("doc_id", v32_from_hex(F.col("hx")).alias("h")), k
+            ex.select("doc_id", v32_from_hex(F.col("hx")).alias("h")),
+            k,
+            with_count=True,
         ),
         "neardup_sigs",
     )
@@ -400,16 +410,43 @@ def near_dup_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    est = estimated_jaccard(cand, sigs)
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # one enrichment join pass: signature AND shingle count ride the
+    # same persisted per-doc table, so the MinHash estimate and the
+    # union denominator attach in two joins instead of four
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda z: z,
+        )
+    )
+    enriched = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            (
+                eq.cast("double") / F.size(F.col("sig_a")).cast("double")
+            ).alias("est_jaccard"),
+        )
+    )
     jac = F.col("i").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("i")
     ).cast("double")
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .join(est, ["doc_a", "doc_b"])
+        inter.join(enriched, ["doc_a", "doc_b"])
         .select("doc_a", "doc_b", jac.alias("jaccard"), "est_jaccard")
         .filter(F.col("jaccard") >= threshold)
     )

@@ -42,6 +42,11 @@ from pyspark.sql import functions as F
 
 DECAY_SCALE = 1_000_000
 
+#: default for the reference's 'itemcf.itemid.distances' config
+#: (ItemIdCfVersion5.java:46) — the properties file is not in the repo,
+#: so the value is a documented choice, not recovered from the reference.
+DECAY_N_DISTANCES = 5
+
 
 def user_item_history(
     actions: DataFrame,
@@ -69,6 +74,110 @@ def user_item_history(
     if max_history is not None:
         h = h.filter(F.col("n_items") <= max_history)
     return h
+
+
+def user_item_history_arrays(
+    actions: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    time_col: str = "action_time",
+    max_history: int | None = 500,
+) -> DataFrame:
+    """(user, items) with items = time-sorted array of (ft, it) structs —
+    the array twin of `user_item_history`, and the preferred SHARED
+    intermediate for the item-CF chain.
+
+    One shuffle (groupBy user) builds it; every downstream consumer is
+    then shuffle-free until its own aggregation: positions are array
+    indices (array_sort on the (ft, it) struct = the reference's
+    sort-by-time-then-item order, ItemIdCfVersion5.java:147), the
+    per-user cap is a size() filter instead of a count window, and pair
+    expansion is a double posexplode (codegen'd generate) instead of a
+    self-join — no join sort, no second exchange. At 100 TB the array
+    row for a capped user is <= max_history structs (~8 KB), far below
+    any row-size hazard.
+    """
+    h = actions.groupBy(user_col, item_col).agg(
+        F.min(time_col).alias("ft")
+    )
+    arr = h.groupBy(user_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ft"), F.col(item_col).alias("it")))
+        ).alias("items")
+    )
+    if max_history is not None:
+        arr = arr.filter(F.size("items") <= max_history)
+    return arr
+
+
+def history_from_arrays(
+    arrays: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+) -> DataFrame:
+    """Row-form history (user, item, first_time, n_items) from the array
+    table — a pure generate+projection, no shuffle."""
+    return arrays.select(
+        F.col(user_col),
+        F.size("items").alias("n_items"),
+        F.explode("items").alias("e"),
+    ).select(
+        user_col,
+        F.col("e.it").alias(item_col),
+        F.col("e.ft").alias("first_time"),
+        "n_items",
+    )
+
+
+def decay_pairs_from_arrays(
+    arrays: DataFrame,
+    user_col: str = "user_id",
+    n_distances: int = DECAY_N_DISTANCES,
+    scale: int = DECAY_SCALE,
+    max_d: int = 500,
+) -> DataFrame:
+    """Fused co-occurrence + decay aggregation over the array history —
+    result identical to `decay_pairs(user_item_history(...))` (equality
+    pytest-checked), plan one full exchange cheaper: the quadratic pair
+    stream is generated by two stacked posexplodes inside the stage that
+    reads the (persisted) array table, so the only shuffle this operator
+    adds is the final map-side-combined groupBy(item_a, item_b).
+
+    Positions are 0-based array indices; only distances |i - j| enter
+    the LUT, so they equal the 1-based row_number form exactly.
+    """
+    lut = F.array(
+        *[F.lit(v).cast("long") for v in decay_lut(n_distances, scale, max_d)]
+    )
+    ex1 = arrays.select(
+        user_col, "items", F.posexplode("items").alias("i", "sa")
+    )
+    ex2 = ex1.select(
+        user_col,
+        F.col("sa.it").alias("item_a"),
+        F.col("i").alias("pa"),
+        F.posexplode("items").alias("j", "sb"),
+    )
+    d = F.abs(F.col("pa") - F.col("j"))
+    return (
+        ex2.filter(F.col("item_a") != F.col("sb.it"))
+        .select(
+            "item_a",
+            F.col("sb.it").alias("item_b"),
+            F.element_at(lut, F.least(d, F.lit(max_d)).cast("int")).alias(
+                "w_scaled"
+            ),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.count(F.lit(1)).alias("cooc"),
+            F.sum("w_scaled").alias("decay_scaled"),
+        )
+        .withColumn(
+            "decay_score",
+            F.col("decay_scaled").cast("double") / F.lit(float(scale)),
+        )
+    )
 
 
 def cooccurrence_pairs(history: DataFrame, user_col: str = "user_id",
@@ -137,12 +246,6 @@ def _with_positions(history: DataFrame, user_col: str, item_col: str) -> DataFra
         F.col("first_time").asc(), F.col(item_col).asc()
     )
     return history.withColumn("pos", F.row_number().over(w))
-
-
-#: default for the reference's 'itemcf.itemid.distances' config
-#: (ItemIdCfVersion5.java:46) — the properties file is not in the repo,
-#: so the value is a documented choice, not recovered from the reference.
-DECAY_N_DISTANCES = 5
 
 
 def decay_lut(

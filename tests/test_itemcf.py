@@ -208,3 +208,29 @@ def test_decay_gated_reduces_to_ungated_on_distinct_history(spark):
         for r in CF.decay_pairs(hist).collect()
     }
     assert gated == plain
+
+
+def test_array_history_path_equals_row_path(spark):
+    """The persisted-array pipeline (user_item_history_arrays ->
+    history_from_arrays / decay_pairs_from_arrays) must reproduce the
+    row-form operators exactly — it is the entry point's default."""
+    va = FX.fixture_df(spark, SF_SMOKE, "valid_actions")
+    arrays = CF.user_item_history_arrays(va, max_history=500)
+
+    row_hist = CF.user_item_history(va, max_history=500).select(
+        "user_id", "item_id", "first_time", "n_items"
+    )
+    arr_hist = CF.history_from_arrays(arrays).select(
+        "user_id", "item_id", "first_time", "n_items"
+    )
+    assert row_hist.exceptAll(arr_hist).count() == 0
+    assert arr_hist.exceptAll(row_hist).count() == 0
+
+    row_pairs = CF.decay_pairs(CF.user_item_history(va, max_history=500)).select(
+        "item_a", "item_b", "cooc", "decay_scaled"
+    )
+    arr_pairs = CF.decay_pairs_from_arrays(arrays).select(
+        "item_a", "item_b", "cooc", "decay_scaled"
+    )
+    assert row_pairs.exceptAll(arr_pairs).count() == 0
+    assert arr_pairs.exceptAll(row_pairs).count() == 0
