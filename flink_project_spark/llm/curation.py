@@ -123,16 +123,25 @@ def decontaminate(
     """
     fp_c = TX.fingerprint(corpus, text_col)
     fp_b = TX.fingerprint(benchmark, text_col)
-    b_exact = F.broadcast(fp_b.select("content_md5").distinct())
-    b_ngram = F.broadcast(fp_b.select("min_shingle_md5").distinct())
-    exact = fp_c.join(b_exact, "content_md5", "left_semi").select(
-        "doc_id", F.lit("exact").alias("match_type")
+    b_exact = F.broadcast(
+        fp_b.select("content_md5").distinct().withColumn("_e", F.lit(1))
     )
-    ngram = fp_c.join(b_ngram, "min_shingle_md5", "left_semi").select(
-        "doc_id", F.lit("ngram").alias("match_type")
+    b_ngram = F.broadcast(
+        fp_b.select("min_shingle_md5").distinct().withColumn("_n", F.lit(1))
     )
+    # ONE pass over the corpus fingerprints (the expensive shingle
+    # explode + min aggregate) with both flag joins attached as
+    # broadcast left joins — the union-of-semi-joins form evaluated the
+    # fingerprint subtree once per match column. fingerprint() emits one
+    # row per doc, so no regrouping is needed to dedup match types.
     return (
-        exact.unionByName(ngram)
-        .groupBy("doc_id")
-        .agg(F.min("match_type").alias("match_type"))
+        fp_c.join(b_exact, "content_md5", "left")
+        .join(b_ngram, "min_shingle_md5", "left")
+        .filter(F.col("_e").isNotNull() | F.col("_n").isNotNull())
+        .select(
+            "doc_id",
+            F.when(F.col("_e").isNotNull(), F.lit("exact"))
+            .otherwise(F.lit("ngram"))
+            .alias("match_type"),
+        )
     )
