@@ -134,7 +134,7 @@ def decay_pairs_from_arrays(
     user_col: str = "user_id",
     n_distances: int = DECAY_N_DISTANCES,
     scale: int = DECAY_SCALE,
-    max_d: int = 500,
+    max_d: int | None = None,
 ) -> DataFrame:
     """Fused co-occurrence + decay aggregation over the array history —
     result identical to `decay_pairs(user_item_history(...))` (equality
@@ -146,9 +146,9 @@ def decay_pairs_from_arrays(
     Positions are 0-based array indices; only distances |i - j| enter
     the LUT, so they equal the 1-based row_number form exactly.
     """
-    lut = F.array(
-        *[F.lit(v).cast("long") for v in decay_lut(n_distances, scale, max_d)]
-    )
+    lut_vals = decay_lut(n_distances, scale, max_d)
+    lut = F.array(*[F.lit(v).cast("long") for v in lut_vals])
+    max_d = len(lut_vals)
     ex1 = arrays.select(
         user_col, "items", F.posexplode("items").alias("i", "sa")
     )
@@ -251,7 +251,7 @@ def _with_positions(history: DataFrame, user_col: str, item_col: str) -> DataFra
 def decay_lut(
     n_distances: int = DECAY_N_DISTANCES,
     scale: int = DECAY_SCALE,
-    max_d: int = 500,
+    max_d: int | None = None,
 ) -> list[int]:
     """Quantized reference decay weights indexed by position distance.
 
@@ -260,12 +260,23 @@ def decay_lut(
     Computed once on the driver (like llm.hashing.plane_weights) and
     embedded as literals into BOTH the Spark plan and the DuckDB oracle,
     so the quantization — not libm — defines the value in every engine.
-    max_d bounds the table; distances beyond it clamp to the last entry
-    (monotone tail, weight already < 1e-6 * scale well before d=500 for
-    small n).
+
+    max_d=None (default) sizes the table to the quantization zero point:
+    the weight rounds to 0 once exp((n-d)/(2n+1)) * scale < 0.5, i.e.
+    d > n + (2n+1) * ln(2 * scale) — 165 entries at the (n=5, scale=1e6)
+    defaults. Larger distances clamp to the last (zero) entry, so the
+    truncated table sums identically to any longer one while keeping the
+    plan literal (and its codegen) ~3x smaller.
     """
     import math
 
+    if max_d is None:
+        max_d = max(
+            n_distances + 1,
+            math.ceil(
+                n_distances + (2 * n_distances + 1) * math.log(2.0 * scale)
+            ),
+        )
     out = []
     for d in range(1, max_d + 1):
         s = (
@@ -300,7 +311,7 @@ def decay_pairs(
     item_col: str = "item_id",
     n_distances: int = DECAY_N_DISTANCES,
     scale: int = DECAY_SCALE,
-    max_d: int = 500,
+    max_d: int | None = None,
 ) -> DataFrame:
     """A7 (decay variant, deterministic form): reference decay weights,
     summed in exact scaled-integer arithmetic.
@@ -322,9 +333,9 @@ def decay_pairs(
     path for multi-visit users) should use `decay_pairs_gated`, which
     implements the gate exactly.
     """
-    lut = F.array(
-        *[F.lit(v).cast("long") for v in decay_lut(n_distances, scale, max_d)]
-    )
+    lut_vals = decay_lut(n_distances, scale, max_d)
+    lut = F.array(*[F.lit(v).cast("long") for v in lut_vals])
+    max_d = len(lut_vals)
     d = F.abs(F.col("pos_a") - F.col("pos_b"))
     w_scaled = F.element_at(lut, F.least(d, F.lit(max_d)).cast("int"))
     return (
@@ -518,7 +529,7 @@ def decay_pairs_gated(
     time_col: str = "action_time",
     n_distances: int = DECAY_N_DISTANCES,
     scale: int = DECAY_SCALE,
-    max_d: int = 500,
+    max_d: int | None = None,
 ) -> DataFrame:
     """A7 decay variant with the reference's per-user max-gated
     repeat-pair emission — exact parity for histories where one user
@@ -543,34 +554,45 @@ def decay_pairs_gated(
     iteration order of the reference's nested loop is lexicographic
     (pos_a, pos_b), which the gate window reproduces.
 
-    Plan shape: position window on user -> pair self-join (pos_a <
-    pos_b) -> gate window on (user, item_a, item_b) -> two map-side
-    combined aggregations; the per-user cap from `user_item_history`
-    does not apply here (the reference's Version5 pipeline has none on
-    the triple-distinct path), so callers at corpus scale should
-    pre-cap histories the same way.
+    Plan shape: ONE groupBy(user) shuffle builds the per-user sorted
+    deduped (t, item) array (array_distinct = the reference's triple
+    distinct, array_sort = its sort-by-time order); pair expansion is a
+    stacked posexplode (pos_a < pos_b) — no self-join, no position
+    window; then the gate window on (user, item_a, item_b) and two
+    map-side combined aggregations. The per-user cap from
+    `user_item_history` does not apply here (the reference's Version5
+    pipeline has none on the triple-distinct path), so callers at
+    corpus scale should pre-cap histories the same way.
     """
-    h = actions.select(user_col, item_col, time_col).distinct()
-    w = Window.partitionBy(user_col).orderBy(F.col(time_col).asc(), F.col(item_col).asc())
-    pos = h.withColumn("pos", F.row_number().over(w))
-    a = pos.select(
-        F.col(user_col),
-        F.col(item_col).alias("item_a"),
-        F.col("pos").alias("pos_a"),
+    arr = actions.select(user_col, item_col, time_col).groupBy(user_col).agg(
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(
+                    F.struct(
+                        F.col(time_col).alias("t"),
+                        F.col(item_col).alias("it"),
+                    )
+                )
+            )
+        ).alias("items")
     )
-    b = pos.select(
-        F.col(user_col),
-        F.col(item_col).alias("item_b"),
-        F.col("pos").alias("pos_b"),
+    ex1 = arr.select(user_col, "items", F.posexplode("items").alias("i", "sa"))
+    ex2 = ex1.select(
+        user_col,
+        F.col("sa.it").alias("item_a"),
+        F.col("i").alias("pos_a"),
+        F.posexplode("items").alias("pos_b", "sb"),
     )
-    pairs = a.join(b, on=user_col, how="inner").filter(
-        (F.col("pos_a") < F.col("pos_b")) & (F.col("item_a") != F.col("item_b"))
+    pairs = ex2.filter(
+        (F.col("pos_a") < F.col("pos_b")) & (F.col("item_a") != F.col("sb.it"))
+    ).select(
+        user_col, "item_a", F.col("sb.it").alias("item_b"), "pos_a", "pos_b"
     )
     d = F.col("pos_b") - F.col("pos_a")
     clamped = F.greatest(d, F.lit(n_distances))
-    lut = F.array(
-        *[F.lit(v).cast("long") for v in decay_lut(n_distances, scale, max_d)]
-    )
+    lut_vals = decay_lut(n_distances, scale, max_d)
+    lut = F.array(*[F.lit(v).cast("long") for v in lut_vals])
+    max_d = len(lut_vals)
     w_scaled = F.element_at(lut, F.least(d, F.lit(max_d)).cast("int"))
     gate_w = (
         Window.partitionBy(user_col, "item_a", "item_b")

@@ -49,6 +49,10 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # FAIR scheduling lets independent jobs share executor slots —
+        # the bench's parallel cache-build chains and any multi-tenant
+        # deployment benefit; FIFO would serialize concurrent pipelines
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
