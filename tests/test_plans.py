@@ -85,3 +85,41 @@ def test_no_unbounded_cartesian_products(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_itemcf_pair_build_is_joinless_generate(spark):
+    """The array-history pair build must stay a groupBy -> stacked
+    posexplode -> single aggregation exchange: no join operator of any
+    kind in the plan (the old self-join form sorted the pair stream
+    twice), and the only exchanges are the two aggregations (history
+    groupBy(user), pair groupBy(item_a, item_b)) plus the persisted
+    array read when the cache is warm."""
+    from flink_project_spark import fixtures as FX
+    from flink_project_spark.operators import itemcf as CF
+
+    va = FX.fixture_df(spark, SF_DIR, "valid_actions")
+    arrays = CF.user_item_history_arrays(va, max_history=500)
+    plan = (
+        CF.decay_pairs_from_arrays(arrays)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Generate") == 2, plan
+    # pair generation contributes exactly two aggregation exchanges on
+    # top of whatever the (here unpersisted) history subtree needs
+    hist_plan = (
+        arrays._jdf.queryExecution().executedPlan().toString()
+    )
+    extra = plan.count("Exchange") - hist_plan.count("Exchange")
+    assert extra == 1, (extra, plan)
+
+
+def test_decontaminate_joins_are_broadcast(spark):
+    """Both benchmark fingerprint joins must broadcast (the corpus side
+    streams); a shuffle join here would repartition the full corpus
+    twice at 100 TB."""
+    plan = _plan(spark, "doc_decontaminate")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
