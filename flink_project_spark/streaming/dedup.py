@@ -1,0 +1,47 @@
+"""Streaming ingest deduplication for document corpora.
+
+A training-data pipeline dedups AT INGEST so duplicates never reach
+storage: every arriving document is content-hashed and dropped if the
+same hash was seen within the watermark horizon. This is the streaming
+twin of ``llm.dedup.exact_dedup_groups`` (batch md5 groupBy), built on
+Structured Streaming's ``dropDuplicatesWithinWatermark`` so the dedup
+state is BOUNDED — hashes older than the watermark are evicted, which
+is what makes the operator runnable forever at 100 TB/day (an unbounded
+``dropDuplicates`` would accumulate one state row per distinct document
+for the lifetime of the stream).
+
+Semantics vs the batch operator: within one watermark horizon the
+result is identical (first arrival survives); re-occurrences farther
+apart than the horizon are re-admitted — the standard
+bounded-state trade-off, surfaced as the ``horizon`` parameter rather
+than hidden. Cross-horizon exactness belongs to the batch pass
+(``exact_dedup_groups``) that compacts the landed corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    horizon: str = "10 minutes",
+) -> DataFrame:
+    """Drop documents whose content md5 already arrived within
+    ``horizon`` event time.
+
+    One narrow state key (32-byte hash + timestamp) per distinct
+    in-horizon document; the payload column never enters state. Works
+    on batch frames too (falls back to plain ``dropDuplicates`` on the
+    hash, matching the batch operator exactly) so stream/batch
+    equivalence is testable on the same input.
+    """
+    hashed = stream.withColumn("content_md5", F.md5(F.col(text_col)))
+    if hashed.isStreaming:
+        return hashed.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(
+            ["content_md5"]
+        )
+    return hashed.dropDuplicates(["content_md5"])

@@ -625,3 +625,62 @@ def test_socket_stream_ingest(spark):
     finally:
         stop.set()
         q.stop()
+
+
+def test_streaming_exact_dedup_matches_batch_and_readmits_after_horizon(
+    spark, tmp_path
+):
+    """Ingest dedup: within one watermark horizon the stream keeps
+    exactly the batch operator's survivor set (first arrival per content
+    hash); a duplicate arriving beyond the horizon is re-admitted —
+    the documented bounded-state trade-off."""
+    from flink_project_spark.streaming import dedup as SD
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    base = "2024-01-01 00:"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, ts_s string, text string"
+        ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "text")
+
+    # batch 1: a,b,a-dup inside the horizon; batch 2 advances the
+    # watermark far past the horizon; batch 3 re-sends a
+    batches = [
+        mk([(1, f"{base}00:00", "a"), (2, f"{base}00:30", "b"),
+            (3, f"{base}01:00", "a")]),
+        mk([(4, f"{base}40:00", "c")]),
+        mk([(5, f"{base}41:00", "a")]),
+    ]
+    batches[0].coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).parquet(str(src))
+    out = SD.streaming_exact_dedup(stream, "text", "ts", "10 minutes")
+    name = f"m{uuid.uuid4().hex[:10]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    for b in batches[1:]:
+        b.coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r.doc_id, r.text)
+        for r in spark.sql(f"SELECT doc_id, text FROM {name}").collect()
+    )
+    # in-horizon: doc 3 (duplicate of 1) dropped — matches the batch
+    # operator on batch 1; cross-horizon: doc 5 re-admitted
+    assert got == [(1, "a"), (2, "b"), (4, "c"), (5, "a")], got
+
+    batch_survivors = sorted(
+        r.doc_id
+        for r in SD.streaming_exact_dedup(batches[0], "text", "ts").collect()
+    )
+    assert batch_survivors == [1, 2]
