@@ -357,3 +357,42 @@ def test_v32_hash_parity_across_engines(spark):
     duck = dict(con.execute(f"SELECT s, {H.v32_sql('s')} FROM t").fetchall())
     assert got == py
     assert {k: int(v) for k, v in duck.items()} == py
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Property check: on seeded random graphs the large-star/small-star
+    result equals an independent driver-side union-find."""
+    import random
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        n = 60
+        edges = sorted(
+            {
+                tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                for _ in range(45)
+            }
+        )
+        edges = [(f"d{a:03d}", f"d{b:03d}") for a, b in edges if a != b]
+
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {x: find(x) for x in parent}
+
+        pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
+        got = {
+            r.doc_id: r.component
+            for r in DD.connected_components(pairs).collect()
+        }
+        assert got == expected, (seed, got, expected)
