@@ -510,9 +510,20 @@ def connected_components(
         dm = dirn.withColumn(
             "m", F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
         )
+        # both star edges via one generate — a union of two selects
+        # would evaluate the large-star + window subtree twice per round
         edges = (
-            dm.select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(dm.select(F.col("u"), F.col("m").alias("v")))
+            dm.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("v").alias("u"), F.col("m").alias("v")
+                        ),
+                        F.struct(F.col("u"), F.col("m").alias("v")),
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
             .filter(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint()

@@ -609,14 +609,23 @@ def decay_pairs_gated(
         F.count(F.lit(1)).alias("emissions"),
         F.sum("w_scaled").alias("e_scaled"),
     )
-    directed = per_user.select("item_a", "item_b", "emissions", "e_scaled").unionByName(
-        per_user.select(
-            F.col("item_b").alias("item_a"),
-            F.col("item_a").alias("item_b"),
-            "emissions",
-            "e_scaled",
-        )
-    )
+    # both emission directions via ONE generate instead of a union of
+    # two selects — a union would evaluate the gate-window subtree
+    # twice (ReuseExchange shares only the shuffle, not the sort +
+    # filter + aggregation above it)
+    directed = per_user.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("item_a"), F.col("item_b")),
+                F.struct(
+                    F.col("item_b").alias("item_a"),
+                    F.col("item_a").alias("item_b"),
+                ),
+            )
+        ).alias("p"),
+        "emissions",
+        "e_scaled",
+    ).select("p.item_a", "p.item_b", "emissions", "e_scaled")
     return (
         directed.groupBy("item_a", "item_b")
         .agg(
