@@ -123,3 +123,30 @@ def test_decontaminate_joins_are_broadcast(spark):
     plan = _plan(spark, "doc_decontaminate")
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_train_split_is_zero_shuffle_projection(spark):
+    """The train_split OPERATOR promises a pure projection (hash-bucket
+    tagging must not repartition the corpus at 100 TB); the driver query
+    adds a per-split summary aggregate on top, which legitimately
+    shuffles its tiny (split, counts) rows."""
+    from flink_project_spark.llm import curation as CU
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        CU.train_split(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_media_metadata_stats_prune_binary_payload(spark):
+    """media_payload_stats aggregates metadata only — the opaque binary
+    column must not be read from the scan (at 100 TB the payload is
+    ~all the bytes)."""
+    plan = _plan(spark, "media_payload_stats")
+    scan = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert scan is not None, plan
+    assert "payload" not in scan.group(1), scan.group(1)
