@@ -65,8 +65,6 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
         _cache.clear(spark)
 
-    t0 = time.perf_counter()
-    inter = entrymod.shared_intermediates(spark, sf_dir)
     # Independent chains (item-CF vs documents vs embeddings) are
     # materialized concurrently — Spark's scheduler interleaves the
     # jobs, and small-data stages leave most cores idle otherwise. The
@@ -82,19 +80,34 @@ def main() -> None:
             return "emb"
         return "docs"
 
-    chains: dict[str, list] = {}
-    for name, df in inter.items():
-        chains.setdefault(_chain(name), []).append(df)
-
     def _run_chain(dfs: list) -> None:
         for df in dfs:
             df.write.format("noop").mode("overwrite").save()
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=len(chains)) as pool:
-        list(pool.map(_run_chain, chains.values()))
-    cache_build = round(time.perf_counter() - t0, 4)
+    from flink_project_spark import cache as _cache
+
+    def _build_once() -> float:
+        t0 = time.perf_counter()
+        inter = entrymod.shared_intermediates(spark, sf_dir)
+        chains: dict[str, list] = {}
+        for name, df in inter.items():
+            chains.setdefault(_chain(name), []).append(df)
+        with ThreadPoolExecutor(max_workers=len(chains)) as pool:
+            list(pool.map(_run_chain, chains.values()))
+        return round(time.perf_counter() - t0, 4)
+
+    # The build is measured min-of-N under the SAME aggregation policy
+    # as the per-query times (this VM shows ±2x host-contention spikes;
+    # min-of-N measures the engine, not the neighbor). Each extra pass
+    # releases the persisted tables and rebuilds them from parquet —
+    # full real work, both raw pass times reported.
+    build_passes = [_build_once()]
+    for _ in range(max(1, int(os.environ.get("SPARK_GRAFT_BUILD_RUNS", "2"))) - 1):
+        _cache.clear(spark)
+        build_passes.append(_build_once())
+    cache_build = min(build_passes)
 
     # Per-query wall times are min-of-N (default 2 passes): this VM
     # shows multi-second single-query spikes under host contention
@@ -122,6 +135,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "cache_build_seconds": cache_build,
+                "cache_build_passes": build_passes,
                 "bench_runs": runs,
                 "aggregation": "min_per_query",
                 "pass_totals": [round(sum(p.values()), 4) for p in passes],
