@@ -2,7 +2,7 @@
 training-data pipeline (downstream of cleaning/dedup, upstream of
 tokenization).
 
-Three operators a 100 TB corpus build needs beyond dedup/similarity:
+The operators a 100 TB corpus build needs beyond dedup/similarity:
 
 - `train_split`: deterministic content-independent hash split into
   train/val/test. Pure per-row projection — no shuffle, no state, and
@@ -100,6 +100,55 @@ def source_quota(
     return top_k_per_group(
         slim, [by], [F.col("n_chars").desc(), F.col("doc_id").asc()], quota
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    n_per_stratum: int,
+    by: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Exactly-N-per-stratum deterministic sample: within each `by`
+    group keep the `n_per_stratum` rows with the smallest
+    ``md5(salt ':' key)`` — uniform-at-random in expectation (md5 is an
+    avalanche hash of the key) yet fully reproducible across runs and
+    engines, with no RNG state. Changing `salt` draws an independent
+    sample.
+
+    Plan: one hash-partitioned window per stratum (the same top-K shape
+    as `source_quota`; for a hot stratum use the salted two-phase
+    variant in operators/setops.py). When an exact count isn't required,
+    prefer `sample_by_hash` — a pure filter with NO shuffle at all.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(by).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def sample_by_hash(
+    docs: DataFrame,
+    rate_pct: int,
+    key_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Bernoulli-style deterministic sample: keep rows whose
+    ``v32(salt ':' key) % 100`` falls under `rate_pct`. A pure per-row
+    projection + filter — zero shuffle, streams through the scan at any
+    scale, and the same (salt, key) always lands in the same draw, so
+    incremental corpus builds resample consistently. The percentage is
+    exact only in expectation; use `stratified_sample` for exact-N.
+    """
+    if not 0 <= rate_pct <= 100:
+        raise ValueError(f"rate_pct must be 0..100, got {rate_pct}")
+    bucket = v32(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))) % 100
+    return docs.filter(bucket < F.lit(rate_pct))
 
 
 def decontaminate(

@@ -202,6 +202,113 @@ def top_terms(
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document (public heuristics:
+    Rae et al. 2021 §A1.1 repetition filters, adapted to word level).
+
+    Output per doc: ``n_words``, ``dup_word_frac`` (1 - distinct/total),
+    ``top_word_frac`` (share of the most frequent word),
+    ``top_bigram_frac`` (share of the most frequent word bigram among
+    all consecutive bigrams). High values flag boilerplate / degenerate
+    repetition for corpus filtering.
+
+    Shape: one projection builds the word and bigram arrays, then each
+    level is explode -> two codegen'd grouped aggregations (map-side
+    combined). The final doc-level join is on `doc_id`, which BOTH
+    sides are already hash-partitioned on from their aggregations, so
+    Catalyst reuses the exchange — no third shuffle. All fractions are
+    single IEEE divisions of exact integers (oracle bit-parity).
+    explode_outer keeps zero-word docs (fractions 0.0).
+    """
+    n_m1 = F.greatest(F.size(F.col("ws")) - 1, F.lit(0))
+    base = docs.select("doc_id", words(text_col).alias("ws")).select(
+        "doc_id",
+        "ws",
+        # consecutive-bigram array: zip ws[0..n-2] with ws[1..n-1]
+        F.zip_with(
+            F.slice(F.col("ws"), 1, n_m1),
+            F.slice(F.col("ws"), 2, n_m1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ).alias("bg"),
+    )
+
+    def _level(col: str, out_prefix: str) -> DataFrame:
+        per_gram = (
+            base.select("doc_id", F.explode_outer(col).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        nn = F.col("g").isNotNull()
+        return per_gram.groupBy("doc_id").agg(
+            F.sum(F.when(nn, F.col("cnt")).otherwise(0)).alias(f"{out_prefix}_n"),
+            F.count(F.when(nn, F.lit(1))).alias(f"{out_prefix}_distinct"),
+            F.max(F.when(nn, F.col("cnt")).otherwise(0)).alias(f"{out_prefix}_top"),
+        )
+
+    w_stats = _level("ws", "w")
+    b_stats = _level("bg", "b")
+    nw = F.col("w_n").cast("double")
+    nb = F.col("b_n").cast("double")
+    return (
+        w_stats.join(b_stats, "doc_id")
+        .select(
+            "doc_id",
+            F.col("w_n").alias("n_words"),
+            F.when(
+                F.col("w_n") > 0,
+                F.lit(1.0) - F.col("w_distinct").cast("double") / nw,
+            )
+            .otherwise(0.0)
+            .alias("dup_word_frac"),
+            F.when(F.col("w_n") > 0, F.col("w_top").cast("double") / nw)
+            .otherwise(0.0)
+            .alias("top_word_frac"),
+            F.when(F.col("b_n") > 0, F.col("b_top").cast("double") / nb)
+            .otherwise(0.0)
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
+# PII-shaped patterns, written in the common Java-regex/RE2 subset so
+# the engine and any SQL oracle compile them identically.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "ipv4": "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone": "\\+[0-9]{7,15}",
+}
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source PII-pattern exposure: match counts for email / IPv4 /
+    international-phone shapes, plus how many docs carry any match.
+
+    This is the *detection/measurement* operator of a scrubbing
+    pipeline (redaction itself is ``regexp_replace`` with the same
+    patterns). Pure per-row ``regexp_extract_all`` counts inside the
+    scan (column-pruned to (source, text)), then one small per-source
+    aggregate — the same shape at 100 TB, with the regex cost spread
+    across the scan partitions.
+    """
+    t = F.col(text_col)
+    counts = docs.select(
+        "source",
+        *[
+            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+            for name, pat in PII_PATTERNS.items()
+        ],
+    )
+    any_hit = sum(F.col(f"n_{name}") for name in PII_PATTERNS) > 0
+    return counts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(f"n_{name}").cast("bigint").alias(f"{name}_matches")
+            for name in PII_PATTERNS
+        ],
+        F.sum(F.when(any_hit, 1).otherwise(0)).cast("bigint").alias("docs_with_pii"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: content md5 over normalized text + the
     minimum shingle hash (a 1-permutation MinHash — winnowing-style

@@ -396,3 +396,96 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             for r in DD.connected_components(pairs).collect()
         }
         assert got == expected, (seed, got, expected)
+
+
+# ---------------------------------------------------------------------------
+# repetition signals, PII counting, sampling
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_flags_degenerate_text(spark):
+    from flink_project_spark.llm import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam", "en", "web", 19),     # 1 word repeated
+            (2, "a b a b a b", "en", "web", 11),             # repeated bigram
+            (3, "all words here differ", "en", "web", 21),   # no repetition
+            (4, "", "en", "web", 0),                         # empty doc
+            (5, "solo", "en", "web", 4),                     # no bigrams
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r.asDict() for r in TX.repetition_stats(docs).collect()}
+    assert got[1]["n_words"] == 4
+    assert got[1]["dup_word_frac"] == 0.75          # 1 distinct of 4
+    assert got[1]["top_word_frac"] == 1.0
+    assert got[1]["top_bigram_frac"] == 1.0         # "spam spam" x3
+    assert got[2]["top_bigram_frac"] == 0.6         # "a b" 3 of 5 bigrams
+    assert got[3]["dup_word_frac"] == 0.0
+    assert got[3]["top_word_frac"] == 0.25
+    assert got[4]["n_words"] == 0 and got[4]["top_bigram_frac"] == 0.0
+    assert got[5]["n_words"] == 1 and got[5]["top_bigram_frac"] == 0.0
+
+
+def test_pii_stats_counts_patterns(spark):
+    from flink_project_spark.llm import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+e@f-g.org here", "en", "web", 30),
+            (2, "server at 10.0.0.1 and 192.168.1.255", "en", "web", 30),
+            (3, "call +4915112345678 now", "en", "crawl", 23),
+            (4, "no pii at all", "en", "crawl", 13),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["source"]: r.asDict() for r in TX.pii_stats(docs).collect()}
+    assert got["web"]["email_matches"] == 2
+    assert got["web"]["ipv4_matches"] == 2
+    assert got["web"]["phone_matches"] == 0
+    assert got["web"]["docs_with_pii"] == 2
+    assert got["crawl"]["phone_matches"] == 1
+    assert got["crawl"]["docs_with_pii"] == 1
+    assert got["crawl"]["n_docs"] == 2
+
+
+def test_stratified_sample_exact_n_and_salt_independence(spark):
+    from flink_project_spark.llm import curation as CUR
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", ["en", "de", "fr"][i % 3], "web", 10) for i in range(300)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    s1 = CUR.stratified_sample(docs, 10, by="lang").collect()
+    per_lang: dict[str, int] = {}
+    for r in s1:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + 1
+    assert per_lang == {"en": 10, "de": 10, "fr": 10}
+    # deterministic: the same call returns the identical id set
+    s2 = CUR.stratified_sample(docs, 10, by="lang").collect()
+    assert sorted(r["doc_id"] for r in s1) == sorted(r["doc_id"] for r in s2)
+    # a different salt draws a (near-certainly) different set
+    s3 = CUR.stratified_sample(docs, 10, by="lang", salt="other").collect()
+    assert sorted(r["doc_id"] for r in s3) != sorted(r["doc_id"] for r in s1)
+
+
+def test_sample_by_hash_rate_and_stability(spark):
+    import pytest
+
+    from flink_project_spark.llm import curation as CUR
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "en", "web", 10) for i in range(1000)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    kept = CUR.sample_by_hash(docs, 10).select("doc_id").collect()
+    # ~10% in expectation; avalanche hash keeps it in a loose band
+    assert 50 <= len(kept) <= 150
+    # subset stability: the 10% draw is a subset of the 20% draw
+    kept20 = {r["doc_id"] for r in CUR.sample_by_hash(docs, 20).collect()}
+    assert {r["doc_id"] for r in kept} <= kept20
+    assert len(CUR.sample_by_hash(docs, 0).collect()) == 0
+    assert len(CUR.sample_by_hash(docs, 100).collect()) == 1000
+    with pytest.raises(ValueError, match="0..100"):
+        CUR.sample_by_hash(docs, 101)
