@@ -29,6 +29,7 @@ from flink_project_spark import cache as CACHE
 from flink_project_spark import fixtures as FX
 from flink_project_spark.functions import scalars as SC
 from flink_project_spark.llm.contract import llm_oracle_sql, llm_queries
+from flink_project_spark.operators import asof as AS
 from flink_project_spark.operators import auc as A
 from flink_project_spark.operators import cogroup as CG
 from flink_project_spark.operators import itemcf as CF
@@ -467,6 +468,13 @@ def q_cogroup_scene_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_click_show_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of attribution: each click joined to the latest show of the
+    same (user, item) at-or-before it; per-scene counts + latency sum.
+    Union-merge as-of join — one exchange + sort, no non-equi join."""
+    return AS.click_show_attribution(_valid_actions(spark, sf_dir))
+
+
 def q_multi_resolution_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 batch form: 5m/15m/1h/1d tumbling counts, +8h-aligned day.
 
@@ -591,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_counts": q_sliding_window_counts,
         "session_window_counts": q_session_window_counts,
         "cogroup_scene_stats": q_cogroup_scene_stats,
+        "click_show_attribution": q_click_show_attribution,
         **llm_queries(),
         # ---- past the driver's 50-row cap (every entry below is still
         # oracle-checked by the pytest sweep each run; placement here is
@@ -1150,6 +1159,27 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(rc.recall_cnt, 0) AS recall_cnt
         FROM ac FULL OUTER JOIN rc
           ON ac.scene_id = rc.scene_id AND ac.user_id = rc.user_id
+        """,
+        "click_show_attribution": V("valid_actions")
+        + """
+        , shows AS (
+          SELECT DISTINCT user_id, item_id, action_time
+          FROM valid_actions WHERE action = 'show'
+        ), clicks AS (
+          SELECT scene_id, user_id, item_id, action_time
+          FROM valid_actions WHERE action = 'click'
+        )
+        SELECT c.scene_id AS scene_id,
+               count(*) AS n_clicks,
+               CAST(SUM(CASE WHEN s.action_time IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+               CAST(SUM(CASE WHEN s.action_time IS NOT NULL
+                        THEN c.action_time - s.action_time
+                        ELSE 0 END) AS BIGINT) AS sum_latency_ms
+        FROM clicks c ASOF LEFT JOIN shows s
+          ON c.user_id = s.user_id AND c.item_id = s.item_id
+         AND c.action_time >= s.action_time
+        GROUP BY 1
         """,
         **llm_oracle_sql(),
     }

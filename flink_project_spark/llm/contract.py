@@ -312,7 +312,6 @@ def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dups": q_emb_near_dups,
         "media_payload_stats": q_media_payload_stats,
         "media_decode": q_media_decode,
-        "media_frame_sample": q_media_frame_sample,
         "media_resize_plan": q_media_resize_plan,
         # curation ops carry semantics no other query oracle-checks
         # (hash split, per-source quota, decontamination joins,
@@ -323,10 +322,13 @@ def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenization for doc_token_stats/word_counts; stratified
         # sampling is the doc_source_quota window with an md5 order key;
         # PII counting is the regexp_extract_all machinery of
-        # url_param_parse) — the pytest sweep still checks all entries
+        # url_param_parse; media_frame_sample shares decode_media with
+        # the in-cap media_resize_plan/media_decode) — the pytest sweep
+        # still checks all entries
         "doc_train_split": q_doc_train_split,
         "doc_source_quota": q_doc_source_quota,
         "doc_decontaminate": q_doc_decontaminate,
+        "media_frame_sample": q_media_frame_sample,
         "doc_token_stats": q_doc_token_stats,
         "doc_simhash": q_doc_simhash,
         "word_counts": q_word_counts,

@@ -1,0 +1,121 @@
+"""As-of join semantics: backward match, equal-time ties, tolerance
+horizon, unmatched rows, payload columns, and equivalence with a
+brute-force per-row scan on random data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_project_spark.operators.asof import asof_join, click_show_attribution
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            ("u1", "i1", 100),
+            ("u1", "i1", 50),
+            ("u2", "i1", 10),   # no right match
+            ("u1", "i2", 40),   # equal-time right match
+        ],
+        "u string, i string, t long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", "i1", 90, "a"),
+            ("u1", "i1", 40, "b"),
+            ("u1", "i1", 101, "late"),  # after every left t: never matched
+            ("u1", "i2", 40, "c"),
+        ],
+        "u string, i string, t long, tag string",
+    )
+    return left, right
+
+
+def test_asof_backward_and_equal_time_match(spark):
+    left, right = _frames(spark)
+    out = {
+        (r["u"], r["i"], r["t"]): (r["t_m"], r["tag_m"])
+        for r in asof_join(
+            left, right, ["u", "i"], "t", "t", suffix="_m"
+        ).collect()
+    }
+    assert out[("u1", "i1", 100)] == (90, "a")   # latest at-or-before 100
+    assert out[("u1", "i1", 50)] == (40, "b")
+    assert out[("u2", "i1", 10)] == (None, None)
+    assert out[("u1", "i2", 40)] == (40, "c")    # equal time matches
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left, right = _frames(spark)
+    out = {
+        (r["u"], r["i"], r["t"]): r["tag_m"]
+        for r in asof_join(
+            left, right, ["u", "i"], "t", "t", tolerance=5, suffix="_m"
+        ).collect()
+    }
+    assert out[("u1", "i1", 100)] is None        # 100-90 > 5
+    assert out[("u1", "i2", 40)] == "c"          # exact hit stays
+
+
+def test_asof_matches_brute_force_on_random_data(spark):
+    import random
+
+    rnd = random.Random(7)
+    lrows = [(f"k{rnd.randrange(5)}", rnd.randrange(1000)) for _ in range(200)]
+    rrows = [
+        (f"k{rnd.randrange(5)}", rnd.randrange(1000), j) for j in range(150)
+    ]
+    left = spark.createDataFrame(lrows, "k string, t long")
+    right = spark.createDataFrame(rrows, "k string, t long, v long")
+    got = {
+        (r["k"], r["t"], i): r["t_m"]
+        for i, r in enumerate(
+            asof_join(left, right, ["k"], "t", "t", suffix="_m")
+            .orderBy("k", "t")
+            .collect()
+        )
+    }
+    # brute force: max right t <= left t per key
+    exp = {}
+    for i, (k, t) in enumerate(sorted(lrows)):
+        cands = [rt for (rk, rt, _) in rrows if rk == k and rt <= t]
+        exp[(k, t, i)] = max(cands) if cands else None
+    assert got == exp
+
+
+def test_click_show_attribution_counts(spark):
+    va = spark.createDataFrame(
+        [
+            ("s0", "u1", "i1", "show", 100),
+            ("s0", "u1", "i1", "click", 150),   # attributed, latency 50
+            ("s0", "u1", "i1", "click", 90),    # click before any show
+            ("s1", "u2", "i2", "click", 10),    # no show at all
+            ("s1", "u3", "i3", "show", 5),
+            ("s1", "u3", "i3", "show", 8),
+            ("s1", "u3", "i3", "click", 9),     # latest show 8, latency 1
+        ],
+        "scene_id string, user_id string, item_id string, action string,"
+        " action_time long",
+    )
+    out = {r["scene_id"]: r.asDict() for r in click_show_attribution(va).collect()}
+    assert out["s0"]["n_clicks"] == 2
+    assert out["s0"]["n_attributed"] == 1
+    assert out["s0"]["sum_latency_ms"] == 50
+    assert out["s1"]["n_clicks"] == 2
+    assert out["s1"]["n_attributed"] == 1
+    assert out["s1"]["sum_latency_ms"] == 1
+
+
+def test_asof_single_exchange_plan(spark):
+    """The as-of join itself adds exactly ONE hash exchange on the
+    equality keys (plus whatever the inputs need) — the union-merge
+    form never plans a non-equi join or cartesian."""
+    left, right = _frames(spark)
+    plan = (
+        asof_join(left, right, ["u", "i"], "t", "t")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
