@@ -684,3 +684,59 @@ def test_streaming_exact_dedup_matches_batch_and_readmits_after_horizon(
         for r in SD.streaming_exact_dedup(batches[0], "text", "ts").collect()
     )
     assert batch_survivors == [1, 2]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream self-join (interval attribution pairs) equals the
+    identical batch interval join over the replayed events."""
+    from flink_project_spark.streaming import joins as SJ
+
+    def as_actions(df):
+        return df.select(
+            F.col("user_id"),
+            (F.col("event_id") % 97).alias("item_id"),
+            F.when(F.col("event_type").isin("view", "signup"), "show")
+            .when(F.col("event_type") == "click", "click")
+            .otherwise("other")
+            .alias("action"),
+            F.col("ts"),
+        )
+
+    src = _replay_dir(spark, tmp_path)
+    stream = as_actions(spark.readStream.schema(EVENTS_SCHEMA).parquet(src))
+    pairs = SJ.click_show_pairs_stream(stream, horizon="30 days")
+    name = _run_to_memory(pairs, "append")
+    got = {
+        (r.user_id, r.item_id, r.click_ts, r.show_ts)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    batch = as_actions(_events_batch(spark))
+    clicks = batch.filter(F.col("action") == "click").select(
+        "user_id", "item_id", F.col("ts").alias("click_ts")
+    )
+    shows = batch.filter(F.col("action") == "show").select(
+        F.col("user_id").alias("s_user"),
+        F.col("item_id").alias("s_item"),
+        F.col("ts").alias("show_ts"),
+    )
+    expected = {
+        (r.user_id, r.item_id, r.click_ts, r.show_ts)
+        for r in clicks.join(
+            shows,
+            (F.col("user_id") == F.col("s_user"))
+            & (F.col("item_id") == F.col("s_item"))
+            & (F.col("show_ts") <= F.col("click_ts"))
+            & (F.col("show_ts") >= F.col("click_ts") - F.expr("INTERVAL 30 days")),
+        ).collect()
+    }
+    assert len(got) > 0
+    assert got == expected
+
+
+def test_interval_join_stream_rejects_same_ts_name(spark):
+    from flink_project_spark.streaming import joins as SJ
+
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="distinct names"):
+        SJ.interval_join_stream(df, df, ["value"], "timestamp", "timestamp")
