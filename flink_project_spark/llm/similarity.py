@@ -240,3 +240,98 @@ def embedding_near_dups(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse quantizer: Lloyd k-means trained with DataFrame iterations
+# ---------------------------------------------------------------------------
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2).
+
+    The model rides along as column literals (k x dim doubles — the
+    DataFrame analog of MLlib's broadcast centroid array), so the
+    assignment is a PURE per-row projection: k folded squared-distance
+    expressions, argmin via the lexicographic min of (d2, cell)
+    structs. Zero shuffle, zero driver round-trips, streams through the
+    scan at any corpus size. Ties break to the lowest cell id.
+
+    Output: `emb`'s columns plus ``cell`` (int).
+    """
+    cand = []
+    for ci, cvec in enumerate(centroids):
+        carr = F.array(*[F.lit(float(v)) for v in cvec])
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                carr,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cand.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
+    return emb.withColumn("cell", F.array_min(F.array(*cand))["cell"])
+
+
+def kmeans_train(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Train an IVF coarse quantizer: `iters` Lloyd iterations, fully
+    deterministic. Returns the centroid model (k x dim floats) — the
+    ONLY driver-side data in the loop is the model itself (k x dim
+    values per iteration, the same contract as Spark MLlib's KMeans),
+    never corpus rows.
+
+    Init: the k vectors with the smallest ``md5('kmeans:' || id)`` — a
+    uniform, reproducible, content-independent draw (same construction
+    as llm.curation.stratified_sample). Update: per-(cell, dim) mean
+    via one posexplode + grouped avg (map-side combined); a cell that
+    captures no points keeps its previous centroid.
+
+    At 100 TB: each iteration is one scan (zero-shuffle assignment
+    projection) + ONE narrow map-side-combined shuffle of
+    (cell, dim, partial-mean) rows; the corpus is never collected, and
+    callers should persist `emb` across iterations. Composes with
+    `ivf_topk`: write the corpus partitioned by the trained cell for
+    partition-pruned search.
+    """
+    seed = (
+        emb.select(
+            F.col(vec_col).alias("v"),
+            F.md5(F.concat(F.lit("kmeans:"), F.col(id_col).cast("string"))).alias(
+                "h"
+            ),
+        )
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["v"]] for r in seed]
+    for _ in range(iters):
+        assigned = kmeans_assign(emb, centroids, vec_col, id_col)
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]  # empty cells keep position
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = r["m"]
+        for ci, dvals in by_cell.items():
+            for di, m in dvals.items():
+                new_c[ci][di] = m
+        centroids = new_c
+    return centroids

@@ -24,7 +24,9 @@ def test_every_query_has_oracle_or_is_flagged():
     o = set(E.oracle_sql())
     missing = q - o
     # non-SQL-expressible ops may be omitted; keep the list explicit
-    assert missing <= set(), f"queries without oracle: {missing}"
+    # (emb_kmeans_cells: iterative Lloyd loop — numpy-twin-checked in
+    # test_kmeans_matches_numpy_lloyd instead)
+    assert missing <= {"emb_kmeans_cells"}, f"queries without oracle: {missing}"
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)

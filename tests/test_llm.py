@@ -489,3 +489,63 @@ def test_sample_by_hash_rate_and_stability(spark):
     assert len(CUR.sample_by_hash(docs, 100).collect()) == 1000
     with pytest.raises(ValueError, match="0..100"):
         CUR.sample_by_hash(docs, 101)
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """Full-pipeline cross-check: the DataFrame Lloyd loop reproduces a
+    pure-numpy Lloyd run from the identical deterministic init."""
+    import hashlib
+    import random
+
+    import numpy as np
+
+    from flink_project_spark.llm import similarity as SIM
+
+    rnd = random.Random(3)
+    centers = [[0.0] * 8, [10.0] * 8, [-10.0, 10.0] * 4]
+    rows = []
+    for i in range(120):
+        c = centers[i % 3]
+        rows.append((i, [float(c[d] + rnd.uniform(-1, 1)) for d in range(8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    k, iters = 3, 4
+    got = SIM.kmeans_train(emb, k=k, iters=iters)
+
+    # numpy twin with the same md5-order init and same update rule
+    by_id = dict(rows)
+    order = sorted(
+        by_id, key=lambda i: hashlib.md5(f"kmeans:{i}".encode()).hexdigest()
+    )
+    cent = np.array([by_id[i] for i in order[:k]])
+    X = np.array([by_id[i] for i in sorted(by_id)])
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for ci in range(k):
+            pts = X[assign == ci]
+            if len(pts):
+                cent[ci] = pts.mean(axis=0)
+    assert np.allclose(np.array(got), cent, rtol=1e-9, atol=1e-9)
+
+    # the assignment operator agrees with the numpy argmin on the
+    # trained model (ties impossible here: clusters are separated)
+    d2 = ((X[:, None, :] - np.array(got)[None, :, :]) ** 2).sum(axis=2)
+    exp_assign = {i: int(c) for i, c in zip(sorted(by_id), d2.argmin(axis=1))}
+    got_assign = {
+        r["vec_id"]: r["cell"]
+        for r in SIM.kmeans_assign(emb, got).select("vec_id", "cell").collect()
+    }
+    assert got_assign == exp_assign
+
+
+def test_kmeans_empty_cell_keeps_centroid(spark):
+    from flink_project_spark.llm import similarity as SIM
+
+    # two tight points far from nothing: k=3 leaves >=1 cell empty
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.1, 0.0]), (3, [0.2, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = SIM.kmeans_train(emb, k=3, iters=2)
+    assert len(cents) == 3 and all(len(c) == 2 for c in cents)
