@@ -53,6 +53,32 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Catalog table bucketed (and optionally sorted) on the join keys.
+
+    THE pre-shuffle tool for repeated big-big joins at 100 TB: two
+    tables bucketed on the same keys with the same bucket count
+    sort-merge-join with ZERO exchange (and zero sort when `sort_cols`
+    covers the keys) — the shuffle is paid once at write time instead
+    of once per query. This is Spark's replacement for the reference's
+    hand-set partitioner chains; `tests/test_sinks.py` pins the
+    exchange-free plan as a contract. Bucket count is a layout decision:
+    pick ~(total size / 128 MB) and keep it identical across co-joined
+    tables.
+    """
+    w = df.write.mode("overwrite").format(fmt).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

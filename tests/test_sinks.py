@@ -158,3 +158,29 @@ def test_write_kafka_validates_frame_and_wires_sink(spark, tmp_path):
     writer = WR.write_kafka(frame, "localhost:9092", topic="t")
     with pytest.raises(Exception, match="(?i)kafka|data.?source|classpath|find"):
         writer.save()
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """K-extra: two tables bucketed on the join key sort-merge-join with
+    no exchange — the write-time shuffle replaces every query-time one."""
+    from flink_project_spark.sinks.writers import write_bucketed
+
+    left = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS b")
+    try:
+        write_bucketed(left, "bkt_left", 4, ["k"], sort_cols=["k"])
+        write_bucketed(right, "bkt_right", 4, ["k"], sort_cols=["k"])
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan
+            # and the result is right
+            assert j.count() == 1000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
