@@ -18,9 +18,10 @@ Design for 100 TB:
   (queries are small by definition); no shuffle except the per-query
   top-k, which Spark runs as partial top-k per partition (window over
   broadcast-joined rows) — never a global sort.
-- IVF: a precomputed partition column (cluster id from any external
-  k-means) prunes the scan to matching cells — on parquet this is
-  partition pruning, i.e. the 100 TB scan reads only the cells touched.
+- IVF: a cell partition column (from `kmeans_train`/`kmeans_assign`
+  below, or any external coarse quantizer) prunes the scan to matching
+  cells — on parquet this is partition pruning, i.e. the 100 TB scan
+  reads only the cells touched.
 - sign-LSH: bucket = sign bits against `n_planes` fixed hyperplanes
   (driver-side md5-derived literals, llm.hashing.plane_weights); the
   self-join runs per bucket.

@@ -19,9 +19,9 @@ union-merge form:
 Cost at any scale: one shuffle of (left + right) narrow rows, one
 external sort — the same work a sort-merge join would do, with no
 join-explosion risk. Skewed keys land in one task each; the escape
-hatch is the standard time-bucket split (pre-partition the time axis
-and replicate the last right row of each bucket into the next), which
-composes with this operator unchanged.
+hatch is `asof_join_bucketed` (same semantics, window partitions are
+(keys, time-bucket) with a carried boundary row per bucket — tested
+equivalent across bucket widths).
 
 Determinism: right rows tying on (keys, time) resolve to the greatest
 payload struct (the sort places it last). Callers wanting
@@ -142,4 +142,96 @@ def click_show_attribution(
         )
         .cast("bigint")
         .alias("sum_latency_ms"),
+    )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    bucket_width: int,
+    right_cols: list[str] | None = None,
+    tolerance: int | None = None,
+    suffix: str = "_matched",
+) -> DataFrame:
+    """`asof_join` for HOT KEYS: identical semantics, but the sort/window
+    partitions are (keys, time-bucket) instead of (keys), so one key
+    spanning years of events never lands in a single task.
+
+    Two passes:
+    1. per (keys, bucket) reduce the right side to its latest payload
+       (a tiny table: one row per key x bucket), then a prefix-max
+       window over the bucket axis yields each bucket's CARRY — the
+       latest right payload from any strictly-earlier bucket;
+    2. the plain union-merge window runs WITHIN (keys, bucket), with
+       the carry injected as one virtual right row per bucket.
+
+    Extra cost vs `asof_join`: one small aggregation + one window over
+    the per-bucket table. The data shuffle is the same size but spreads
+    a hot key across time buckets — `bucket_width` (in `left_time`
+    units) tunes task granularity exactly like salting tunes top-K.
+    """
+    rc = right_cols if right_cols is not None else [
+        c for c in right.columns if c not in set(on) | {right_time}
+    ]
+    payload = F.struct(
+        F.col(right_time).alias("t"), *[F.col(c).alias(c) for c in rc]
+    )
+    bucket = lambda t: F.floor(F.col(t) / F.lit(bucket_width))  # noqa: E731
+
+    r2 = right.select(
+        *on,
+        bucket(right_time).alias("_b"),
+        F.col(right_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        payload.alias("_rp"),
+    )
+    # pass 1: latest right per (keys, bucket); prefix max -> carry
+    pbl = r2.groupBy(*on, "_b").agg(F.max("_rp").alias("_last"))
+    lb = left.select(*on, bucket(left_time).alias("_b")).distinct()
+    buckets = lb.unionByName(pbl.select(*on, "_b")).distinct()
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        buckets.join(pbl, [*on, "_b"], "left")
+        .withColumn("_carry", F.max("_last").over(wb))
+        .filter(F.col("_carry").isNotNull())
+        .select(
+            *on,
+            "_b",
+            F.col("_carry.t").alias("_t"),
+            F.lit(1).alias("_side"),
+            F.col("_carry").alias("_rp"),
+        )
+    )
+    l2 = left.select(
+        *left.columns,
+        bucket(left_time).alias("_b"),
+        F.col(left_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(r2.schema["_rp"].dataType).alias("_rp"),
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True).unionByName(
+        carry, allowMissingColumns=True
+    )
+    w = (
+        Window.partitionBy(*on, "_b")
+        .orderBy(F.col("_t").asc(), F.col("_side").desc(), F.col("_rp").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn(
+        "_m", F.last("_rp", ignorenulls=True).over(w)
+    ).filter(F.col("_side") == 0)
+    if tolerance is not None:
+        in_range = F.col("_m.t") >= F.col("_t") - F.lit(tolerance)
+        matched = matched.withColumn("_m", F.when(in_range, F.col("_m")))
+    return matched.select(
+        *left.columns,
+        F.col("_m.t").alias(f"{right_time}{suffix}"),
+        *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in rc],
     )

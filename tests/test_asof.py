@@ -119,3 +119,52 @@ def test_asof_single_exchange_plan(spark):
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bucketed_asof_equals_plain_asof(spark):
+    """The hot-key time-bucket variant returns the identical result to
+    the plain form — on random data, across bucket widths (including
+    widths that leave many empty buckets between matches), with and
+    without tolerance."""
+    import random
+
+    from flink_project_spark.operators.asof import asof_join_bucketed
+
+    rnd = random.Random(11)
+    lrows = [(f"k{rnd.randrange(4)}", rnd.randrange(10_000)) for _ in range(300)]
+    rrows = [
+        (f"k{rnd.randrange(4)}", rnd.randrange(10_000), j) for j in range(200)
+    ]
+    left = spark.createDataFrame(lrows, "k string, t long")
+    right = spark.createDataFrame(rrows, "k string, t long, v long")
+
+    def result(df):
+        return sorted(
+            (r["k"], r["t"], r["t_m"], r["v_m"])
+            for r in df.collect()
+        )
+
+    for tol in (None, 500):
+        plain = result(
+            asof_join(left, right, ["k"], "t", "t", tolerance=tol, suffix="_m")
+        )
+        for width in (100, 1000, 7919):
+            bucketed = result(
+                asof_join_bucketed(
+                    left, right, ["k"], "t", "t",
+                    bucket_width=width, tolerance=tol, suffix="_m",
+                )
+            )
+            assert bucketed == plain, (tol, width)
+
+
+def test_bucketed_asof_carry_crosses_empty_buckets(spark):
+    from flink_project_spark.operators.asof import asof_join_bucketed
+
+    left = spark.createDataFrame([("k", 9_999)], "k string, t long")
+    right = spark.createDataFrame([("k", 5, 7)], "k string, t long, v long")
+    # right sits ~1000 buckets before the left row at width 10
+    r = asof_join_bucketed(
+        left, right, ["k"], "t", "t", bucket_width=10, suffix="_m"
+    ).collect()[0]
+    assert (r["t_m"], r["v_m"]) == (5, 7)
