@@ -58,29 +58,39 @@ def test_asof_tolerance_nulls_stale_matches(spark):
 
 
 def test_asof_matches_brute_force_on_random_data(spark):
+    """Property check (seeded, x3): asof equals the per-row brute-force
+    scan, with and without a tolerance horizon."""
     import random
 
-    rnd = random.Random(7)
-    lrows = [(f"k{rnd.randrange(5)}", rnd.randrange(1000)) for _ in range(200)]
-    rrows = [
-        (f"k{rnd.randrange(5)}", rnd.randrange(1000), j) for j in range(150)
-    ]
-    left = spark.createDataFrame(lrows, "k string, t long")
-    right = spark.createDataFrame(rrows, "k string, t long, v long")
-    got = {
-        (r["k"], r["t"], i): r["t_m"]
-        for i, r in enumerate(
-            asof_join(left, right, ["k"], "t", "t", suffix="_m")
-            .orderBy("k", "t")
-            .collect()
-        )
-    }
-    # brute force: max right t <= left t per key
-    exp = {}
-    for i, (k, t) in enumerate(sorted(lrows)):
-        cands = [rt for (rk, rt, _) in rrows if rk == k and rt <= t]
-        exp[(k, t, i)] = max(cands) if cands else None
-    assert got == exp
+    for seed in (7, 23, 91):
+        rnd = random.Random(seed)
+        lrows = [(f"k{rnd.randrange(5)}", rnd.randrange(1000)) for _ in range(200)]
+        rrows = [
+            (f"k{rnd.randrange(5)}", rnd.randrange(1000), j) for j in range(150)
+        ]
+        left = spark.createDataFrame(lrows, "k string, t long")
+        right = spark.createDataFrame(rrows, "k string, t long, v long")
+        for tol in (None, 100):
+            got = {
+                (r["k"], r["t"], i): r["t_m"]
+                for i, r in enumerate(
+                    asof_join(
+                        left, right, ["k"], "t", "t", tolerance=tol, suffix="_m"
+                    )
+                    .orderBy("k", "t")
+                    .collect()
+                )
+            }
+            # brute force: max right t in [t - tol, t] per key
+            exp = {}
+            for i, (k, t) in enumerate(sorted(lrows)):
+                cands = [
+                    rt
+                    for (rk, rt, _) in rrows
+                    if rk == k and rt <= t and (tol is None or rt >= t - tol)
+                ]
+                exp[(k, t, i)] = max(cands) if cands else None
+            assert got == exp, (seed, tol)
 
 
 def test_click_show_attribution_counts(spark):
