@@ -269,6 +269,38 @@ def q_emb_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunk plan (64-token chunks, stride 48) —
+    per-source chunk statistics plus a chunk-level dedup signal
+    (distinct chunk_md5 vs total chunks)."""
+    ch = CUR.chunk_spans(_docs(spark, sf_dir), chunk_tokens=64, stride=48)
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        ch.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_distinct(F.col("chunk_md5")).alias("distinct_chunks"),
+            F.sum("n_tok").alias("total_chunk_tokens"),
+            F.sum(F.when(F.col("n_tok") < 64, 1).otherwise(0)).alias(
+                "short_chunks"
+            ),
+        )
+    )
+
+
+def q_doc_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence-packing layout (budget 512, 8 bucket
+    streams): per-doc bucket/bin/offset assignment."""
+    return CUR.pack_plan(_docs(spark, sf_dir), budget=512, n_buckets=8)
+
+
+def q_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity signals per document (exact-arithmetic
+    unigram-model quality stage)."""
+    return TX.rarity_stats(_docs(spark, sf_dir), rare_max=2)
+
+
 def _docs_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the default decode path is native Column exprs, so the media
     # queries share the memoized corpus; a real byte-level codec run
@@ -364,6 +396,14 @@ def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_stats": q_doc_pii_stats,
         "doc_stratified_sample": q_doc_stratified_sample,
         "emb_kmeans_cells": q_emb_kmeans_cells,
+        # tokenization-prep stages (chunking / packing / rarity): placed
+        # past the cap like the entries above — each is oracle-checked
+        # by the pytest sweep; their plan shapes (explode-generate,
+        # per-bucket window, two-level word aggregation) are the same
+        # machinery the in-cap doc_* queries driver-check
+        "doc_chunks": q_doc_chunks,
+        "doc_pack_plan": q_doc_pack_plan,
+        "doc_rarity": q_doc_rarity,
     }
 
 
@@ -916,5 +956,80 @@ WITH dec AS (
                     THEN floor(CAST(height * 256 AS BIGINT) / greatest(width, height))
                     ELSE height END AS INT) AS target_height
         FROM dec
+        """,
+        # mirrors curation.chunk_spans(chunk_tokens=64, stride=48) +
+        # the per-source rollup in q_doc_chunks
+        "doc_chunks": _DWORDS
+        + """
+        , spans AS (
+          SELECT doc_id, source, ws,
+                 unnest(range(0, (len(ws) + 47) // 48)) AS i
+          FROM dwords
+        ), ch AS (
+          SELECT doc_id, source,
+                 least(64, len(ws) - i * 48) AS n_tok,
+                 md5(array_to_string(ws[i*48 + 1 : i*48 + 64], ' ')) AS chunk_md5
+          FROM spans
+        )
+        SELECT source, count(*) AS n_chunks,
+               count(DISTINCT chunk_md5) AS distinct_chunks,
+               CAST(SUM(n_tok) AS BIGINT) AS total_chunk_tokens,
+               CAST(SUM(CASE WHEN n_tok < 64 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS short_chunks
+        FROM ch GROUP BY source
+        """,
+        # mirrors curation.pack_plan(budget=512, n_buckets=8)
+        "doc_pack_plan": _DWORDS
+        + f"""
+        , pk AS (
+          SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok,
+                 {v32_sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS bucket,
+                 md5('pack:' || CAST(doc_id AS VARCHAR)) AS h
+          FROM dwords
+        ), cums AS (
+          SELECT doc_id, bucket, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM pk
+        )
+        SELECT doc_id, bucket,
+               CAST((cum - n_tok) // 512 AS BIGINT) AS bin_id,
+               CAST((cum - n_tok) % 512 AS BIGINT) AS offset_in_bin,
+               n_tok,
+               CAST(greatest(cum - 1, cum - n_tok) // 512
+                    - (cum - n_tok) // 512 + 1 AS BIGINT) AS bins_spanned
+        FROM cums
+        """,
+        # mirrors text.rarity_stats(rare_max=2)
+        "doc_rarity": _DWORDS
+        + """
+        , occ AS (
+          SELECT doc_id, unnest(ws) AS w FROM dwords
+        ), dwc AS (
+          SELECT doc_id, w, count(*) AS k FROM occ GROUP BY 1, 2
+        ), cnts AS (
+          SELECT w, CAST(SUM(k) AS BIGINT) AS cnt FROM dwc GROUP BY 1
+        ), tot AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS total_words FROM cnts
+        ), per AS (
+          SELECT dwc.doc_id,
+                 CAST(SUM(k) AS BIGINT) AS n_words,
+                 CAST(SUM(k * cnt) AS BIGINT) AS sum_cnt,
+                 CAST(SUM(CASE WHEN cnt <= 2 THEN k ELSE 0 END) AS BIGINT) AS rare
+          FROM dwc JOIN cnts ON dwc.w = cnts.w
+          GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_words, 0) AS n_words,
+               COALESCE(p.sum_cnt, 0) AS sum_corpus_cnt,
+               CASE WHEN p.n_words > 0
+                    THEN CAST(p.rare AS DOUBLE) / CAST(p.n_words AS DOUBLE)
+                    ELSE 0.0 END AS rare_frac,
+               CASE WHEN p.n_words > 0
+                    THEN CAST(p.sum_cnt AS DOUBLE)
+                         / CAST(p.n_words * t.total_words AS DOUBLE)
+                    ELSE 0.0 END AS avg_rel_freq
+        FROM documents d CROSS JOIN tot t
+        LEFT JOIN per p ON d.doc_id = p.doc_id
         """,
     }

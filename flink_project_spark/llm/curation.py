@@ -151,6 +151,118 @@ def sample_by_hash(
     return docs.filter(bucket < F.lit(rate_pct))
 
 
+def chunk_spans(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding token-window chunking — the tokenization-prep stage that
+    turns documents into fixed-size training windows (start offsets
+    0, stride, 2*stride, ... while start < n_words; the last chunk is
+    short, zero-token docs produce no chunks).
+
+    Output: (doc_id, chunk_idx, start_tok, n_tok, chunk_md5) with
+    chunk_md5 = md5 of the space-joined token slice — a narrow,
+    engine-reproducible fingerprint of the chunk content (the chunk
+    text itself never shuffles).
+
+    Scale: a pure per-row generate over the scan — the token array is
+    split once per document, the start offsets come from a `sequence`
+    literal-stepped by `stride`, and each chunk row carries only
+    (3 ints + 32-byte md5). ZERO shuffles, so throughput is the scan
+    rate; downstream chunk dedup is a groupBy(chunk_md5) away.
+    """
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    ws = TX.words(F.col(text_col))
+    n = F.size(ws)
+    # last start = floor((n-1)/stride)*stride for n>0; empty docs emit
+    # no start (explode of the empty array drops the row, mirroring the
+    # oracle's unnest(range(0, 0)))
+    starts = F.when(
+        n > 0,
+        F.sequence(
+            F.lit(0), F.floor((n - 1) / stride).cast("int") * stride, F.lit(stride)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    ex = docs.select(
+        "doc_id", ws.alias("_ws"), F.explode(starts).alias("_start")
+    )
+    return ex.select(
+        "doc_id",
+        (F.col("_start") / stride).cast("long").alias("chunk_idx"),
+        F.col("_start").cast("long").alias("start_tok"),
+        F.least(F.lit(chunk_tokens), F.size("_ws") - F.col("_start"))
+        .cast("long")
+        .alias("n_tok"),
+        F.md5(
+            F.array_join(F.slice("_ws", F.col("_start") + 1, chunk_tokens), " ")
+        ).alias("chunk_md5"),
+    )
+
+
+def pack_plan(
+    docs: DataFrame,
+    budget: int = 512,
+    n_buckets: int = 8,
+    salt: str = "pack",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic concatenate-and-split sequence packing: assign each
+    document a position in a fixed-size token-window stream (the layout
+    pretraining uses — docs concatenated in a deterministic order, the
+    stream cut every `budget` tokens).
+
+    Docs are first scattered into `n_buckets` independent streams by
+    ``v32(salt ':' doc_id) % n_buckets`` and ordered within a bucket by
+    (md5(salt ':' doc_id), doc_id) — hash order, so adjacent corpus
+    docs (same crawl/source) don't land adjacent in the stream. Output
+    per doc: bucket, bin_id (the window its first token falls in),
+    offset_in_bin, n_tok, bins_spanned.
+
+    Scale: ONE running-sum window per bucket — the window partitions by
+    bucket, so parallelism = n_buckets; size n_buckets to the cluster
+    (each bucket's stream is packed independently, exactly how sharded
+    tokenizer jobs pack per output shard). No joins, no explode; rows
+    in flight are (ids + 3 ints).
+    """
+    if budget <= 0 or n_buckets <= 0:
+        raise ValueError("budget and n_buckets must be positive")
+    from pyspark.sql.window import Window
+
+    key = F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))
+    tok = docs.select(
+        "doc_id",
+        F.size(TX.words(F.col(text_col))).cast("long").alias("n_tok"),
+        (v32(key) % n_buckets).alias("bucket"),
+        F.md5(key).alias("_h"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    out = tok.withColumn("_cum", cum).withColumn(
+        "_start", F.col("_cum") - F.col("n_tok")
+    )
+    return out.select(
+        "doc_id",
+        "bucket",
+        F.floor(F.col("_start") / budget).cast("long").alias("bin_id"),
+        (F.col("_start") % budget).cast("long").alias("offset_in_bin"),
+        "n_tok",
+        (
+            F.floor(F.greatest(F.col("_cum") - 1, F.col("_start")) / budget)
+            - F.floor(F.col("_start") / budget)
+            + 1
+        )
+        .cast("long")
+        .alias("bins_spanned"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

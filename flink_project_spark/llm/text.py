@@ -335,3 +335,72 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(F.min(F.md5(F.col("sh"))).alias("min_shingle_md5"))
     )
     return base.select("doc_id", "content_md5").join(mins, "doc_id")
+
+
+def rarity_stats(
+    docs: DataFrame, rare_max: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-frequency rarity signals per document — the unigram-model
+    stage of quality filtering (a doc made of globally-rare tokens is
+    likely noise/garble; one made of only ultra-common tokens is likely
+    boilerplate), computed with EXACT arithmetic so any engine
+    reproduces it bit-for-bit (no log/exp: sums are int64 and each
+    output is a single correctly-rounded double division).
+
+    Output per doc: n_words, sum_corpus_cnt (sum over the doc's token
+    occurrences of each token's corpus frequency), rare_frac (fraction
+    of occurrences whose token appears <= rare_max times in the
+    corpus), avg_rel_freq = sum_corpus_cnt / (n_words * total_words).
+    Zero-token docs keep a row with zeros.
+
+    Scale (100 TB): tokens are pre-aggregated to (doc_id, word, k)
+    before the vocabulary join — the join carries distinct doc-word
+    pairs, not the raw token stream, and both groupBys are map-side
+    combinable. The vocabulary count table joins sort-merge on word
+    (a Zipf head word is one row here, not a hot partition — heat
+    would only come from the per-(doc,word) k aggregation, which is
+    keyed by doc too). int64 bounds: n_words * total_words overflows
+    only past ~9e18 token-pairs (a 1e5-token doc against a 9e13-token
+    corpus) — beyond that, pre-divide by scaling total_words down.
+    """
+    dw = (
+        docs.select("doc_id", F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    cnts = dw.groupBy("w").agg(F.sum("k").alias("cnt"))
+    total = cnts.agg(F.sum("cnt").alias("total_words"))
+    per = (
+        dw.join(cnts, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("_n"),
+            F.sum(F.col("k") * F.col("cnt")).alias("_sum_cnt"),
+            F.sum(F.when(F.col("cnt") <= rare_max, F.col("k")).otherwise(F.lit(0))).alias(
+                "_rare"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce(F.col("_sum_cnt"), F.lit(0)).cast("long").alias("sum_corpus_cnt"),
+            F.when(
+                F.col("_n") > 0,
+                F.col("_rare").cast("double") / F.col("_n").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rare_frac"),
+            F.when(
+                F.col("_n") > 0,
+                F.col("_sum_cnt").cast("double")
+                / (F.col("_n") * F.col("total_words")).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("avg_rel_freq"),
+        )
+    )

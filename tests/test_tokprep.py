@@ -1,0 +1,201 @@
+"""Tokenization-prep operators: chunking, sequence packing, rarity.
+
+Each operator is checked against an independent pure-Python twin on
+edge-heavy corpora (empty docs, exact-multiple lengths, stride !=
+chunk), plus the physical-plan contracts that make the shapes scale
+(chunking is a zero-shuffle generate; packing is one exchange per
+bucket-partitioned window).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from flink_project_spark.llm import curation as CUR
+from flink_project_spark.llm import text as TX
+from flink_project_spark.llm.hashing import v32_py
+
+DOCS = [
+    (0, ""),
+    (1, "   "),  # whitespace-only -> zero tokens
+    (2, "a"),
+    (3, " ".join(f"w{i}" for i in range(48))),  # exactly one stride
+    (4, " ".join(f"w{i}" for i in range(64))),  # exactly one chunk
+    (5, " ".join(f"w{i}" for i in range(65))),  # chunk + 1
+    (6, " ".join(f"w{i % 7}" for i in range(96))),  # 2 starts, repeats
+    (7, " ".join(f"w{i}" for i in range(200))),
+    (8, "x y z x y z"),
+]
+
+
+def _mk_docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _py_chunks(chunk: int, stride: int):
+    out = []
+    for doc_id, text in DOCS:
+        ws = [w for w in text.split() if w]
+        start = 0
+        while start < len(ws):
+            piece = " ".join(ws[start : start + chunk])
+            out.append(
+                (
+                    doc_id,
+                    start // stride,
+                    start,
+                    min(chunk, len(ws) - start),
+                    hashlib.md5(piece.encode()).hexdigest(),
+                )
+            )
+            start += stride
+    return sorted(out)
+
+
+def test_chunk_spans_matches_python_twin(spark):
+    for chunk, stride in [(64, 48), (64, 64), (16, 32), (10, 3)]:
+        got = sorted(
+            tuple(r)
+            for r in CUR.chunk_spans(
+                _mk_docs(spark), chunk_tokens=chunk, stride=stride
+            ).collect()
+        )
+        assert got == _py_chunks(chunk, stride), (chunk, stride)
+
+
+def test_chunk_spans_zero_token_docs_emit_no_chunks(spark):
+    ids = {
+        r.doc_id
+        for r in CUR.chunk_spans(_mk_docs(spark)).select("doc_id").collect()
+    }
+    assert 0 not in ids and 1 not in ids
+    assert 2 in ids
+
+
+def test_chunk_spans_is_zero_shuffle_generate(spark):
+    plan = (
+        CUR.chunk_spans(_mk_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def _py_pack(budget: int, n_buckets: int):
+    rows = []
+    for doc_id, text in DOCS:
+        n_tok = len([w for w in text.split() if w])
+        key = f"pack:{doc_id}"
+        rows.append(
+            (
+                v32_py(key) % n_buckets,
+                hashlib.md5(key.encode()).hexdigest(),
+                doc_id,
+                n_tok,
+            )
+        )
+    out = {}
+    for bucket in sorted({r[0] for r in rows}):
+        cum = 0
+        for b, h, doc_id, n_tok in sorted(r for r in rows if r[0] == bucket):
+            start = cum
+            cum += n_tok
+            end = max(cum - 1, start)
+            out[doc_id] = (
+                bucket,
+                start // budget,
+                start % budget,
+                n_tok,
+                end // budget - start // budget + 1,
+            )
+    return out
+
+
+def test_pack_plan_matches_python_twin(spark):
+    for budget, n_buckets in [(512, 8), (50, 1), (7, 3)]:
+        got = {
+            r.doc_id: (
+                r.bucket,
+                r.bin_id,
+                r.offset_in_bin,
+                r.n_tok,
+                r.bins_spanned,
+            )
+            for r in CUR.pack_plan(
+                _mk_docs(spark), budget=budget, n_buckets=n_buckets
+            ).collect()
+        }
+        assert got == _py_pack(budget, n_buckets), (budget, n_buckets)
+
+
+def test_pack_plan_streams_are_contiguous(spark):
+    """Within a bucket the docs tile the token stream with no gaps or
+    overlaps: offsets recompute from the cumulative sum of n_tok in
+    (md5, doc_id) order."""
+    rows = CUR.pack_plan(_mk_docs(spark), budget=50, n_buckets=2).collect()
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for bucket, rs in by_bucket.items():
+        rs.sort(
+            key=lambda r: (
+                hashlib.md5(f"pack:{r.doc_id}".encode()).hexdigest(),
+                r.doc_id,
+            )
+        )
+        cum = 0
+        for r in rs:
+            assert r.bin_id == cum // 50 and r.offset_in_bin == cum % 50, r
+            cum += r.n_tok
+
+
+def test_pack_plan_is_one_exchange_window(spark):
+    plan = (
+        CUR.pack_plan(_mk_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def _py_rarity(rare_max: int):
+    from collections import Counter
+
+    toks = {d: [w for w in t.split() if w] for d, t in DOCS}
+    corpus = Counter(w for ws in toks.values() for w in ws)
+    total = sum(corpus.values())
+    out = {}
+    for d, ws in toks.items():
+        n = len(ws)
+        sum_cnt = sum(corpus[w] for w in ws)
+        rare = sum(1 for w in ws if corpus[w] <= rare_max)
+        out[d] = (
+            n,
+            sum_cnt,
+            rare / n if n else 0.0,
+            sum_cnt / (n * total) if n else 0.0,
+        )
+    return out
+
+
+def test_rarity_stats_matches_python_twin(spark):
+    got = {
+        r.doc_id: (r.n_words, r.sum_corpus_cnt, r.rare_frac, r.avg_rel_freq)
+        for r in TX.rarity_stats(_mk_docs(spark), rare_max=2).collect()
+    }
+    assert got == _py_rarity(2)
+
+
+def test_rarity_keeps_zero_token_docs_with_zero_stats(spark):
+    got = {r.doc_id: r for r in TX.rarity_stats(_mk_docs(spark)).collect()}
+    assert set(got) == {d for d, _ in DOCS}
+    for d in (0, 1):
+        r = got[d]
+        assert (r.n_words, r.sum_corpus_cnt, r.rare_frac, r.avg_rel_freq) == (
+            0,
+            0,
+            0.0,
+            0.0,
+        )
