@@ -32,9 +32,9 @@ def _mk_docs(spark):
     return spark.createDataFrame(DOCS, ["doc_id", "text"])
 
 
-def _py_chunks(chunk: int, stride: int):
+def _py_chunks(docs, chunk: int, stride: int):
     out = []
-    for doc_id, text in DOCS:
+    for doc_id, text in docs:
         ws = [w for w in text.split() if w]
         start = 0
         while start < len(ws):
@@ -60,7 +60,7 @@ def test_chunk_spans_matches_python_twin(spark):
                 _mk_docs(spark), chunk_tokens=chunk, stride=stride
             ).collect()
         )
-        assert got == _py_chunks(chunk, stride), (chunk, stride)
+        assert got == _py_chunks(DOCS, chunk, stride), (chunk, stride)
 
 
 def test_chunk_spans_zero_token_docs_emit_no_chunks(spark):
@@ -82,9 +82,9 @@ def test_chunk_spans_is_zero_shuffle_generate(spark):
     assert "Exchange" not in plan, plan
 
 
-def _py_pack(budget: int, n_buckets: int):
+def _py_pack(docs, budget: int, n_buckets: int):
     rows = []
-    for doc_id, text in DOCS:
+    for doc_id, text in docs:
         n_tok = len([w for w in text.split() if w])
         key = f"pack:{doc_id}"
         rows.append(
@@ -126,7 +126,7 @@ def test_pack_plan_matches_python_twin(spark):
                 _mk_docs(spark), budget=budget, n_buckets=n_buckets
             ).collect()
         }
-        assert got == _py_pack(budget, n_buckets), (budget, n_buckets)
+        assert got == _py_pack(DOCS, budget, n_buckets), (budget, n_buckets)
 
 
 def test_pack_plan_streams_are_contiguous(spark):
@@ -160,10 +160,10 @@ def test_pack_plan_is_one_exchange_window(spark):
     assert plan.count("Exchange") == 1, plan
 
 
-def _py_rarity(rare_max: int):
+def _py_rarity(docs, rare_max: int):
     from collections import Counter
 
-    toks = {d: [w for w in t.split() if w] for d, t in DOCS}
+    toks = {d: [w for w in t.split() if w] for d, t in docs}
     corpus = Counter(w for ws in toks.values() for w in ws)
     total = sum(corpus.values())
     out = {}
@@ -185,7 +185,7 @@ def test_rarity_stats_matches_python_twin(spark):
         r.doc_id: (r.n_words, r.sum_corpus_cnt, r.rare_frac, r.avg_rel_freq)
         for r in TX.rarity_stats(_mk_docs(spark), rare_max=2).collect()
     }
-    assert got == _py_rarity(2)
+    assert got == _py_rarity(DOCS, 2)
 
 
 def test_rarity_keeps_zero_token_docs_with_zero_stats(spark):
@@ -199,3 +199,53 @@ def test_rarity_keeps_zero_token_docs_with_zero_stats(spark):
             0.0,
             0.0,
         )
+
+
+def _random_corpus(seed: int, n_docs: int = 40):
+    """Random word-soup docs: skewed vocab, lengths 0..~120 (empty and
+    single-token docs guaranteed present)."""
+    import random
+
+    rnd = random.Random(seed)
+    vocab = [f"v{i}" for i in range(30)]
+    docs = [(0, ""), (1, vocab[0])]
+    for d in range(2, n_docs):
+        n = rnd.choice([0, 1, 2, rnd.randrange(120), rnd.randrange(120)])
+        docs.append((d, " ".join(rnd.choice(vocab) for _ in range(n))))
+    return docs
+
+
+def test_tokprep_property_sweep(spark):
+    """Seeded sweep (x3 corpora): chunking, packing, and rarity all
+    equal their pure-Python twins on random corpora with random
+    operator parameters."""
+    import random
+
+    for seed in (11, 42, 97):
+        docs = _random_corpus(seed)
+        sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+        rnd = random.Random(seed * 7)
+        chunk = rnd.randrange(1, 40)
+        stride = rnd.randrange(1, 40)
+        got_ch = sorted(
+            tuple(r)
+            for r in CUR.chunk_spans(
+                sdf, chunk_tokens=chunk, stride=stride
+            ).collect()
+        )
+        assert got_ch == _py_chunks(docs, chunk, stride), (seed, chunk, stride)
+
+        budget = rnd.randrange(1, 200)
+        n_buckets = rnd.randrange(1, 6)
+        got_pk = {
+            r.doc_id: (r.bucket, r.bin_id, r.offset_in_bin, r.n_tok, r.bins_spanned)
+            for r in CUR.pack_plan(sdf, budget=budget, n_buckets=n_buckets).collect()
+        }
+        assert got_pk == _py_pack(docs, budget, n_buckets), (seed, budget, n_buckets)
+
+        rare_max = rnd.randrange(1, 5)
+        got_ra = {
+            r.doc_id: (r.n_words, r.sum_corpus_cnt, r.rare_frac, r.avg_rel_freq)
+            for r in TX.rarity_stats(sdf, rare_max=rare_max).collect()
+        }
+        assert got_ra == _py_rarity(docs, rare_max), (seed, rare_max)
