@@ -301,6 +301,17 @@ def q_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.rarity_stats(_docs(spark, sf_dir), rare_max=2)
 
 
+def q_doc_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-distribution profile with exact discrete
+    quantiles (rank ceil(q*n), doc_id tie-break)."""
+    return TX.length_profile(_docs(spark, sf_dir))
+
+
+def q_doc_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-target mixture reweighting: per-source keep rates."""
+    return CUR.mixture_plan(_docs(spark, sf_dir))
+
+
 def _docs_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the default decode path is native Column exprs, so the media
     # queries share the memoized corpus; a real byte-level codec run
@@ -404,6 +415,8 @@ def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "doc_pack_plan": q_doc_pack_plan,
         "doc_rarity": q_doc_rarity,
+        "doc_length_profile": q_doc_length_profile,
+        "doc_mixture_plan": q_doc_mixture_plan,
     }
 
 
@@ -1031,5 +1044,50 @@ WITH dec AS (
                     ELSE 0.0 END AS avg_rel_freq
         FROM documents d CROSS JOIN tot t
         LEFT JOIN per p ON d.doc_id = p.doc_id
+        """,
+        # mirrors text.length_profile(by='source', qs=(0.1, 0.5, 0.9))
+        "doc_length_profile": _DWORDS
+        + """
+        , d AS (
+          SELECT source, doc_id, CAST(len(ws) AS BIGINT) AS n_words
+          FROM dwords
+        ), r AS (
+          SELECT source, n_words,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_words, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM d
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS total_words,
+               CAST(MIN(n_words) AS BIGINT) AS min_words,
+               CAST(MAX(n_words) AS BIGINT) AS max_words,
+               CAST(MAX(CASE WHEN rn = CAST(ceil(0.1 * n) AS BIGINT)
+                        THEN n_words END) AS BIGINT) AS p10,
+               CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                        THEN n_words END) AS BIGINT) AS p50,
+               CAST(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                        THEN n_words END) AS BIGINT) AS p90
+        FROM r GROUP BY source
+        """,
+        # mirrors curation.mixture_plan(weights=None) — uniform target
+        "doc_mixture_plan": _DWORDS
+        + """
+        , st AS (
+          SELECT source, CAST(SUM(len(ws)) AS BIGINT) AS tokens
+          FROM dwords GROUP BY source
+        ), sc AS (
+          SELECT CAST(MIN(tokens) AS BIGINT) AS min_tokens,
+                 count(*) AS n_sources
+          FROM st
+        )
+        SELECT source, tokens,
+               1.0 / n_sources AS target_weight,
+               CAST(min_tokens AS DOUBLE) / CAST(tokens AS DOUBLE)
+                 AS keep_rate,
+               CAST(FLOOR(CAST(tokens AS DOUBLE)
+                    * (CAST(min_tokens AS DOUBLE) / CAST(tokens AS DOUBLE)))
+                 AS BIGINT) AS kept_tokens
+        FROM st CROSS JOIN sc
         """,
     }

@@ -306,3 +306,74 @@ def decontaminate(
             .alias("match_type"),
         )
     )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mixture reweighting: per-source token counts -> the downsampling
+    keep-rate that hits a target mixture, given that no source can be
+    upsampled. With target share w_s and current tokens T_s, the
+    largest achievable corpus is C = min_s(T_s / w_s); each source
+    keeps keep_rate_s = C * w_s / T_s (= min_T / T_s for the uniform
+    default). Feed keep_rate into `sample_by_hash` to materialize the
+    draw.
+
+    Deterministic across engines: token counts are exact int64 sums and
+    every rate is a fixed sequence of IEEE double ops on those sums.
+    Scale: ONE groupBy(source) aggregation (map-side combined) + a
+    1-row scalar broadcast — the plan never touches documents twice.
+    """
+    tok = (
+        docs.select(by, F.size(TX.words(F.col(text_col))).alias("_nt"))
+        .groupBy(by)
+        .agg(F.sum("_nt").cast("long").alias("tokens"))
+    )
+    if weights is None:
+        scalar = F.broadcast(
+            tok.agg(
+                F.min("tokens").alias("_min_tokens"),
+                F.count(F.lit(1)).alias("_n_sources"),
+            )
+        )
+        out = tok.crossJoin(scalar).select(
+            by,
+            "tokens",
+            (F.lit(1.0) / F.col("_n_sources")).alias("target_weight"),
+            (
+                F.col("_min_tokens").cast("double")
+                / F.col("tokens").cast("double")
+            ).alias("keep_rate"),
+        )
+    else:
+        wexpr = None
+        for name, wv in weights.items():
+            c = F.when(F.col(by) == name, F.lit(float(wv)))
+            wexpr = c if wexpr is None else wexpr.when(F.col(by) == name, F.lit(float(wv)))
+        wexpr = wexpr.otherwise(F.lit(0.0))
+        ratio = F.when(
+            wexpr > 0, F.col("tokens").cast("double") / wexpr
+        )
+        scored = tok.withColumn("_w", wexpr).withColumn("_ratio", ratio)
+        scalar = F.broadcast(scored.agg(F.min("_ratio").alias("_c")))
+        out = scored.crossJoin(scalar).select(
+            by,
+            "tokens",
+            F.col("_w").alias("target_weight"),
+            F.when(
+                F.col("_w") > 0,
+                F.least(
+                    F.lit(1.0),
+                    F.col("_c") * F.col("_w") / F.col("tokens").cast("double"),
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("keep_rate"),
+        )
+    return out.withColumn(
+        "kept_tokens",
+        F.floor(F.col("tokens").cast("double") * F.col("keep_rate")).cast("long"),
+    )

@@ -404,3 +404,48 @@ def rarity_stats(
             .alias("avg_rel_freq"),
         )
     )
+
+
+def length_profile(
+    docs: DataFrame,
+    by: str = "source",
+    qs: tuple[float, ...] = (0.1, 0.5, 0.9),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group document-length distribution profile with EXACT
+    discrete quantiles: p{q} is the n_words value at ascending rank
+    ceil(q * n) (tie-broken by doc_id), so any engine picks the
+    identical document — no interpolation, no approximate sketch.
+
+    The profiling stage of corpus QA (truncation/length filters are
+    tuned off these numbers). Scale: one window per group + one
+    aggregation — two exchanges on the group key; rows in flight are
+    (group, doc_id, int). For percentile-over-billions without a
+    per-group sort, swap in an approx sketch off-path; this operator is
+    the exact, reproducible form.
+    """
+    from pyspark.sql.window import Window
+
+    d = docs.select(by, "doc_id", F.size(words(text_col)).alias("n_words"))
+    w = Window.partitionBy(by).orderBy("n_words", "doc_id")
+    prof = d.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(by))
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.min("n_words").cast("long").alias("min_words"),
+        F.max("n_words").cast("long").alias("max_words"),
+    ]
+    for q in qs:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("_rn") == F.ceil(F.lit(q) * F.col("_n")),
+                    F.col("n_words"),
+                )
+            )
+            .cast("long")
+            .alias(f"p{int(round(q * 100))}")
+        )
+    return prof.groupBy(by).agg(*aggs)

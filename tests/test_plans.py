@@ -69,10 +69,10 @@ def test_cosine_count_joins_broadcast(spark):
 #: brute-force cosine top-k is the documented exact baseline (every
 #: query vector scores every corpus vector by design; the scale path is
 #: emb_ivf_topk / emb_near_dups, which stay equi-join).
-#: doc_rarity attaches the corpus-total scalar (ONE aggregate row) via
+#: doc_rarity / doc_mixture_plan attach a 1-row aggregate scalar via
 #: broadcast cross join — a nested-loop whose build side is a single
 #: row by construction, i.e. a scalar attach, not an unbounded join.
-NESTED_LOOP_OK = {"emb_cosine_topk", "doc_rarity"}
+NESTED_LOOP_OK = {"emb_cosine_topk", "doc_rarity", "doc_mixture_plan"}
 
 
 def test_no_unbounded_cartesian_products(spark):

@@ -249,3 +249,80 @@ def test_tokprep_property_sweep(spark):
             for r in TX.rarity_stats(sdf, rare_max=rare_max).collect()
         }
         assert got_ra == _py_rarity(docs, rare_max), (seed, rare_max)
+
+
+SRC_DOCS = [
+    (0, "s0", ""),
+    (1, "s0", "a b c d"),
+    (2, "s0", "a b"),
+    (3, "s0", "a b c d e f g h"),
+    (4, "s1", "q"),
+    (5, "s1", "q r s t u v"),
+    (6, "s2", "m m m"),
+]
+
+
+def _mk_src_docs(spark):
+    return spark.createDataFrame(SRC_DOCS, ["doc_id", "source", "text"])
+
+
+def test_length_profile_matches_python_twin(spark):
+    import math
+
+    got = {
+        r.source: (
+            r.n_docs,
+            r.total_words,
+            r.min_words,
+            r.max_words,
+            r.p10,
+            r.p50,
+            r.p90,
+        )
+        for r in TX.length_profile(_mk_src_docs(spark)).collect()
+    }
+    exp = {}
+    by_src: dict[str, list] = {}
+    for doc_id, src, text in SRC_DOCS:
+        by_src.setdefault(src, []).append((len(text.split()), doc_id))
+    for src, lens in by_src.items():
+        lens.sort()
+        vals = [n for n, _ in lens]
+        n = len(vals)
+        pick = lambda q: vals[math.ceil(q * n) - 1]  # noqa: E731
+        exp[src] = (
+            n,
+            sum(vals),
+            min(vals),
+            max(vals),
+            pick(0.1),
+            pick(0.5),
+            pick(0.9),
+        )
+    assert got == exp
+
+
+def test_mixture_plan_uniform_reduces_to_min_over_tokens(spark):
+    rows = {r.source: r for r in CUR.mixture_plan(_mk_src_docs(spark)).collect()}
+    toks = {"s0": 14, "s1": 7, "s2": 3}
+    assert {s: r.tokens for s, r in rows.items()} == toks
+    for s, r in rows.items():
+        assert r.target_weight == 1.0 / 3
+        assert r.keep_rate == 3 / toks[s]
+        assert r.kept_tokens == int(toks[s] * (3 / toks[s]))
+    # the minimum source keeps everything
+    assert rows["s2"].keep_rate == 1.0
+
+
+def test_mixture_plan_explicit_weights_cap_and_drop(spark):
+    # s1 double weight, s2 absent -> dropped (rate 0); rates capped at 1
+    rows = {
+        r.source: r
+        for r in CUR.mixture_plan(
+            _mk_src_docs(spark), weights={"s0": 0.5, "s1": 0.5}
+        ).collect()
+    }
+    # C = min(14/0.5, 7/0.5) = 14 -> s0: 14*0.5/14 = 0.5, s1: 14*0.5/7 = 1.0
+    assert rows["s0"].keep_rate == 0.5
+    assert rows["s1"].keep_rate == 1.0
+    assert rows["s2"].keep_rate == 0.0 and rows["s2"].kept_tokens == 0
