@@ -312,6 +312,15 @@ def q_doc_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CUR.mixture_plan(_docs(spark, sf_dir))
 
 
+def q_doc_length_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-path twin of doc_length_profile (percentile_approx / GK,
+    no per-group sort). Engine-specific sketch — no SQL oracle; the
+    driver records the rows-only check and pytest bounds each reported
+    quantile's true rank against the exact profile
+    (test_length_profile_approx_within_rank_bound)."""
+    return TX.length_profile_approx(_docs(spark, sf_dir))
+
+
 def _docs_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the default decode path is native Column exprs, so the media
     # queries share the memoized corpus; a real byte-level codec run
@@ -417,6 +426,7 @@ def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rarity": q_doc_rarity,
         "doc_length_profile": q_doc_length_profile,
         "doc_mixture_plan": q_doc_mixture_plan,
+        "doc_length_profile_approx": q_doc_length_profile_approx,
     }
 
 

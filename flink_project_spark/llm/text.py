@@ -421,8 +421,7 @@ def length_profile(
     tuned off these numbers). Scale: one window per group + one
     aggregation — two exchanges on the group key; rows in flight are
     (group, doc_id, int). For percentile-over-billions without a
-    per-group sort, swap in an approx sketch off-path; this operator is
-    the exact, reproducible form.
+    per-group sort, `length_profile_approx` is the sketch path.
     """
     from pyspark.sql.window import Window
 
@@ -449,3 +448,40 @@ def length_profile(
             .alias(f"p{int(round(q * 100))}")
         )
     return prof.groupBy(by).agg(*aggs)
+
+
+def length_profile_approx(
+    docs: DataFrame,
+    by: str = "source",
+    qs: tuple[float, ...] = (0.1, 0.5, 0.9),
+    accuracy: int = 10_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sketch-based twin of `length_profile` — ONE map-side-combinable
+    aggregation (percentile_approx / Greenwald-Khanna), no per-group
+    sort, so a billion-doc group costs a bounded-memory sketch merge
+    instead of a window over the group.
+
+    Rank error is <= n/accuracy per group. Deterministic for a given
+    input (the sketch is data-dependent but RNG-free), yet NOT
+    engine-portable — so this operator has no DuckDB oracle; the pytest
+    bound test checks each reported quantile's true rank against the
+    exact profile. Same output columns as `length_profile` (p{q}
+    semantics differ: sketch pick vs exact rank-ceil pick).
+    """
+    d = docs.select(by, F.size(words(text_col)).alias("n_words"))
+    pcts = F.percentile_approx(
+        "n_words", F.array(*[F.lit(q) for q in qs]), F.lit(accuracy)
+    )
+    out = d.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.min("n_words").cast("long").alias("min_words"),
+        F.max("n_words").cast("long").alias("max_words"),
+        pcts.alias("_p"),
+    )
+    for i, q in enumerate(qs):
+        out = out.withColumn(
+            f"p{int(round(q * 100))}", F.col("_p")[i].cast("long")
+        )
+    return out.drop("_p")

@@ -326,3 +326,28 @@ def test_mixture_plan_explicit_weights_cap_and_drop(spark):
     assert rows["s0"].keep_rate == 0.5
     assert rows["s1"].keep_rate == 1.0
     assert rows["s2"].keep_rate == 0.0 and rows["s2"].kept_tokens == 0
+
+
+def test_length_profile_approx_within_rank_bound(spark):
+    """The sketch path reports, per group and quantile, a value whose
+    TRUE rank is within the GK error bound of the target rank."""
+    import math
+
+    rows = TX.length_profile_approx(_mk_src_docs(spark)).collect()
+    by_src: dict[str, list] = {}
+    for doc_id, src, text in SRC_DOCS:
+        by_src.setdefault(src, []).append(len(text.split()))
+    for r in rows:
+        vals = sorted(by_src[r.source])
+        n = len(vals)
+        assert r.n_docs == n and r.total_words == sum(vals)
+        assert r.min_words == vals[0] and r.max_words == vals[-1]
+        err = max(1, n // 10_000)
+        for q, got in ((0.1, r.p10), (0.5, r.p50), (0.9, r.p90)):
+            assert got in vals, (r.source, q, got)
+            lo = min(i for i, v in enumerate(vals) if v == got) + 1
+            hi = max(i for i, v in enumerate(vals) if v == got) + 1
+            target = math.ceil(q * n)
+            assert lo - err <= target <= hi + err or abs(
+                min(abs(lo - target), abs(hi - target))
+            ) <= err, (r.source, q, got, lo, hi, target)
