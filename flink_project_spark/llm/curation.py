@@ -183,7 +183,9 @@ def chunk_spans(
     starts = F.when(
         n > 0,
         F.sequence(
-            F.lit(0), F.floor((n - 1) / stride).cast("int") * stride, F.lit(stride)
+            F.lit(0),
+            ((n - 1).cast("long") - ((n - 1) % stride)).cast("int"),
+            F.lit(stride),
         ),
     ).otherwise(F.array().cast("array<int>"))
     ex = docs.select(
@@ -191,7 +193,9 @@ def chunk_spans(
     )
     return ex.select(
         "doc_id",
-        (F.col("_start") / stride).cast("long").alias("chunk_idx"),
+        # `div` = exact integral division (no double rounding at any
+        # magnitude) — mirrors the oracle's `//`
+        F.expr(f"_start div {stride}").cast("long").alias("chunk_idx"),
         F.col("_start").cast("long").alias("start_tok"),
         F.least(F.lit(chunk_tokens), F.size("_ws") - F.col("_start"))
         .cast("long")
@@ -250,13 +254,12 @@ def pack_plan(
     return out.select(
         "doc_id",
         "bucket",
-        F.floor(F.col("_start") / budget).cast("long").alias("bin_id"),
+        F.expr(f"_start div {budget}").cast("long").alias("bin_id"),
         (F.col("_start") % budget).cast("long").alias("offset_in_bin"),
         "n_tok",
-        (
-            F.floor(F.greatest(F.col("_cum") - 1, F.col("_start")) / budget)
-            - F.floor(F.col("_start") / budget)
-            + 1
+        F.expr(
+            f"(greatest(_cum - 1, _start) div {budget})"
+            f" - (_start div {budget}) + 1"
         )
         .cast("long")
         .alias("bins_spanned"),
