@@ -153,3 +153,33 @@ def test_media_metadata_stats_prune_binary_payload(spark):
     scan = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert scan is not None, plan
     assert "payload" not in scan.group(1), scan.group(1)
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
+    """Layout contract for partitioned datasets: a filter on the
+    partition column must become a PartitionFilter on the scan (reading
+    only the matching directories), not a post-scan row filter. This is
+    the on-disk complement of the PushedFilters row-group contract —
+    at 100 TB the date partition is what turns a full-corpus scan into
+    a single-day scan."""
+    from flink_project_spark.sinks.writers import write_parquet
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_date")
+    write_parquet(events, out, partition_by=["event_date"])
+
+    back = spark.read.parquet(out)
+    one_day = events.select(F.min(F.to_date("ts"))).first()[0]
+    q = back.filter(F.col("event_date") == F.lit(one_day)).select("event_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), plan
+    # pruning is real: the scan's selected partition count is 1 of many
+    n_dirs = len(
+        [p for p in (tmp_path / "events_by_date").iterdir() if p.name.startswith("event_date=")]
+    )
+    assert n_dirs > 1
+    assert q.count() == events.filter(F.to_date("ts") == F.lit(one_day)).count()
