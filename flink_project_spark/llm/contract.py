@@ -312,6 +312,18 @@ def q_doc_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CUR.mixture_plan(_docs(spark, sf_dir))
 
 
+def q_doc_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified n-gram-overlap contamination pairs (corpus = doc_id
+    % 7 != 0 vs held-out benchmark = % 7 == 0, 3-gram shingles,
+    overlap >= 0.5)."""
+    docs = _docs(spark, sf_dir)
+    return CUR.decontaminate_overlap(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        min_overlap=0.5,
+    )
+
+
 def q_doc_length_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-path twin of doc_length_profile (percentile_approx / GK,
     no per-group sort). Engine-specific sketch — no SQL oracle; the
@@ -427,6 +439,7 @@ def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_profile": q_doc_length_profile,
         "doc_mixture_plan": q_doc_mixture_plan,
         "doc_length_profile_approx": q_doc_length_profile_approx,
+        "doc_decontaminate_overlap": q_doc_decontaminate_overlap,
     }
 
 
@@ -1099,5 +1112,30 @@ WITH dec AS (
                     * (CAST(min_tokens AS DOUBLE) / CAST(tokens AS DOUBLE)))
                  AS BIGINT) AS kept_tokens
         FROM st CROSS JOIN sc
+        """,
+        # mirrors curation.decontaminate_overlap(n=3, min_overlap=0.5);
+        # corpus/benchmark split matches doc_decontaminate
+        "doc_decontaminate_overlap": _DWORDS
+        + _DSH
+        + """
+        , shx AS (
+          SELECT doc_id, unnest(shs) AS sh FROM dsh
+        ), c AS (
+          SELECT doc_id, sh FROM shx WHERE doc_id % 7 <> 0
+        ), b AS (
+          SELECT doc_id AS bench_id, sh FROM shx WHERE doc_id % 7 = 0
+        ), nc AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+          FROM c GROUP BY 1
+        ), m AS (
+          SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_common
+          FROM c JOIN b USING (sh) GROUP BY 1, 2
+        )
+        SELECT m.doc_id, m.bench_id, m.n_common, nc.n_shingles,
+               CAST(m.n_common AS DOUBLE) / CAST(nc.n_shingles AS DOUBLE)
+                 AS overlap_frac
+        FROM m JOIN nc USING (doc_id)
+        WHERE CAST(m.n_common AS DOUBLE) / CAST(nc.n_shingles AS DOUBLE)
+              >= 0.5
         """,
     }

@@ -380,3 +380,54 @@ def mixture_plan(
         "kept_tokens",
         F.floor(F.col("tokens").cast("double") * F.col("keep_rate")).cast("long"),
     )
+
+
+def decontaminate_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """N-gram-overlap decontamination — the stronger, quantified form of
+    `decontaminate`: for each (corpus doc, benchmark doc) pair report
+    the fraction of the corpus doc's distinct n-gram shingles that also
+    occur in the benchmark doc, keeping pairs at or above
+    `min_overlap` (the published-pipeline check that catches partial
+    containment, e.g. a benchmark question quoted inside a larger
+    page, which exact/min-shingle fingerprints miss).
+
+    `min_overlap` must be > 0: zero-overlap pairs never materialize —
+    the intersection count comes from a shingle equi-join, exactly like
+    llm.dedup.near_dup_pairs' verify stage, so the work is
+    O(matching shingle occurrences), never the doc cross product.
+
+    Scale: both sides explode to narrow (doc_id, shingle-md5) rows; the
+    join is a shuffle equi-join on the 32-byte hash (benchmark sets
+    small enough to broadcast will be broadcast by AQE); per-pair
+    counts and the per-doc denominator are map-side-combinable
+    aggregations.
+    """
+    if not 0 < min_overlap <= 1:
+        raise ValueError(f"min_overlap must be in (0, 1], got {min_overlap}")
+    from flink_project_spark.llm import dedup as DD
+
+    sc = DD.shingle_hashes(corpus, text_col, n)
+    sb = DD.shingle_hashes(benchmark, text_col, n).select(
+        F.col("doc_id").alias("bench_id"), "hx"
+    )
+    n_sh = sc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    matches = (
+        sc.join(sb, "hx")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        matches.join(n_sh, "doc_id")
+        .withColumn(
+            "overlap_frac",
+            F.col("n_common").cast("double") / F.col("n_shingles").cast("double"),
+        )
+        .filter(F.col("overlap_frac") >= min_overlap)
+        .select("doc_id", "bench_id", "n_common", "n_shingles", "overlap_frac")
+    )

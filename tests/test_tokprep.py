@@ -351,3 +351,33 @@ def test_length_profile_approx_within_rank_bound(spark):
             assert lo - err <= target <= hi + err or abs(
                 min(abs(lo - target), abs(hi - target))
             ) <= err, (r.source, q, got, lo, hi, target)
+
+
+def test_decontaminate_overlap_catches_partial_containment(spark):
+    """A benchmark question quoted inside a larger corpus page is
+    caught by shingle-overlap fraction but invisible to exact-content
+    fingerprints; sub-threshold overlap is filtered."""
+    bench_text = "what is the capital of france and why"
+    corpus = spark.createDataFrame(
+        [
+            # page quoting the full benchmark text -> high overlap
+            (1, "intro words here " + bench_text + " trailing commentary text"),
+            # unrelated page -> no shared shingles at all
+            (2, "completely different content about sorting networks"),
+            # page sharing one shingle -> below threshold
+            (3, "what is the purpose of tests"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.bench_id): r
+        for r in CUR.decontaminate_overlap(
+            corpus, bench, min_overlap=0.3
+        ).collect()
+    }
+    assert set(got) == {(1, 100)}
+    r = got[(1, 100)]
+    # the quoted span contributes its 6 interior shingles of doc 1's 12
+    assert r.n_common == 6 and r.n_shingles == 12
+    assert r.overlap_frac == 6 / 12
