@@ -273,11 +273,11 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding token-window chunk plan (64-token chunks, stride 48) —
     per-source chunk statistics plus a chunk-level dedup signal
     (distinct chunk_md5 vs total chunks)."""
-    ch = CUR.chunk_spans(_docs(spark, sf_dir), chunk_tokens=64, stride=48)
-    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    ch = CUR.chunk_spans(
+        _docs(spark, sf_dir), chunk_tokens=64, stride=48, carry_cols=("source",)
+    )
     return (
-        ch.join(docs, "doc_id")
-        .groupBy("source")
+        ch.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.count_distinct(F.col("chunk_md5")).alias("distinct_chunks"),

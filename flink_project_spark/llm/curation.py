@@ -156,13 +156,17 @@ def chunk_spans(
     chunk_tokens: int = 64,
     stride: int = 48,
     text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sliding token-window chunking — the tokenization-prep stage that
     turns documents into fixed-size training windows (start offsets
     0, stride, 2*stride, ... while start < n_words; the last chunk is
     short, zero-token docs produce no chunks).
 
-    Output: (doc_id, chunk_idx, start_tok, n_tok, chunk_md5) with
+    Output: (doc_id, *carry_cols, chunk_idx, start_tok, n_tok,
+    chunk_md5) — `carry_cols` rides metadata (source/lang/split labels)
+    through the generate so downstream rollups need no join back to the
+    corpus — with
     chunk_md5 = md5 of the space-joined token slice — a narrow,
     engine-reproducible fingerprint of the chunk content (the chunk
     text itself never shuffles).
@@ -189,10 +193,11 @@ def chunk_spans(
         ),
     ).otherwise(F.array().cast("array<int>"))
     ex = docs.select(
-        "doc_id", ws.alias("_ws"), F.explode(starts).alias("_start")
+        "doc_id", *carry_cols, ws.alias("_ws"), F.explode(starts).alias("_start")
     )
     return ex.select(
         "doc_id",
+        *carry_cols,
         # `div` = exact integral division (no double rounding at any
         # magnitude) — mirrors the oracle's `//`
         F.expr(f"_start div {stride}").cast("long").alias("chunk_idx"),
