@@ -1110,7 +1110,9 @@ WITH dec AS (
                  AS keep_rate,
                CAST(FLOOR(CAST(tokens AS DOUBLE)
                     * (CAST(min_tokens AS DOUBLE) / CAST(tokens AS DOUBLE)))
-                 AS BIGINT) AS kept_tokens
+                 AS BIGINT) AS kept_tokens,
+               CAST(FLOOR(CAST(min_tokens AS DOUBLE) / CAST(tokens AS DOUBLE)
+                    * 100 + 0.5) AS BIGINT) AS keep_rate_pct
         FROM st CROSS JOIN sc
         """,
         # mirrors curation.decontaminate_overlap(n=3, min_overlap=0.5);
@@ -1118,24 +1120,27 @@ WITH dec AS (
         "doc_decontaminate_overlap": _DWORDS
         + _DSH
         + """
-        , shx AS (
-          SELECT doc_id, unnest(shs) AS sh FROM dsh
+        , ne AS (
+          SELECT dsh.doc_id, shs FROM dsh
+          JOIN dwords USING (doc_id) WHERE len(ws) > 0
+        ), shx AS (
+          SELECT doc_id, unnest(shs) AS sh FROM ne
         ), c AS (
           SELECT doc_id, sh FROM shx WHERE doc_id % 7 <> 0
         ), b AS (
           SELECT doc_id AS bench_id, sh FROM shx WHERE doc_id % 7 = 0
-        ), nc AS (
-          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
-          FROM c GROUP BY 1
+        ), nb AS (
+          SELECT bench_id, CAST(count(*) AS BIGINT) AS bench_shingles
+          FROM b GROUP BY 1
         ), m AS (
           SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_common
           FROM c JOIN b USING (sh) GROUP BY 1, 2
         )
-        SELECT m.doc_id, m.bench_id, m.n_common, nc.n_shingles,
-               CAST(m.n_common AS DOUBLE) / CAST(nc.n_shingles AS DOUBLE)
+        SELECT m.doc_id, m.bench_id, m.n_common, nb.bench_shingles,
+               CAST(m.n_common AS DOUBLE) / CAST(nb.bench_shingles AS DOUBLE)
                  AS overlap_frac
-        FROM m JOIN nc USING (doc_id)
-        WHERE CAST(m.n_common AS DOUBLE) / CAST(nc.n_shingles AS DOUBLE)
+        FROM m JOIN nb USING (bench_id)
+        WHERE CAST(m.n_common AS DOUBLE) / CAST(nb.bench_shingles AS DOUBLE)
               >= 0.5
         """,
     }

@@ -327,8 +327,11 @@ def mixture_plan(
     upsampled. With target share w_s and current tokens T_s, the
     largest achievable corpus is C = min_s(T_s / w_s); each source
     keeps keep_rate_s = C * w_s / T_s (= min_T / T_s for the uniform
-    default). Feed keep_rate into `sample_by_hash` to materialize the
-    draw.
+    default). To materialize the draw, feed the integer
+    `keep_rate_pct` column into `sample_by_hash` (which takes a WHOLE
+    percent 0..100 — passing the 0..1 `keep_rate` fraction would
+    validate but keep only ~1% of rows); whole-percent granularity is
+    the documented resolution of the hash draw.
 
     Deterministic across engines: token counts are exact int64 sums and
     every rate is a fixed sequence of IEEE double ops on those sums.
@@ -357,10 +360,15 @@ def mixture_plan(
             ).alias("keep_rate"),
         )
     else:
+        if not weights:
+            raise ValueError("weights must be a non-empty mapping (or None)")
         wexpr = None
         for name, wv in weights.items():
-            c = F.when(F.col(by) == name, F.lit(float(wv)))
-            wexpr = c if wexpr is None else wexpr.when(F.col(by) == name, F.lit(float(wv)))
+            wexpr = (
+                F.when(F.col(by) == name, F.lit(float(wv)))
+                if wexpr is None
+                else wexpr.when(F.col(by) == name, F.lit(float(wv)))
+            )
         wexpr = wexpr.otherwise(F.lit(0.0))
         ratio = F.when(
             wexpr > 0, F.col("tokens").cast("double") / wexpr
@@ -384,6 +392,11 @@ def mixture_plan(
     return out.withColumn(
         "kept_tokens",
         F.floor(F.col("tokens").cast("double") * F.col("keep_rate")).cast("long"),
+    ).withColumn(
+        # the integer form sample_by_hash consumes (floor(x*100 + 0.5)
+        # = round-half-up, deterministic in any engine)
+        "keep_rate_pct",
+        F.floor(F.col("keep_rate") * 100 + F.lit(0.5)).cast("long"),
     )
 
 
@@ -402,6 +415,14 @@ def decontaminate_overlap(
     containment, e.g. a benchmark question quoted inside a larger
     page, which exact/min-shingle fingerprints miss).
 
+    The fraction is normalized by the BENCHMARK doc's distinct
+    shingles (n_common / bench_shingles): a short benchmark item fully
+    quoted inside a long page scores 1.0 regardless of the page's
+    length — normalizing by the corpus doc would dilute exactly that
+    case to ~0. Zero-word docs are excluded on both sides (their only
+    'shingle' is the empty string, which would otherwise report
+    empty-vs-empty pairs as 100% contamination).
+
     `min_overlap` must be > 0: zero-overlap pairs never materialize —
     the intersection count comes from a shingle equi-join, exactly like
     llm.dedup.near_dup_pairs' verify stage, so the work is
@@ -417,22 +438,24 @@ def decontaminate_overlap(
         raise ValueError(f"min_overlap must be in (0, 1], got {min_overlap}")
     from flink_project_spark.llm import dedup as DD
 
-    sc = DD.shingle_hashes(corpus, text_col, n)
-    sb = DD.shingle_hashes(benchmark, text_col, n).select(
+    nonempty = F.size(TX.words(F.col(text_col))) > 0
+    sc = DD.shingle_hashes(corpus.filter(nonempty), text_col, n)
+    sb = DD.shingle_hashes(benchmark.filter(nonempty), text_col, n).select(
         F.col("doc_id").alias("bench_id"), "hx"
     )
-    n_sh = sc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    n_sh = sb.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_shingles"))
     matches = (
         sc.join(sb, "hx")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
-        matches.join(n_sh, "doc_id")
+        matches.join(n_sh, "bench_id")
         .withColumn(
             "overlap_frac",
-            F.col("n_common").cast("double") / F.col("n_shingles").cast("double"),
+            F.col("n_common").cast("double")
+            / F.col("bench_shingles").cast("double"),
         )
         .filter(F.col("overlap_frac") >= min_overlap)
-        .select("doc_id", "bench_id", "n_common", "n_shingles", "overlap_frac")
+        .select("doc_id", "bench_id", "n_common", "bench_shingles", "overlap_frac")
     )

@@ -312,6 +312,9 @@ def test_mixture_plan_uniform_reduces_to_min_over_tokens(spark):
         assert r.kept_tokens == int(toks[s] * (3 / toks[s]))
     # the minimum source keeps everything
     assert rows["s2"].keep_rate == 1.0
+    # integer percent for sample_by_hash (round-half-up)
+    for s, r in rows.items():
+        assert r.keep_rate_pct == int(r.keep_rate * 100 + 0.5)
 
 
 def test_mixture_plan_explicit_weights_cap_and_drop(spark):
@@ -326,6 +329,14 @@ def test_mixture_plan_explicit_weights_cap_and_drop(spark):
     assert rows["s0"].keep_rate == 0.5
     assert rows["s1"].keep_rate == 1.0
     assert rows["s2"].keep_rate == 0.0 and rows["s2"].kept_tokens == 0
+    assert rows["s1"].keep_rate_pct == 100 and rows["s2"].keep_rate_pct == 0
+
+
+def test_mixture_plan_rejects_empty_weights(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        CUR.mixture_plan(_mk_src_docs(spark), weights={})
 
 
 def test_length_profile_approx_within_rank_bound(spark):
@@ -354,30 +365,35 @@ def test_length_profile_approx_within_rank_bound(spark):
 
 
 def test_decontaminate_overlap_catches_partial_containment(spark):
-    """A benchmark question quoted inside a larger corpus page is
-    caught by shingle-overlap fraction but invisible to exact-content
-    fingerprints; sub-threshold overlap is filtered."""
+    """A benchmark question quoted inside a LONG corpus page must score
+    1.0 (normalization is by the benchmark doc's shingles — the corpus
+    doc's length must not dilute containment); one-shingle brushes stay
+    below threshold, unrelated pages and empty docs never pair."""
     bench_text = "what is the capital of france and why"
+    long_page = (
+        "intro words here " + bench_text + " trailing commentary text "
+        + " ".join(f"filler{i}" for i in range(500))
+    )
     corpus = spark.createDataFrame(
         [
-            # page quoting the full benchmark text -> high overlap
-            (1, "intro words here " + bench_text + " trailing commentary text"),
-            # unrelated page -> no shared shingles at all
+            (1, long_page),  # full quote inside a 500+-word page
             (2, "completely different content about sorting networks"),
-            # page sharing one shingle -> below threshold
-            (3, "what is the purpose of tests"),
+            (3, "what is the purpose of tests"),  # one shared shingle
+            (4, ""),  # zero-word doc: excluded, never pairs
         ],
         ["doc_id", "text"],
     )
-    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, bench_text), (101, "   ")], ["doc_id", "text"]
+    )
     got = {
         (r.doc_id, r.bench_id): r
         for r in CUR.decontaminate_overlap(
-            corpus, bench, min_overlap=0.3
+            corpus, bench, min_overlap=0.5
         ).collect()
     }
     assert set(got) == {(1, 100)}
     r = got[(1, 100)]
-    # the quoted span contributes its 6 interior shingles of doc 1's 12
-    assert r.n_common == 6 and r.n_shingles == 12
-    assert r.overlap_frac == 6 / 12
+    # all 6 benchmark shingles occur in the page -> full containment
+    assert r.n_common == 6 and r.bench_shingles == 6
+    assert r.overlap_frac == 1.0
