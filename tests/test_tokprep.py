@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import hashlib
 
+from pyspark.sql import functions as F
+
 from flink_project_spark.llm import curation as CUR
 from flink_project_spark.llm import text as TX
 from flink_project_spark.llm.hashing import v32_py
@@ -397,3 +399,27 @@ def test_decontaminate_overlap_catches_partial_containment(spark):
     # all 6 benchmark shingles occur in the page -> full containment
     assert r.n_common == 6 and r.bench_shingles == 6
     assert r.overlap_frac == 1.0
+
+
+def test_mixture_plan_composes_with_sample_by_hash(spark):
+    """The documented composition: keep_rate_pct drives sample_by_hash
+    and the realized kept-token fraction lands near the plan's
+    keep_rate (hash draw is exact only in expectation)."""
+    import random
+
+    rnd = random.Random(5)
+    rows = [
+        (i, "s_big" if i < 400 else "s_small",
+         " ".join(rnd.choice("abcdefgh") for _ in range(20)))
+        for i in range(500)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    plan = {r.source: r for r in CUR.mixture_plan(docs).collect()}
+    assert plan["s_small"].keep_rate_pct == 100
+    pct_big = plan["s_big"].keep_rate_pct
+    assert pct_big == int(plan["s_big"].keep_rate * 100 + 0.5)
+    kept = CUR.sample_by_hash(
+        docs.filter(F.col("source") == "s_big"), int(pct_big)
+    ).count()
+    frac = kept / 400
+    assert abs(frac - plan["s_big"].keep_rate) < 0.12, (frac, plan["s_big"])
