@@ -312,6 +312,11 @@ def q_doc_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CUR.mixture_plan(_docs(spark, sf_dir))
 
 
+def q_doc_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable packing pieces (budget 512, 8 bucket streams)."""
+    return CUR.pack_spans(_docs(spark, sf_dir), budget=512, n_buckets=8)
+
+
 def q_doc_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantified n-gram-overlap contamination pairs (corpus = doc_id
     % 7 != 0 vs held-out benchmark = % 7 == 0, 3-gram shingles,
@@ -440,6 +445,7 @@ def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_plan": q_doc_mixture_plan,
         "doc_length_profile_approx": q_doc_length_profile_approx,
         "doc_decontaminate_overlap": q_doc_decontaminate_overlap,
+        "doc_pack_spans": q_doc_pack_spans,
     }
 
 
@@ -1035,6 +1041,37 @@ WITH dec AS (
                CAST(greatest(cum - 1, cum - n_tok) // 512
                     - (cum - n_tok) // 512 + 1 AS BIGINT) AS bins_spanned
         FROM cums
+        """,
+        # mirrors curation.pack_spans(budget=512, n_buckets=8) — the
+        # same pk/cums stream exploded into per-window pieces
+        "doc_pack_spans": _DWORDS
+        + f"""
+        , pk AS (
+          SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok,
+                 {v32_sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS bucket,
+                 md5('pack:' || CAST(doc_id AS VARCHAR)) AS h
+          FROM dwords
+        ), cums AS (
+          SELECT doc_id, bucket, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM pk
+        ), pieces AS (
+          SELECT bucket, doc_id, cum - n_tok AS s, cum - 1 AS e,
+                 unnest(range(CAST((cum - n_tok) // 512 AS BIGINT),
+                              CAST(greatest(cum - 1, cum - n_tok) // 512 + 1
+                                   AS BIGINT)))
+                   AS bin_id
+          FROM cums WHERE n_tok > 0
+        )
+        SELECT bucket, CAST(bin_id AS BIGINT) AS bin_id, doc_id,
+               CAST(greatest(s, bin_id * 512) - s AS BIGINT) AS doc_offset,
+               CAST(least(e, (bin_id + 1) * 512 - 1)
+                    - greatest(s, bin_id * 512) + 1 AS BIGINT)
+                 AS piece_tokens,
+               CAST(greatest(s, bin_id * 512) - bin_id * 512 AS BIGINT)
+                 AS offset_in_bin
+        FROM pieces
         """,
         # mirrors text.rarity_stats(rare_max=2)
         "doc_rarity": _DWORDS

@@ -459,3 +459,57 @@ def decontaminate_overlap(
         .filter(F.col("overlap_frac") >= min_overlap)
         .select("doc_id", "bench_id", "n_common", "bench_shingles", "overlap_frac")
     )
+
+
+def pack_spans(
+    docs: DataFrame,
+    budget: int = 512,
+    n_buckets: int = 8,
+    salt: str = "pack",
+    text_col: str = "text",
+) -> DataFrame:
+    """The executable form of `pack_plan`: one row per (document piece,
+    training window) — exactly what a packed-sequence writer consumes.
+    A doc whose token stream crosses window boundaries is split into
+    per-window pieces; within a window, pieces tile it end-to-end in
+    stream order.
+
+    Output: (bucket, bin_id, doc_id, doc_offset, piece_tokens,
+    offset_in_bin) with doc_offset the piece's first token WITHIN the
+    doc and offset_in_bin its position inside the window. Zero-token
+    docs contribute no pieces. Pure integer arithmetic over the
+    pack_plan cumulative sums — engine-exact.
+
+    Scale: pack_plan's single per-bucket window plus one generate
+    (explode over the doc's spanned bins — bounded by
+    ceil(n_tok/budget)+1 rows per doc); no further shuffle, so a
+    groupBy(bucket, bin_id) writer gets map-side-combinable input
+    already clustered by bucket.
+    """
+    plan = pack_plan(docs, budget, n_buckets, salt, text_col)
+    start = F.col("bin_id") * budget + F.col("offset_in_bin")
+    ex = (
+        plan.filter(F.col("n_tok") > 0)
+        .withColumn("_start", start)
+        .withColumn("_end", start + F.col("n_tok") - 1)
+        .select(
+            "bucket",
+            "doc_id",
+            "n_tok",
+            "_start",
+            "_end",
+            F.explode(
+                F.sequence(F.col("bin_id"), F.col("bin_id") + F.col("bins_spanned") - 1)
+            ).alias("bin_id"),
+        )
+    )
+    piece_lo = F.greatest(F.col("_start"), F.col("bin_id") * budget)
+    piece_hi = F.least(F.col("_end"), (F.col("bin_id") + 1) * budget - 1)
+    return ex.select(
+        "bucket",
+        "bin_id",
+        "doc_id",
+        (piece_lo - F.col("_start")).cast("long").alias("doc_offset"),
+        (piece_hi - piece_lo + 1).cast("long").alias("piece_tokens"),
+        (piece_lo - F.col("bin_id") * budget).cast("long").alias("offset_in_bin"),
+    )

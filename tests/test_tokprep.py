@@ -423,3 +423,42 @@ def test_mixture_plan_composes_with_sample_by_hash(spark):
     ).count()
     frac = kept / 400
     assert abs(frac - plan["s_big"].keep_rate) < 0.12, (frac, plan["s_big"])
+
+
+def test_pack_spans_tile_docs_and_windows_exactly(spark):
+    """Pieces reassemble every doc exactly (offsets 0..n_tok contiguous)
+    and tile every window: per (bucket, bin) piece tokens sum to the
+    window budget except the last window of each bucket stream."""
+    budget = 50
+    spans = CUR.pack_spans(_mk_docs(spark), budget=budget, n_buckets=2).collect()
+    plan = {
+        r.doc_id: r
+        for r in CUR.pack_plan(_mk_docs(spark), budget=budget, n_buckets=2).collect()
+    }
+    # per-doc reassembly
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.doc_offset)
+        pos = 0
+        for r in rs:
+            assert r.doc_offset == pos, (doc_id, rs)
+            pos += r.piece_tokens
+        assert pos == plan[doc_id].n_tok
+    assert set(by_doc) == {d for d, r in plan.items() if r.n_tok > 0}
+    # per-window tiling
+    fill: dict[tuple, int] = {}
+    last_bin: dict[int, int] = {}
+    for r in spans:
+        fill[(r.bucket, r.bin_id)] = fill.get((r.bucket, r.bin_id), 0) + r.piece_tokens
+        last_bin[r.bucket] = max(last_bin.get(r.bucket, -1), r.bin_id)
+    for (bucket, bin_id), tokens in fill.items():
+        if bin_id < last_bin[bucket]:
+            assert tokens == budget, (bucket, bin_id, tokens)
+        else:
+            assert 0 < tokens <= budget
+    # offsets inside a window are consistent with the stream order
+    for r in spans:
+        assert 0 <= r.offset_in_bin < budget
+        assert r.offset_in_bin + r.piece_tokens <= budget
