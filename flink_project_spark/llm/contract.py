@@ -472,6 +472,24 @@ _DSH = r"""
 )
 """
 
+# packed-sequence stream: per-bucket running token sums in (md5, id)
+# order (mirrors curation.pack_plan(budget=512, n_buckets=8); shared by
+# the doc_pack_plan and doc_pack_spans oracles so the packing key,
+# salt, and budget can never silently diverge between them)
+_PACK_CUMS = f"""
+, pk AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok,
+         {v32_sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS bucket,
+         md5('pack:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM dwords
+), cums AS (
+  SELECT doc_id, bucket, n_tok,
+         SUM(n_tok) OVER (PARTITION BY bucket ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pk
+)
+"""
+
 # MinHash signatures, LSH bands, capped candidate pairs
 # (mirrors dedup.doc_signatures / lsh_pairs: k=16, bands=4, rows=4;
 # integer permutations (a*h+b) % P over ONE md5 per shingle)
@@ -1022,18 +1040,8 @@ WITH dec AS (
         """,
         # mirrors curation.pack_plan(budget=512, n_buckets=8)
         "doc_pack_plan": _DWORDS
-        + f"""
-        , pk AS (
-          SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok,
-                 {v32_sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS bucket,
-                 md5('pack:' || CAST(doc_id AS VARCHAR)) AS h
-          FROM dwords
-        ), cums AS (
-          SELECT doc_id, bucket, n_tok,
-                 SUM(n_tok) OVER (PARTITION BY bucket ORDER BY h, doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-          FROM pk
-        )
+        + _PACK_CUMS
+        + """
         SELECT doc_id, bucket,
                CAST((cum - n_tok) // 512 AS BIGINT) AS bin_id,
                CAST((cum - n_tok) % 512 AS BIGINT) AS offset_in_bin,
@@ -1045,18 +1053,9 @@ WITH dec AS (
         # mirrors curation.pack_spans(budget=512, n_buckets=8) — the
         # same pk/cums stream exploded into per-window pieces
         "doc_pack_spans": _DWORDS
-        + f"""
-        , pk AS (
-          SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok,
-                 {v32_sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS bucket,
-                 md5('pack:' || CAST(doc_id AS VARCHAR)) AS h
-          FROM dwords
-        ), cums AS (
-          SELECT doc_id, bucket, n_tok,
-                 SUM(n_tok) OVER (PARTITION BY bucket ORDER BY h, doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-          FROM pk
-        ), pieces AS (
+        + _PACK_CUMS
+        + """
+        , pieces AS (
           SELECT bucket, doc_id, cum - n_tok AS s, cum - 1 AS e,
                  unnest(range(CAST((cum - n_tok) // 512 AS BIGINT),
                               CAST(greatest(cum - 1, cum - n_tok) // 512 + 1
