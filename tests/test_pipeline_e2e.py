@@ -137,3 +137,35 @@ def test_ingest_pipeline_stream_matches_batch(spark, tmp_path):
     assert "PartitionFilters" in plan and "split" in plan.split(
         "PartitionFilters"
     )[1][:120], plan
+
+
+def test_chunking_runs_in_streaming_ingest(spark, tmp_path):
+    """chunk_spans is a stateless projection+generate, so the SAME
+    operator body runs under Structured Streaming at ingest — the
+    streamed chunk set must equal the batch chunk set over the same
+    files (tokenize-at-ingest, the way chunking actually deploys)."""
+    src_dir = tmp_path / "docs_in"
+    corpus = _corpus(spark).select("doc_id", "ts", "text")
+    corpus.coalesce(2).write.mode("overwrite").parquet(str(src_dir))
+
+    stream = read_file_stream(spark, str(src_dir), SCHEMA)
+    chunked = CUR.chunk_spans(stream, chunk_tokens=16, stride=12)
+    q = (
+        chunked.writeStream.format("memory")
+        .queryName("chunks_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT doc_id, chunk_idx, start_tok, n_tok, chunk_md5 "
+            "FROM chunks_stream"
+        ).collect()
+    }
+    exp = {
+        tuple(r)
+        for r in CUR.chunk_spans(corpus, chunk_tokens=16, stride=12).collect()
+    }
+    assert got == exp and len(got) > 0
