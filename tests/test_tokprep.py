@@ -245,6 +245,23 @@ def test_tokprep_property_sweep(spark):
         }
         assert got_pk == _py_pack(docs, budget, n_buckets), (seed, budget, n_buckets)
 
+        spans = CUR.pack_spans(sdf, budget=budget, n_buckets=n_buckets).collect()
+        by_doc: dict[int, list] = {}
+        for r in spans:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        exp_pack = _py_pack(docs, budget, n_buckets)
+        for doc_id, rs in by_doc.items():
+            rs.sort(key=lambda r: r.doc_offset)
+            pos = 0
+            for r in rs:
+                assert r.doc_offset == pos and 0 < r.piece_tokens <= budget
+                assert 0 <= r.offset_in_bin < budget
+                pos += r.piece_tokens
+            assert pos == exp_pack[doc_id][3], (seed, doc_id)
+        assert set(by_doc) == {
+            d for d, v in exp_pack.items() if v[3] > 0
+        }, seed
+
         rare_max = rnd.randrange(1, 5)
         got_ra = {
             r.doc_id: (r.n_words, r.sum_corpus_cnt, r.rare_frac, r.avg_rel_freq)
