@@ -79,4 +79,11 @@ def clear(spark: SparkSession | None = None) -> int:
     from flink_project_spark import fixtures as FX
 
     FX.clear_tables(spark)
+    # the contract layer keeps two applicationId-keyed side tables (the
+    # deferred LSH-cap audit plan, the trained k-means models); evict
+    # them with the same scope so a cleared session never hands back a
+    # stale plan over an unpersisted table
+    from flink_project_spark.llm import contract as _contract
+
+    _contract.evict_session(sid)
     return n

@@ -52,8 +52,20 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # applicationId-keyed handle on the deferred LSH-cap audit frame (a plan
-# object over the persisted band table — no executor memory held)
+# object over the persisted band table — no executor memory held).
+# Evicted by cache.clear() via evict_session(), so neither this nor the
+# k-means model table outlives the registry lifecycle it depends on.
 _NEARDUP_AUDIT: dict[tuple[str, str], DataFrame] = {}
+
+
+def evict_session(app_id: str | None = None) -> None:
+    """Drop the contract layer's applicationId-keyed side state (audit
+    plans, trained k-means models) for one session — or all sessions
+    with None. Called by flink_project_spark.cache.clear()."""
+    for table in (_NEARDUP_AUDIT, _KMEANS_MODELS):
+        for k in list(table):
+            if app_id is None or k[0] == app_id:
+                del table[k]
 
 
 def _near_dup_tables(
@@ -1136,20 +1148,25 @@ WITH dec AS (
           SELECT source, CAST(SUM(len(ws)) AS BIGINT) AS tokens
           FROM dwords GROUP BY source
         ), sc AS (
-          SELECT CAST(MIN(tokens) AS BIGINT) AS min_tokens,
+          SELECT CAST(MIN(tokens) FILTER (WHERE tokens > 0) AS BIGINT)
+                   AS min_tokens,
                  count(*) AS n_sources
           FROM st
+        ), kr AS (
+          SELECT source, tokens, n_sources,
+                 CASE WHEN tokens > 0
+                      THEN CAST(min_tokens AS DOUBLE)
+                           / CAST(tokens AS DOUBLE)
+                      ELSE 0.0 END AS keep_rate
+          FROM st CROSS JOIN sc
         )
         SELECT source, tokens,
                1.0 / n_sources AS target_weight,
-               CAST(min_tokens AS DOUBLE) / CAST(tokens AS DOUBLE)
-                 AS keep_rate,
-               CAST(FLOOR(CAST(tokens AS DOUBLE)
-                    * (CAST(min_tokens AS DOUBLE) / CAST(tokens AS DOUBLE)))
-                 AS BIGINT) AS kept_tokens,
-               CAST(FLOOR(CAST(min_tokens AS DOUBLE) / CAST(tokens AS DOUBLE)
-                    * 100 + 0.5) AS BIGINT) AS keep_rate_pct
-        FROM st CROSS JOIN sc
+               keep_rate,
+               CAST(FLOOR(CAST(tokens AS DOUBLE) * keep_rate) AS BIGINT)
+                 AS kept_tokens,
+               CAST(FLOOR(keep_rate * 100 + 0.5) AS BIGINT) AS keep_rate_pct
+        FROM kr
         """,
         # mirrors curation.decontaminate_overlap(n=3, min_overlap=0.5);
         # corpus/benchmark split matches doc_decontaminate

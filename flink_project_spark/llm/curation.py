@@ -145,6 +145,13 @@ def sample_by_hash(
     incremental corpus builds resample consistently. The percentage is
     exact only in expectation; use `stratified_sample` for exact-N.
     """
+    if int(rate_pct) != rate_pct:
+        raise ValueError(
+            f"rate_pct is a WHOLE percent 0..100, got {rate_pct} — a 0..1 "
+            "fraction would silently keep ~1% (use mixture_plan's "
+            "keep_rate_pct column)"
+        )
+    rate_pct = int(rate_pct)
     if not 0 <= rate_pct <= 100:
         raise ValueError(f"rate_pct must be 0..100, got {rate_pct}")
     bucket = v32(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))) % 100
@@ -344,9 +351,15 @@ def mixture_plan(
         .agg(F.sum("_nt").cast("long").alias("tokens"))
     )
     if weights is None:
+        # a zero-token source has nothing to keep and must not poison
+        # C: the min runs over positive token counts only, and the
+        # empty source itself gets keep_rate 0.0 (not NULL/1.0 from a
+        # 0/0 division)
         scalar = F.broadcast(
             tok.agg(
-                F.min("tokens").alias("_min_tokens"),
+                F.min(F.when(F.col("tokens") > 0, F.col("tokens"))).alias(
+                    "_min_tokens"
+                ),
                 F.count(F.lit(1)).alias("_n_sources"),
             )
         )
@@ -354,10 +367,13 @@ def mixture_plan(
             by,
             "tokens",
             (F.lit(1.0) / F.col("_n_sources")).alias("target_weight"),
-            (
+            F.when(
+                F.col("tokens") > 0,
                 F.col("_min_tokens").cast("double")
-                / F.col("tokens").cast("double")
-            ).alias("keep_rate"),
+                / F.col("tokens").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("keep_rate"),
         )
     else:
         if not weights:
@@ -371,7 +387,8 @@ def mixture_plan(
             )
         wexpr = wexpr.otherwise(F.lit(0.0))
         ratio = F.when(
-            wexpr > 0, F.col("tokens").cast("double") / wexpr
+            (wexpr > 0) & (F.col("tokens") > 0),
+            F.col("tokens").cast("double") / wexpr,
         )
         scored = tok.withColumn("_w", wexpr).withColumn("_ratio", ratio)
         scalar = F.broadcast(scored.agg(F.min("_ratio").alias("_c")))
@@ -380,7 +397,7 @@ def mixture_plan(
             "tokens",
             F.col("_w").alias("target_weight"),
             F.when(
-                F.col("_w") > 0,
+                (F.col("_w") > 0) & (F.col("tokens") > 0),
                 F.least(
                     F.lit(1.0),
                     F.col("_c") * F.col("_w") / F.col("tokens").cast("double"),
@@ -409,8 +426,8 @@ def decontaminate_overlap(
 ) -> DataFrame:
     """N-gram-overlap decontamination — the stronger, quantified form of
     `decontaminate`: for each (corpus doc, benchmark doc) pair report
-    the fraction of the corpus doc's distinct n-gram shingles that also
-    occur in the benchmark doc, keeping pairs at or above
+    the fraction of the BENCHMARK doc's distinct n-gram shingles that
+    also occur in the corpus doc, keeping pairs at or above
     `min_overlap` (the published-pipeline check that catches partial
     containment, e.g. a benchmark question quoted inside a larger
     page, which exact/min-shingle fingerprints miss).

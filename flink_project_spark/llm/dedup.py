@@ -213,6 +213,33 @@ def lsh_overflow(
     )
 
 
+def _ranked_band_keys(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Band keys with a deterministic per-bucket rank (doc_id order) —
+    the shared precursor of the capped candidate join and the overflow
+    audit."""
+    return _band_keys(sigs, bands, rows).withColumn(
+        "bucket_rank",
+        F.row_number().over(
+            Window.partitionBy("band", "band_key").orderBy("doc_id")
+        ),
+    )
+
+
+def _pairs_from_bands(ranked: DataFrame, max_bucket: int) -> DataFrame:
+    """Distinct capped candidate pairs from a ranked band table — ONE
+    definition of the cap/tie-break/pair semantics, used by lsh_pairs
+    and near_dup_pairs so they can never drift apart."""
+    capped = ranked.filter(F.col("bucket_rank") <= max_bucket)
+    a = capped.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+    b = capped.select("band", "band_key", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def lsh_pairs(
     sigs: DataFrame,
     bands: int = 4,
@@ -228,20 +255,7 @@ def lsh_pairs(
     produce O(n^2) pairs at scale. The cap's casualties are reported by
     `lsh_overflow` — run it alongside when the cap can plausibly bind.
     """
-    capped = _band_keys(sigs, bands, rows).withColumn(
-        "bucket_rank",
-        F.row_number().over(
-            Window.partitionBy("band", "band_key").orderBy("doc_id")
-        ),
-    ).filter(F.col("bucket_rank") <= max_bucket)
-    a = capped.select("band", "band_key", F.col("doc_id").alias("doc_a"))
-    b = capped.select("band", "band_key", F.col("doc_id").alias("doc_b"))
-    return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return _pairs_from_bands(_ranked_band_keys(sigs, bands, rows), max_bucket)
 
 
 def estimated_jaccard(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
@@ -343,6 +357,12 @@ def near_dup_pairs(
     estimate ride on narrow per-doc side tables. (At cluster scale the
     persists become checkpoints of the exploded table to parquet.)
     """
+    if threshold <= 0:
+        raise ValueError(
+            f"threshold must be > 0, got {threshold} — zero-overlap pairs "
+            "never materialize here; use exact_jaccard over lsh_pairs for "
+            "jaccard-including-zeros"
+        )
     from flink_project_spark.cache import persist_tracked
 
     ex = persist_tracked(shingle_hashes(docs, text_col, n), "neardup_shingles")
@@ -362,23 +382,9 @@ def near_dup_pairs(
     # audit read it, where calling lsh_pairs + lsh_overflow separately
     # would run the band-window subtree three times
     bandt = persist_tracked(
-        _band_keys(sigs, bands, rows).withColumn(
-            "bucket_rank",
-            F.row_number().over(
-                Window.partitionBy("band", "band_key").orderBy("doc_id")
-            ),
-        ),
-        "neardup_bands",
+        _ranked_band_keys(sigs, bands, rows), "neardup_bands"
     )
-    capped = bandt.filter(F.col("bucket_rank") <= max_bucket)
-    a = capped.select("band", "band_key", F.col("doc_id").alias("doc_a"))
-    b = capped.select("band", "band_key", F.col("doc_id").alias("doc_b"))
-    cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = _pairs_from_bands(bandt, max_bucket)
     over_df = (
         bandt.filter(F.col("bucket_rank") > max_bucket)
         .groupBy("band", "band_key")
@@ -539,8 +545,22 @@ def connected_components(
         ).collect()[0]
         sig = (row["n"], row["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    else:
+        converged = False
+    if not converged:
+        # the module's no-silent-caps rule: an exhausted round budget
+        # means the components below may still be merged incorrectly
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components: star contraction did NOT converge "
+            "within max_rounds=%d; results may split true components — "
+            "raise max_rounds (rounds needed grow ~log(diameter))",
+            max_rounds,
+        )
     # converged star graph: every edge is (node, component-min); roots
     # appear only on the v side
     comp = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))
@@ -669,6 +689,12 @@ def simhash_near_dups(
     pair within `max_hamming < bands` must agree on >= 1 slice, so a
     self-join per slice finds all such pairs without a cross product.
     """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}): the "
+            "pigeonhole guarantee needs at least one agreeing slice, else "
+            "qualifying pairs are silently missed"
+        )
     width = bits // bands
     mask = (1 << width) - 1
     banded = sim.select(

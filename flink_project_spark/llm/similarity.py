@@ -79,6 +79,21 @@ def with_quantized(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return emb.withColumn("q", q).withColumn("nrm", _dot(F.col("q"), F.col("q")))
 
 
+def _cosine_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared scoring tail: per-query top-k window over cos_sim with
+    the deterministic (score DESC, neighbor_id) tie-break — one
+    definition for brute_force_topk and ivf_topk so their rankings can
+    never drift apart."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -110,14 +125,7 @@ def brute_force_topk(
             _dot(F.col("qq"), F.col("cq")), F.col("qn"), F.col("cn")
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _cosine_topk(scored, k)
 
 
 def ivf_topk(
@@ -153,14 +161,7 @@ def ivf_topk(
             _dot(F.col("qq"), F.col("cq")), F.col("qn"), F.col("cn")
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _cosine_topk(scored, k)
 
 
 def quantized_planes(n_planes: int, dim: int, salt: str = "plane") -> list[list[int]]:
@@ -217,10 +218,15 @@ def embedding_near_dups(
     The bucketed projection is persisted — it feeds both sides of the
     self-join, and the n_planes 64-dim sign dots are the expensive part.
     """
-    b = with_quantized(emb, vec_col).select(
-        F.col(id_col), F.col("q"), F.col("nrm"),
-        signlsh_bucket(F.col("q"), dim, n_planes).alias("bucket"),
-    ).persist()
+    from flink_project_spark.cache import persist_tracked
+
+    b = persist_tracked(
+        with_quantized(emb, vec_col).select(
+            F.col(id_col), F.col("q"), F.col("nrm"),
+            signlsh_bucket(F.col("q"), dim, n_planes).alias("bucket"),
+        ),
+        label="emb_near_dups_buckets",
+    )
     a = b.select(
         F.col("bucket"), F.col(id_col).alias("vec_a"),
         F.col("q").alias("qa"), F.col("nrm").alias("na"),

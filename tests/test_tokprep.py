@@ -479,3 +479,39 @@ def test_pack_spans_tile_docs_and_windows_exactly(spark):
     for r in spans:
         assert 0 <= r.offset_in_bin < budget
         assert r.offset_in_bin + r.piece_tokens <= budget
+
+
+def test_mixture_plan_zero_token_source_neither_poisons_nor_crashes(spark):
+    """An all-empty source gets keep_rate 0 (nothing to keep) and must
+    not zero out every other source's rate or emit NULL percents."""
+    docs = spark.createDataFrame(
+        SRC_DOCS + [(7, "s_empty", ""), (8, "s_empty", "   ")],
+        ["doc_id", "source", "text"],
+    )
+    uni = {r.source: r for r in CUR.mixture_plan(docs).collect()}
+    assert uni["s_empty"].keep_rate == 0.0 and uni["s_empty"].keep_rate_pct == 0
+    assert uni["s2"].keep_rate == 1.0  # min over POSITIVE-token sources
+    assert all(r.keep_rate_pct is not None for r in uni.values())
+    wtd = {
+        r.source: r
+        for r in CUR.mixture_plan(
+            docs, weights={"s0": 0.4, "s1": 0.4, "s_empty": 0.2}
+        ).collect()
+    }
+    assert wtd["s_empty"].keep_rate == 0.0
+    assert wtd["s0"].keep_rate > 0.0 and wtd["s1"].keep_rate > 0.0
+
+
+def test_guards_reject_silent_wrong_usage(spark):
+    import pytest
+
+    from flink_project_spark.llm import dedup as DD
+
+    docs = _mk_src_docs(spark)
+    with pytest.raises(ValueError, match="WHOLE percent"):
+        CUR.sample_by_hash(docs, 0.5)
+    with pytest.raises(ValueError, match="threshold must be > 0"):
+        DD.near_dup_pairs(docs, threshold=0.0)
+    sim = DD.doc_simhash(docs)
+    with pytest.raises(ValueError, match="max_hamming"):
+        DD.simhash_near_dups(sim, max_hamming=4)
