@@ -848,15 +848,19 @@ def oracle_sql() -> dict[str, str]:
           SELECT scene_id, user_id, count(*) AS w
           FROM valid_actions WHERE action = 'show' GROUP BY scene_id, user_id
         ), joined AS (
-          SELECT a.scene_id, a.user_id, w.w,
+          -- left join + COALESCE(w, 0): zero-show users stay in the
+          -- group at weight 0 (reference carries `show` on every row);
+          -- HAVING drops all-zero-weight groups (java `showAll != 0`)
+          SELECT a.scene_id, a.user_id, COALESCE(w.w, 0) AS w,
                  CAST(FLOOR(a.auc * 1000000000.0 + 0.5) AS BIGINT) AS auc_scaled
           FROM per_user_auc a
-          JOIN weights w ON a.scene_id = w.scene_id AND a.user_id = w.user_id
+          LEFT JOIN weights w ON a.scene_id = w.scene_id AND a.user_id = w.user_id
         )
         SELECT scene_id, count(*) AS users,
                CAST(SUM(w * auc_scaled) AS DOUBLE)
                / (1000000000.0 * CAST(SUM(w) AS DOUBLE)) AS uauc
         FROM joined GROUP BY scene_id
+        HAVING SUM(w) <> 0
         """,
         "label_dedup_anti": V("valid_actions")
         + """

@@ -61,7 +61,17 @@ def asof_join(
 
     Output: all `left` columns, plus ``{right_time}{suffix}`` and each
     requested right payload column as ``{col}{suffix}``.
+
+    The merge uses working columns ``_t/_side/_rp/_m``; a left frame
+    already carrying one of those names is rejected up front (clear
+    error instead of an ambiguous-reference failure deep in the plan).
     """
+    reserved = {"_t", "_side", "_rp", "_m"} & set(left.columns)
+    if reserved:
+        raise ValueError(
+            f"left columns {sorted(reserved)} collide with asof_join's "
+            "working columns (_t/_side/_rp/_m); rename them first"
+        )
     rc = right_cols if right_cols is not None else [
         c for c in right.columns if c not in set(on) | {right_time}
     ]

@@ -108,6 +108,13 @@ def uauc(
     Ref: AucCalcVersion5.java:343-392 (per-user rank walk) and :432-489
     (Σ(show_u·auc_u)/Σshow_u merge). Users with one-sided labels are
     excluded from the weighted mean, matching the reference's skip.
+    Weight parity (java:448,463 — `show` rides on every user's rows):
+    an AUC-valid user with NO weight-action rows stays in the group at
+    weight 0 (left join + coalesce, contributing nothing to the mean
+    but counted in `users`), and a group whose weights all sum to 0 is
+    dropped, matching the reference's `if (showAll != 0)` gate —
+    an inner join here would silently drop zero-weight users and emit
+    a NULL mean for all-zero-weight groups.
 
     Exact-reproducibility note: the weighted sum Σ w_u·auc_u over
     thousands of users would be float-order-dependent, so auc_u is
@@ -127,8 +134,10 @@ def uauc(
         )
     else:
         weights = df.groupBy(*keys, user_col).agg(F.count(F.lit(1)).alias("w"))
-    j = per_user.filter(F.col("auc").isNotNull()).join(
-        weights, on=[*keys, user_col], how="inner"
+    j = (
+        per_user.filter(F.col("auc").isNotNull())
+        .join(weights, on=[*keys, user_col], how="left")
+        .withColumn("w", F.coalesce(F.col("w"), F.lit(0)))
     )
     scaled = j.withColumn(
         "auc_scaled", F.floor(F.col("auc") * F.lit(1e9) + F.lit(0.5))
@@ -140,6 +149,7 @@ def uauc(
             F.sum("w").alias("wtotal"),
             F.count(F.lit(1)).alias("users"),
         )
+        .filter(F.col("wtotal") != 0)
         .select(
             *keys,
             "users",

@@ -111,8 +111,10 @@ def tumbling_counts(
     ts_col: str,
     duration: str,
     keys: list[str],
+    value_col: str | None = "value",
 ) -> DataFrame:
-    """T1/T2 batch form: tumbling event-time window counts + value sum.
+    """T1/T2 batch form: tumbling event-time window counts + value sum
+    (pass value_col=None for count-only inputs without a value column).
 
     F.window() works identically over batch and streaming DataFrames, so
     this single operator serves both the batch analog and (with
@@ -132,18 +134,23 @@ def tumbling_counts(
     parity holds; callers needing ledger-style half-away-from-zero on
     negative amounts should apply a sign-aware quantization first.
     """
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("decimal(28,0)")
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    out_cols = ["cnt"]
+    if value_col is not None:
+        cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast(
+            "decimal(28,0)"
+        )
+        aggs.append(
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("sum_value")
+        )
+        out_cols.append("sum_value")
     return (
         events.groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys)
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            (F.sum(cents).cast("double") / F.lit(100.0)).alias("sum_value"),
-        )
+        .agg(*aggs)
         .select(
             F.col("w.start").alias("window_start"),
             *keys,
-            "cnt",
-            "sum_value",
+            *out_cols,
         )
     )
 

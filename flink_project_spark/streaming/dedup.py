@@ -35,13 +35,25 @@ def streaming_exact_dedup(
 
     One narrow state key (32-byte hash + timestamp) per distinct
     in-horizon document; the payload column never enters state. Works
-    on batch frames too (falls back to plain ``dropDuplicates`` on the
-    hash, matching the batch operator exactly) so stream/batch
-    equivalence is testable on the same input.
+    on batch frames too, where the survivor is picked
+    DETERMINISTICALLY — the earliest (ts, then remaining columns) row
+    per hash — because ``dropDuplicates`` keeps whichever duplicate a
+    partition scan meets first and would flip under AQE/repartition
+    re-plans; the streaming path's first-ARRIVAL survivor is inherently
+    arrival-order-dependent, so equivalence checks compare content
+    sets, not survivor identity (see tests/test_pipeline_e2e.py).
     """
     hashed = stream.withColumn("content_md5", F.md5(F.col(text_col)))
     if hashed.isStreaming:
         return hashed.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(
             ["content_md5"]
         )
-    return hashed.dropDuplicates(["content_md5"])
+    from pyspark.sql.window import Window
+
+    order = [ts_col, *[c for c in hashed.columns if c not in ("content_md5", ts_col)]]
+    w = Window.partitionBy("content_md5").orderBy(*order)
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

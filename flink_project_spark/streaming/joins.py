@@ -41,6 +41,7 @@ def interval_join_stream(
     horizon: str = "1 hour",
     delay: str = "10 minutes",
     how: str = "inner",
+    suffix: str = "_r",
 ) -> DataFrame:
     """Join each left row to every right row with the same `on` keys and
     ``left_ts - horizon <= right_ts <= left_ts``.
@@ -48,7 +49,9 @@ def interval_join_stream(
     Both inputs must be streaming DataFrames with event-time columns
     (`left_ts` / `right_ts` must have distinct names). Watermarks are
     applied here with `delay`; the time-range condition is what lets
-    Spark bound the join state.
+    Spark bound the join state. Right payload columns whose names
+    collide with a left column come out as ``{name}{suffix}`` so the
+    output never carries duplicate column names.
     """
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must have distinct names")
@@ -64,9 +67,13 @@ def interval_join_stream(
     )
     joined = lw.join(rw, reduce(lambda a, b: a & b, conds), how)
     keep_right = [c for c in right.columns if c not in set(on)]
+    lcols = set(left.columns)
     return joined.select(
         *[F.col(f"l.{c}") for c in left.columns],
-        *[F.col(f"r.{c}") for c in keep_right],
+        *[
+            F.col(f"r.{c}").alias(f"{c}{suffix}" if c in lcols else c)
+            for c in keep_right
+        ],
     )
 
 

@@ -17,8 +17,10 @@ from flink_project_spark.sources.readers import read_rate_stream
 
 
 def _unit_hash(col, salt: int):
-    # xxhash64 -> [0, 1) uniform
-    return (F.abs(F.xxhash64(col, F.lit(salt))) % F.lit(1_000_000_007)).cast(
+    # xxhash64 -> [0, 1) uniform. pmod, NOT abs-then-%: abs(Long.MIN)
+    # stays negative in two's complement, which would leak a (rare)
+    # negative "uniform" into the Gaussian sum
+    return F.pmod(F.xxhash64(col, F.lit(salt)), F.lit(1_000_000_007)).cast(
         "double"
     ) / F.lit(1_000_000_007.0)
 

@@ -44,9 +44,13 @@ def count_with_timeout(
 
     Ref: flink-process myprocess/CountWithTimeoutFunction.java:14-67 —
     ValueState{count, lastModified} + a processing-time timer re-armed on
-    every event; on timer fire, emit the count. Identical here: state
-    carries (count, last_ts); the timeout callback fires when no new
-    micro-batch contained the key within the horizon.
+    every event; onTimer EMITS the count but never clears the state
+    (java:53-66: out.collect only), so the count keeps accumulating
+    across timeouts. Identical here: the timeout branch emits and keeps
+    (count, last_ts); the timer is not re-armed until the key's next
+    event, so a silent key emits once per silence, and state for a
+    forever-silent key is retained — the same retention the reference
+    has (one tiny row per key).
     """
     out_schema = T.StructType(
         [
@@ -67,7 +71,15 @@ def count_with_timeout(
     ) -> Iterable[pd.DataFrame]:
         if state.hasTimedOut:
             cnt, last = state.get
-            state.remove()
+            # reference parity: emit WITHOUT clearing the count — the
+            # reference's onTimer only collects (java:53-66), so the
+            # count keeps accumulating. The state re-write is REQUIRED:
+            # leaving the row untouched would also leave the old
+            # timeout timestamp in the store, and the key would re-fire
+            # (re-emitting the same count) every trigger; updating
+            # without setTimeoutDuration clears the pending timer until
+            # the key's next event re-arms it.
+            state.update((cnt, last))
             yield pd.DataFrame(
                 {"key": [key[0]], "cnt": [cnt], "last_seen_ms": [last]}
             )
@@ -176,16 +188,22 @@ def rising_value_warning(
     """T10: warn when a key's value has been strictly rising for
     >= rise_ms of event time.
 
-    Ref: flink-base process/MyProcess.scala:11-40 — registers a timer
-    when the temperature rises vs the previous reading, clears it on a
-    fall, warns when the timer survives 10 s. State = (last value,
-    rise-start ts); a warning is emitted for the reading that completes
-    an unbroken rising run of >= rise_ms, then the run restarts.
+    Ref: flink-base process/MyProcess.scala:11-40 — a timer is armed on
+    a rise (if not already armed), cleared ONLY on a strict fall or the
+    first-ever reading (scala:25-33: `< preTemp || preTemp == 0.0`),
+    and fires a warning when it survives rise_ms. EQUAL consecutive
+    readings neither arm nor clear — a plateau carries an armed timer
+    through to firing, and the firing check happens before the
+    element's own rise/fall effect (timers fire between elements), so a
+    fall arriving after the deadline does not suppress the warning.
+    State = (last value, armed-at ts); after a warning the timer clears
+    (onTimer) and the very element that revealed the firing can re-arm
+    if it is itself a rise.
 
-    Vectorized: rising flags come from one shifted compare; the scan
-    then walks maximal rising RUNS (not rows), locating each warn with
-    a searchsorted on the run's timestamps — per-batch Python work is
-    O(runs + warns), both tiny, instead of O(rows) iterrows.
+    Vectorized: rise/fall flags come from one shifted compare; the scan
+    then jumps between arm/disarm/fire EVENTS with searchsorted — per
+    batch Python work is O(events + warns), both tiny, instead of
+    O(rows) iterrows.
     """
     out_schema = T.StructType(
         [
@@ -215,34 +233,39 @@ def rising_value_warning(
             prevs[0] = np.nan if last is None else last
             prevs[1:] = vals[:-1]
             rising = ~np.isnan(prevs) & (vals > prevs)
+            disarm = np.isnan(prevs) | (vals < prevs)  # strict fall/first
             n = len(vals)
-            i = 0
-            while i < n:
-                if not rising[i]:
-                    rise_start = -1  # fall (or first-ever reading)
-                    i += 1
-                    continue
-                # maximal rising run [i, e)
-                e = i
-                while e < n and rising[e]:
-                    e += 1
-                j = i
+            rise_idx = np.flatnonzero(rising)
+            disarm_idx = np.flatnonzero(disarm)
+            pos = 0
+            while pos < n:
                 if rise_start < 0:
-                    rise_start = int(ts[j])  # run arms the timer here
-                    j += 1
-                while j < e:
-                    # first index whose ts completes rise_ms since arming
-                    w = j + int(
-                        np.searchsorted(ts[j:e], rise_start + rise_ms, "left")
-                    )
-                    if w >= e:
-                        break  # timer survives the batch un-fired
-                    rows.append((key[0], int(ts[w]), float(vals[w]), rise_start))
-                    rise_start = -1
-                    if w + 1 < e:
-                        rise_start = int(ts[w + 1])  # re-arm on next rise
-                    j = w + 2
-                i = e
+                    # next arming rise at/after pos (disarms are no-ops
+                    # while unarmed; the arming element cannot fire its
+                    # own just-set timer)
+                    r = rise_idx[np.searchsorted(rise_idx, pos)] if (
+                        np.searchsorted(rise_idx, pos) < len(rise_idx)
+                    ) else n
+                    if r >= n:
+                        break
+                    rise_start = int(ts[r])
+                    pos = r + 1
+                    continue
+                # armed: the timer fires at the first element whose ts
+                # reaches the deadline, unless a disarm strictly precedes
+                w = pos + int(np.searchsorted(ts[pos:], rise_start + rise_ms))
+                di = np.searchsorted(disarm_idx, pos)
+                d = disarm_idx[di] if di < len(disarm_idx) else n
+                if d < w:
+                    rise_start = -1  # fall before the deadline
+                    pos = d + 1
+                    continue
+                if w >= n:
+                    break  # timer survives the batch un-fired
+                rows.append((key[0], int(ts[w]), float(vals[w]), rise_start))
+                # onTimer cleared; element w itself now processes
+                rise_start = int(ts[w]) if rising[w] else -1
+                pos = w + 1
             last = float(vals[-1])
         state.update((last if last is not None else 0.0, rise_start))
         yield pd.DataFrame(

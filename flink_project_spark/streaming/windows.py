@@ -112,7 +112,16 @@ def windowed_uv(
     state, matching the reference's exact HBase-set semantics.
     SURVEY §4 documents this deviation-by-default.
     """
-    wm = with_watermark(stream, ts_col, duration_max(watermark, duration))
+    # only EXACT mode needs the watermark inflated to cover the window
+    # (dedup keys must survive until their window closes or reappearing
+    # users double-count); the approx path honors the caller's bound —
+    # inflating it there would both admit ~window-duration-late rows and
+    # delay append-mode emission by a full window for no benefit
+    wm = with_watermark(
+        stream,
+        ts_col,
+        duration_max(watermark, duration) if exact else watermark,
+    )
     if exact:
         # exact per-window distinct: materialize the window column, then
         # dedup (window, keys, user). dropDuplicatesWithinWatermark
@@ -183,16 +192,9 @@ def session_stream(
 
 def duration_max(a: str, b: str) -> str:
     """Pick the larger of two '<n> <unit>' durations (watermark must cover
-    at least one full window)."""
+    at least one full window). Parsing is shared with the batch window
+    operators (ONE unit table — the two copies had already started as
+    duplicates)."""
+    from flink_project_spark.operators.windows import _duration_seconds
 
-    def secs(d: str) -> float:
-        n, unit = d.split()
-        mult = {
-            "second": 1, "seconds": 1,
-            "minute": 60, "minutes": 60,
-            "hour": 3600, "hours": 3600,
-            "day": 86400, "days": 86400,
-        }[unit]
-        return float(n) * mult
-
-    return a if secs(a) >= secs(b) else b
+    return a if _duration_seconds(a) >= _duration_seconds(b) else b
