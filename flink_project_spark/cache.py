@@ -20,12 +20,23 @@ shingle table inside ``llm.dedup.near_dup_pairs``) register them via
 from __future__ import annotations
 
 import itertools
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple[str, str], DataFrame] = {}
 _seq = itertools.count()
+# guards the check-then-build in materialize(): the bench builds chains
+# from concurrent threads (FAIR scheduler), and two racing builders
+# would both persist — the loser's handle would be overwritten in the
+# registry and its cached blocks pinned with no clear() reference.
+# builder() only CONSTRUCTS a plan and marks it persisted (both lazy
+# and fast), so one lock does not serialize any real compute. RLock:
+# builders routinely materialize their own inputs (the item-CF pair
+# builder materializes the history arrays), so the same thread
+# re-enters while holding the lock.
+_LOCK = threading.RLock()
 
 
 def _sid(spark: SparkSession) -> str:
@@ -37,10 +48,11 @@ def materialize(
 ) -> DataFrame:
     """Build-once, persist, and memoize a DataFrame per (session, key)."""
     k = (_sid(spark), key)
-    df = _CACHE.get(k)
-    if df is None:
-        df = builder().persist()
-        _CACHE[k] = df
+    with _LOCK:
+        df = _CACHE.get(k)
+        if df is None:
+            df = builder().persist()
+            _CACHE[k] = df
     return df
 
 

@@ -37,9 +37,13 @@ def url_query_param(request: Column | str, param: str) -> Column:
     Ref: OfflineDataSetUtils.java:115-167 (manual indexOf/substring
     walk). regexp_extract keeps it in codegen; empty match -> ''.
     """
+    import re as _re
+
     c = F.col(request) if isinstance(request, str) else request
-    # param value = run of non-&/space chars after 'param='
-    return F.regexp_extract(c, rf"[?&]{param}=([^&\s]*)", 1)
+    # param value = run of non-&/space chars after 'param='; the param
+    # name is regex-escaped so 'user.id' matches literally and bracketed
+    # names ('q[0]') cannot break the pattern
+    return F.regexp_extract(c, rf"[?&]{_re.escape(param)}=([^&\s]*)", 1)
 
 
 def yyyymmdd(ts: Column | str) -> Column:

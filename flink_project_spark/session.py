@@ -89,11 +89,15 @@ def spread(df, parallelism: int | None = None):
     row groups can starve a 1000-core job the same way. An explicit
     round-robin repartition to the session's default parallelism costs
     one tiny shuffle of the *input* rows and unlocks every core for the
-    expensive projection that follows. No-op when the frame is already
-    split at least that wide.
+    expensive projection that follows.
     """
     if parallelism is None:
         parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= parallelism:
-        return df
+    # unconditional: the old `df.rdd.getNumPartitions() >= parallelism`
+    # guard paid a full plan->RDD conversion per call and read the
+    # PRE-AQE static partition count (post-shuffle frames reported
+    # shuffle.partitions while AQE coalesced them to a handful at
+    # runtime, so the guard skipped exactly the frames that needed
+    # spreading). Callers apply spread() to small scans ahead of
+    # CPU-dense projections, where the round-robin exchange is noise.
     return df.repartition(parallelism)

@@ -268,11 +268,28 @@ def foreach_batch_kv_upsert(
     Idempotency (same key overwritten on replay) + checkpointing gives the
     exactly-once effect the reference gets from Flink checkpoint barriers
     (ActionLogJob.java:82-96, T13).
+
+    Key encoding is injective: each component backslash-escapes '\\'
+    and '|' before the '|' join and NULL components render as the
+    unescapable sentinel '\\N' — so ('a|b', 'c') and ('a', 'b|c')
+    produce DIFFERENT store keys (a plain concat_ws would collide them,
+    silently overwriting a different logical key's value on replay).
+    Rows whose value is NULL are skipped (documented no-op: a KV upsert
+    with no value; a NULL reaching the store client would kill the
+    micro-batch mid-partition).
     """
 
+    def _esc(c: str):
+        e = F.regexp_replace(
+            F.regexp_replace(F.col(c).cast("string"), r"\\", r"\\\\"),
+            r"\|",
+            r"\\|",
+        )
+        return F.coalesce(e, F.lit("\\N"))
+
     def _fn(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = batch_df.select(
-            F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]).alias("k"),
+        rows = batch_df.filter(F.col(value_col).isNotNull()).select(
+            F.concat_ws("|", *[_esc(c) for c in key_cols]).alias("k"),
             F.col(value_col).cast("string").alias("v"),
         )
 

@@ -38,15 +38,28 @@ def read_partitioned_text(spark: SparkSession, paths: list[str]) -> DataFrame:
     """S4: multi-partition union scan.
 
     The reference loops day/hour dirs, checks fs.exists, and unions
-    (ItemIdCfVersion5.java:87-110). Spark takes the path list directly and
-    skips missing ones; on parquet tables, Hive-style partition discovery +
+    (ItemIdCfVersion5.java:87-110). Spark takes the path list directly,
+    but a path missing at PLAN time still raises PATH_NOT_FOUND
+    (ignoreMissingFiles only forgives files deleted after listing), so
+    the fs.exists check survives here — one driver-side Hadoop
+    FileSystem call per candidate path (a few dozen day/hour dirs, not
+    data). On parquet tables, Hive-style partition discovery +
     partition-filter pruning replaces the manual loop entirely.
     """
-    return (
-        spark.read.option("pathGlobFilter", "*")
-        .option("ignoreMissingFiles", "true")
-        .text(paths)
-    )
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    existing = []
+    for p in paths:
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        if hp.getFileSystem(conf).exists(hp):
+            existing.append(p)
+    if not existing:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame([], T.StructType(
+            [T.StructField("value", T.StringType())]
+        ))
+    return spark.read.option("ignoreMissingFiles", "true").text(existing)
 
 
 def read_csv(
@@ -167,7 +180,10 @@ def as_kafka_records(
         part.alias("partition"),
         F.col(ts_col).cast("timestamp").alias("timestamp"),
     )
-    w = Window.partitionBy("partition").orderBy("timestamp")
+    # total order: timestamp ties break on the serialized value, so the
+    # (offset -> record) pairing is reproducible under any shuffle/AQE
+    # plan (the determinism the docstring promises)
+    w = Window.partitionBy("partition").orderBy("timestamp", "value")
     return out.select(
         "key",
         "value",

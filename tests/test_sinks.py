@@ -184,3 +184,28 @@ def test_bucketed_join_is_exchange_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_kv_upsert_keys_are_injective_and_null_safe(spark):
+    """('a|b','c') and ('a','b|c') must land on DIFFERENT store keys
+    (escaped join, not plain concat_ws), NULL key components render as
+    the sentinel, and NULL-value rows are skipped instead of killing
+    the partition writer."""
+    store_name = "inj_test"
+    fn = WR.foreach_batch_kv_upsert(["k1", "k2"], "v", store_name=store_name)
+    df = spark.createDataFrame(
+        [
+            ("a|b", "c", "v1"),
+            ("a", "b|c", "v2"),
+            (None, "x", "v3"),
+            ("skip", "me", None),  # null value -> no upsert
+        ],
+        "k1 string, k2 string, v string",
+    )
+    fn(df, 0)
+    h = WR.get_kv_store(store_name).hashes
+    assert h[r"a\|b|c"]["v"] == "v1"
+    assert h[r"a|b\|c"]["v"] == "v2"
+    assert h[r"\N|x"]["v"] == "v3"
+    # the null-value row wrote nothing under any plausible key
+    assert not any(k.startswith("skip") for k in h)

@@ -49,12 +49,18 @@ def test_read_partitioned_text_skips_missing(spark, tmp_path):
     p3 = tmp_path / "day=20240103"
     p3.mkdir()
     (p3 / "f.txt").write_text("d3\n")
+    # day=20240102 genuinely does NOT exist — the operator itself must
+    # skip it (the old form of this test pre-filtered with os.path.exists,
+    # so the "skips missing" claim was never exercised and the raw path
+    # list raised PATH_NOT_FOUND)
     paths = [str(tmp_path / f"day=2024010{d}") for d in (1, 2, 3)]
-    existing = [p for p in paths if os.path.exists(p)]
     got = sorted(
-        r.value for r in RD.read_partitioned_text(spark, existing).collect()
+        r.value for r in RD.read_partitioned_text(spark, paths).collect()
     )
     assert got == ["d1", "d3"]
+    # every path missing -> empty frame with the text schema, not an error
+    none = RD.read_partitioned_text(spark, [str(tmp_path / "day=29990101")])
+    assert none.columns == ["value"] and none.count() == 0
 
 
 def test_read_csv_custom_delimiter(spark, tmp_path):
