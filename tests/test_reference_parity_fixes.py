@@ -236,3 +236,51 @@ def test_count_with_timeout_accumulates_across_timeouts(spark, tmp_path):
         assert 3 in rows, rows  # 2 + 1, NOT 1
     finally:
         q.stop()
+
+
+def test_rising_warning_random_sweep_vs_reference_twin(spark, tmp_path):
+    """Seeded sweep (x3): the vectorized event-jump scan equals a
+    direct per-element simulation of MyProcess.scala's timer protocol
+    (fire-check before the element's own arm/clear effect; arm on rise
+    when unarmed; clear on strict fall or first reading; plateau is a
+    no-op; the firing element can immediately re-arm)."""
+    import random
+
+    def twin(seq, rise_ms):
+        out = []
+        last, armed = None, -1
+        for ts, val in seq:
+            if armed >= 0 and ts >= armed + rise_ms:
+                out.append((ts, val, armed))
+                armed = -1
+            if last is None or val < last:
+                armed = -1
+            elif val > last and armed < 0:
+                armed = ts
+            last = val
+        return out
+
+    for seed in (3, 17, 88):
+        rnd = random.Random(seed)
+        data = []
+        expected = []
+        for k in range(4):
+            key = f"s{seed}k{k}"
+            t = 0
+            seq = []
+            for _ in range(60):
+                t += rnd.randrange(500, 4000)
+                # plateaus deliberately common (0 delta w.p. ~1/3)
+                seq.append((t, 60.0 + rnd.choice([0, 0, 1, 2, -1, -2]) * rnd.randrange(0, 3)))
+            # make values a random walk with repeats
+            vals, v = [], 60.0
+            for _ in seq:
+                v += rnd.choice([0.0, 0.0, 1.0, 2.0, -1.0, -3.0])
+                vals.append(v)
+            seq = [(ts, val) for (ts, _), val in zip(seq, vals)]
+            data += [(key, ts, val) for ts, val in seq]
+            expected += [
+                (key, ts, val, armed) for ts, val, armed in twin(seq, 6000)
+            ]
+        rows = _run_warns(spark, tmp_path, data, rise_ms=6000, sub=f"swp{seed}")
+        assert rows == sorted(expected), seed
