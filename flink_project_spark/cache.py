@@ -66,7 +66,8 @@ def persist_tracked(df: DataFrame, label: str = "internal") -> DataFrame:
     """
     k = (_sid(df.sparkSession), f"_tracked:{label}:{next(_seq)}")
     out = df.persist()
-    _CACHE[k] = out
+    with _LOCK:
+        _CACHE[k] = out
     return out
 
 
@@ -80,14 +81,15 @@ def clear(spark: SparkSession | None = None) -> int:
     """
     sid = None if spark is None else _sid(spark)
     n = 0
-    for k in list(_CACHE):
-        if sid is None or k[0] == sid:
-            try:
-                _CACHE[k].unpersist()
-            except Exception:
-                pass  # session already stopped; nothing to release
-            del _CACHE[k]
-            n += 1
+    with _LOCK:
+        for k in list(_CACHE):
+            if sid is None or k[0] == sid:
+                try:
+                    _CACHE[k].unpersist()
+                except Exception:
+                    pass  # session already stopped; nothing to release
+                del _CACHE[k]
+                n += 1
     from flink_project_spark import fixtures as FX
 
     FX.clear_tables(spark)

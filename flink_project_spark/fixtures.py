@@ -26,6 +26,8 @@ of binary64, epoch-millis extraction).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -175,13 +177,6 @@ def _expand(names: tuple[str, ...]) -> list[str]:
     return ordered
 
 
-def _sid(spark: SparkSession) -> str:
-    # applicationId, NOT id(spark): a stopped session's Python object id
-    # can be reused by a later session, which would serve plan objects
-    # bound to a dead SparkContext (same rule as cache.py)
-    return spark.sparkContext.applicationId
-
-
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all driver parquet tables as DataFrames.
 
@@ -200,7 +195,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     l_shipdate range).
     """
     # runtime-settable: required when the harness passes its own session
-    cached = _TABLE_CACHE.get((_sid(spark), sf_dir))
+    cached = _TABLE_CACHE.get(spark, {}).get(sf_dir)
     if cached is not None:
         return dict(cached)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -216,18 +211,27 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                     name, F.timestamp_micros(F.expr(f"{name} DIV 1000"))
                 )
         out[t] = df
-    _TABLE_CACHE[(_sid(spark), sf_dir)] = dict(out)
+    _TABLE_CACHE.setdefault(spark, {})[sf_dir] = dict(out)
     return out
 
 
 # DataFrame handles are cheap immutable plan objects — memoize per
 # (session, sf_dir) so the 45-query driver loop doesn't re-list files and
-# re-read 10 parquet footers per query.
-_TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
-# session id -> sf_dir whose tables are CURRENTLY bound to the views
+# re-read 10 parquet footers per query. WeakKeyDictionary keyed on the
+# SESSION OBJECT: entries die with their session (no dead-context plans
+# served after an id() reuse, no growth across sessions), and sibling
+# sessions sharing one SparkContext stay distinct (temp views are
+# per-session, so an applicationId key would wrongly skip registration
+# for the second sibling).
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]]" = (
+    weakref.WeakKeyDictionary()
+)
+# session -> sf_dir whose tables are CURRENTLY bound to the views
 # (a set keyed by (session, sf_dir) would wrongly skip re-binding after
 # the same session switches to a different scale factor and back)
-_REGISTERED: dict[str, str] = {}
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def clear_tables(spark: SparkSession | None = None) -> None:
@@ -237,22 +241,21 @@ def clear_tables(spark: SparkSession | None = None) -> None:
     long-lived session switching across many sf_dirs accumulates stale
     entries — this is the companion lifecycle hook to ``cache.clear``.
     """
-    sid = None if spark is None else _sid(spark)
-    for k in list(_TABLE_CACHE):
-        if sid is None or k[0] == sid:
-            del _TABLE_CACHE[k]
-    for k in list(_REGISTERED):
-        if sid is None or k == sid:
-            del _REGISTERED[k]
+    if spark is None:
+        _TABLE_CACHE.clear()
+        _REGISTERED.clear()
+    else:
+        _TABLE_CACHE.pop(spark, None)
+        _REGISTERED.pop(spark, None)
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
     """Register the driver tables as temp views (idempotent, memoized)."""
-    if _REGISTERED.get(_sid(spark)) == sf_dir:
+    if _REGISTERED.get(spark) == sf_dir:
         return
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
-    _REGISTERED[_sid(spark)] = sf_dir
+    _REGISTERED[spark] = sf_dir
 
 
 def fixture_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

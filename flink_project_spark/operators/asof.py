@@ -42,6 +42,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _check_reserved(left: DataFrame, extra: tuple[str, ...] = ()) -> None:
+    reserved = ({"_t", "_side", "_rp", "_m"} | set(extra)) & set(left.columns)
+    if reserved:
+        raise ValueError(
+            f"left columns {sorted(reserved)} collide with the as-of "
+            "join's working columns; rename them first"
+        )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -66,12 +75,7 @@ def asof_join(
     already carrying one of those names is rejected up front (clear
     error instead of an ambiguous-reference failure deep in the plan).
     """
-    reserved = {"_t", "_side", "_rp", "_m"} & set(left.columns)
-    if reserved:
-        raise ValueError(
-            f"left columns {sorted(reserved)} collide with asof_join's "
-            "working columns (_t/_side/_rp/_m); rename them first"
-        )
+    _check_reserved(left)
     rc = right_cols if right_cols is not None else [
         c for c in right.columns if c not in set(on) | {right_time}
     ]
@@ -183,6 +187,7 @@ def asof_join_bucketed(
     a hot key across time buckets — `bucket_width` (in `left_time`
     units) tunes task granularity exactly like salting tunes top-K.
     """
+    _check_reserved(left, extra=("_b",))
     rc = right_cols if right_cols is not None else [
         c for c in right.columns if c not in set(on) | {right_time}
     ]

@@ -41,24 +41,25 @@ def read_partitioned_text(spark: SparkSession, paths: list[str]) -> DataFrame:
     (ItemIdCfVersion5.java:87-110). Spark takes the path list directly,
     but a path missing at PLAN time still raises PATH_NOT_FOUND
     (ignoreMissingFiles only forgives files deleted after listing), so
-    the fs.exists check survives here — one driver-side Hadoop
-    FileSystem call per candidate path (a few dozen day/hour dirs, not
-    data). On parquet tables, Hive-style partition discovery +
-    partition-filter pruning replaces the manual loop entirely.
+    the existence probe survives here — one driver-side Hadoop
+    globStatus call per candidate path (a few dozen day/hour dirs, not
+    data; globStatus, NOT exists, so glob patterns like 'day=2024*'
+    keep working exactly as spark.read.text expands them). On parquet
+    tables, Hive-style partition discovery + partition-filter pruning
+    replaces the manual loop entirely.
     """
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     existing = []
     for p in paths:
         hp = jvm.org.apache.hadoop.fs.Path(p)
-        if hp.getFileSystem(conf).exists(hp):
+        matches = hp.getFileSystem(conf).globStatus(hp)
+        if matches is not None and len(matches) > 0:
             existing.append(p)
     if not existing:
-        from pyspark.sql import types as T
-
-        return spark.createDataFrame([], T.StructType(
-            [T.StructField("value", T.StringType())]
-        ))
+        return spark.createDataFrame(
+            [], T.StructType([T.StructField("value", T.StringType())])
+        )
     return spark.read.option("ignoreMissingFiles", "true").text(existing)
 
 

@@ -50,8 +50,16 @@ def streaming_exact_dedup(
         )
     from pyspark.sql.window import Window
 
-    order = [ts_col, *[c for c in hashed.columns if c not in ("content_md5", ts_col)]]
-    w = Window.partitionBy("content_md5").orderBy(*order)
+    # deterministic total order: ts first, then every ORDERABLE column
+    # (map columns have no sort order in Spark and would fail the
+    # window; frames whose only distinguishing columns are maps fall
+    # back to ts-order, still deterministic per timestamp)
+    orderable = [
+        c
+        for c, t in hashed.dtypes
+        if c not in ("content_md5", ts_col) and not t.startswith("map")
+    ]
+    w = Window.partitionBy("content_md5").orderBy(ts_col, *orderable)
     return (
         hashed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -68,6 +68,14 @@ def interval_join_stream(
     joined = lw.join(rw, reduce(lambda a, b: a & b, conds), how)
     keep_right = [c for c in right.columns if c not in set(on)]
     lcols = set(left.columns)
+    clash = [
+        f"{c}{suffix}" for c in keep_right if c in lcols and f"{c}{suffix}" in lcols
+    ]
+    if clash:
+        raise ValueError(
+            f"suffixed right columns {clash} still collide with left "
+            f"columns; pass a different suffix"
+        )
     return joined.select(
         *[F.col(f"l.{c}") for c in left.columns],
         *[

@@ -152,25 +152,35 @@ def test_interval_join_suffixes_colliding_payloads(spark):
 
 
 def test_windowed_uv_watermark_inflated_only_for_exact(spark):
-    import datetime as dt
-
+    """Assert on STREAMING plans (the analyzer strips EventTimeWatermark
+    from batch plans, which made an earlier batch-frame version of this
+    test vacuously pass): approx mode must honor the caller's 10-minute
+    bound; exact mode must inflate to the 1-day window."""
     from flink_project_spark.streaming.windows import windowed_uv
 
-    df = spark.createDataFrame(
-        [(dt.datetime(2026, 1, 1), "e", 1)],
-        "ts timestamp, event_type string, user_id long",
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .selectExpr(
+            "timestamp AS ts", "'e' AS event_type", "value AS user_id"
+        )
     )
-    approx = windowed_uv(df, "ts", "1 day", ["event_type"], exact=False)
-    exact = windowed_uv(df, "ts", "1 day", ["event_type"], exact=True)
-    ap = approx._jdf.queryExecution().analyzed().toString()
-    ep = exact._jdf.queryExecution().analyzed().toString()
-    # batch frames skip withWatermark application? both operators build
-    # from with_watermark, which no-ops on batch — so assert via the
-    # streaming plan instead
-    if "EventTimeWatermark" in ap:
-        assert "10 minutes" in ap and "1 days" not in ap
-    if "EventTimeWatermark" in ep:
-        assert "1 days" in ep
+    ap = (
+        windowed_uv(stream, "ts", "1 day", ["event_type"], exact=False)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    ep = (
+        windowed_uv(stream, "ts", "1 day", ["event_type"], exact=True)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "EventTimeWatermark" in ap and "EventTimeWatermark" in ep
+    assert "10 minutes" in ap and "1 days" not in ap, ap
+    assert "1 days" in ep, ep
 
 
 def test_tumbling_counts_without_value_column(spark):
@@ -284,3 +294,61 @@ def test_rising_warning_random_sweep_vs_reference_twin(spark, tmp_path):
             ]
         rows = _run_warns(spark, tmp_path, data, rise_ms=6000, sub=f"swp{seed}")
         assert rows == sorted(expected), seed
+
+
+def test_read_partitioned_text_globs_still_expand(spark, tmp_path):
+    """The existence probe is globStatus, not exists: a glob path that
+    matches dirs must keep working (a literal-exists check silently
+    dropped it)."""
+    from flink_project_spark.sources.readers import read_partitioned_text
+
+    d = tmp_path / "day=20240101"
+    d.mkdir()
+    (d / "f.txt").write_text("d1\n")
+    got = [
+        r.value
+        for r in read_partitioned_text(
+            spark, [str(tmp_path / "day=2024010*"), str(tmp_path / "day=299*")]
+        ).collect()
+    ]
+    assert got == ["d1"]
+
+
+def test_bucketed_asof_rejects_working_column_collision(spark):
+    from flink_project_spark.operators.asof import asof_join_bucketed
+
+    left = spark.createDataFrame([("k", 1, 0)], "k string, t long, _b int")
+    right = spark.createDataFrame([("k", 1, 5)], "k string, rt long, v long")
+    with pytest.raises(ValueError, match="_b"):
+        asof_join_bucketed(left, right, ["k"], "t", "rt", bucket_width=10)
+
+
+def test_interval_join_raises_when_suffix_still_collides(spark):
+    import datetime as dt
+
+    from flink_project_spark.streaming.joins import interval_join_stream
+
+    base = dt.datetime(2026, 1, 1)
+    left = spark.createDataFrame(
+        [("k", base, 1.0, 9.0)],
+        "k string, lts timestamp, score double, score_r double",
+    )
+    right = spark.createDataFrame(
+        [("k", base, 2.0)], "k string, rts timestamp, score double"
+    )
+    with pytest.raises(ValueError, match="score_r"):
+        interval_join_stream(left, right, ["k"], "lts", "rts")
+
+
+def test_batch_dedup_tolerates_map_columns(spark):
+    import datetime as dt
+
+    from flink_project_spark.streaming.dedup import streaming_exact_dedup
+
+    base = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [(1, base, "x", {"a": "b"}), (2, base, "x", {"c": "d"})],
+        "doc_id long, ts timestamp, text string, meta map<string,string>",
+    )
+    kept = streaming_exact_dedup(df).collect()
+    assert len(kept) == 1 and kept[0].doc_id == 1
