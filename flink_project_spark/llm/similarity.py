@@ -342,3 +342,95 @@ def kmeans_train(
                 new_c[ci][di] = m
         centroids = new_c
     return centroids
+
+
+def kmeans_assign_probes(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    probes: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe assignment: one row per (vector, cell) for the
+    vector's `probes` NEAREST centroids (distance-sorted struct array,
+    sliced, exploded). Same zero-shuffle literal-model projection as
+    `kmeans_assign` — the generate multiplies rows by `probes`, not
+    the model by anything.
+
+    Output: `emb`'s columns plus ``cell`` and ``probe_rank``
+    (0 = nearest)."""
+    if probes < 1:
+        raise ValueError(f"probes must be >= 1, got {probes}")
+    cand = []
+    for ci, cvec in enumerate(centroids):
+        carr = F.array(*[F.lit(float(v)) for v in cvec])
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                carr,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cand.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
+    ranked = F.slice(F.array_sort(F.array(*cand)), 1, probes)
+    return emb.select(
+        "*", F.posexplode(ranked).alias("_p", "_pc")
+    ).select(
+        *emb.columns,
+        F.col("_pc.cell").alias("cell"),
+        F.col("_p").alias("probe_rank"),
+    )
+
+
+def ivf_topk_probed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    probes: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k with MULTI-PROBE search: the corpus is bucketed by its
+    nearest centroid (single assignment — the on-disk partition), while
+    each query probes its `probes` nearest cells. The standard
+    recall-vs-cost knob: probes=1 is `ivf_topk` over a trained model,
+    probes=k_cells is exact brute force; recall grows monotonically in
+    `probes` (each extra probe only ADDS candidates).
+
+    Plan: both assignments are zero-shuffle literal-model projections;
+    the candidate join is an equi-join on cell (the query side — tiny ×
+    probes — broadcasts); dedup is unnecessary because corpus vectors
+    have exactly ONE cell. One window per query for the final cut.
+    """
+    c = with_quantized(
+        kmeans_assign(corpus, centroids, vec_col, id_col), vec_col
+    ).select(
+        F.col("cell"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col("q").alias("cq"),
+        F.col("nrm").alias("cn"),
+    )
+    q = with_quantized(
+        kmeans_assign_probes(queries, centroids, probes, vec_col, id_col),
+        vec_col,
+    ).select(
+        F.col("cell"),
+        F.col(id_col).alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_parts(
+                _dot(F.col("qq"), F.col("cq")), F.col("qn"), F.col("cn")
+            ).alias("cos_sim"),
+        )
+    )
+    return _cosine_topk(scored, k)

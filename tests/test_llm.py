@@ -549,3 +549,41 @@ def test_kmeans_empty_cell_keeps_centroid(spark):
     )
     cents = SIM.kmeans_train(emb, k=3, iters=2)
     assert len(cents) == 3 and all(len(c) == 2 for c in cents)
+
+
+def test_ivf_multiprobe_recall_monotone_and_exact_at_full_probe(spark):
+    """Recall@k vs brute force grows monotonically in `probes` (each
+    extra probe only adds candidates) and equals 1.0 when every cell is
+    probed — the knob that makes IVF tunable between the single-probe
+    scale path and the exact baseline."""
+    import random
+
+    from flink_project_spark.llm import similarity as SIM
+
+    rnd = random.Random(42)
+    dim, n, k_cells = 8, 300, 6
+    vecs = [
+        (i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 37 == 0)
+    model = SIM.kmeans_train(emb, k=k_cells, iters=3)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(probes):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in SIM.ivf_topk_probed(
+                emb, queries, model, k=5, probes=probes
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r2, rall = recall(1), recall(2), recall(k_cells)
+    assert r1 <= r2 <= rall
+    assert rall == 1.0
+    assert r1 > 0.3  # single probe still finds the home-cell neighbors
