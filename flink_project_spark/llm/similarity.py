@@ -74,7 +74,14 @@ def cosine_from_parts(dot: Column, nrm_a: Column, nrm_b: Column) -> Column:
 
 
 def with_quantized(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Adds `q` (quantized vector) and `nrm` (exact squared norm)."""
+    """Adds `q` (quantized vector) and `nrm` (exact squared norm).
+
+    Idempotent: a frame already carrying q/nrm passes through untouched
+    — that lets a caller quantize BEFORE a row-multiplying generate
+    (multi-probe explode) so the two array folds run once per vector,
+    not once per emitted row."""
+    if {"q", "nrm"} <= set(emb.columns):
+        return emb
     q = quantize(F.col(vec_col))
     return emb.withColumn("q", q).withColumn("nrm", _dot(F.col("q"), F.col("q")))
 
@@ -258,7 +265,6 @@ def kmeans_assign(
     emb: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (squared L2).
 
@@ -271,6 +277,14 @@ def kmeans_assign(
 
     Output: `emb`'s columns plus ``cell`` (int).
     """
+    cand = _centroid_dist_structs(centroids, vec_col)
+    return emb.withColumn("cell", F.array_min(F.array(*cand))["cell"])
+
+
+def _centroid_dist_structs(centroids: list[list[float]], vec_col: str) -> list:
+    """(d2, cell) struct expressions against the literal model — ONE
+    definition of the assignment distance, shared by the single- and
+    multi-probe assigns so they can never disagree."""
     cand = []
     for ci, cvec in enumerate(centroids):
         carr = F.array(*[F.lit(float(v)) for v in cvec])
@@ -284,7 +298,7 @@ def kmeans_assign(
             lambda acc, x: acc + x,
         )
         cand.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
-    return emb.withColumn("cell", F.array_min(F.array(*cand))["cell"])
+    return cand
 
 
 def kmeans_train(
@@ -326,7 +340,7 @@ def kmeans_train(
     )
     centroids = [[float(x) for x in r["v"]] for r in seed]
     for _ in range(iters):
-        assigned = kmeans_assign(emb, centroids, vec_col, id_col)
+        assigned = kmeans_assign(emb, centroids, vec_col)
         means = (
             assigned.select("cell", F.posexplode(F.col(vec_col)).alias("dim", "val"))
             .groupBy("cell", "dim")
@@ -349,31 +363,19 @@ def kmeans_assign_probes(
     centroids: list[list[float]],
     probes: int,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
 ) -> DataFrame:
     """Multi-probe assignment: one row per (vector, cell) for the
     vector's `probes` NEAREST centroids (distance-sorted struct array,
     sliced, exploded). Same zero-shuffle literal-model projection as
-    `kmeans_assign` — the generate multiplies rows by `probes`, not
-    the model by anything.
+    `kmeans_assign` (the distance expressions are literally shared) —
+    the generate multiplies rows by `probes`, not the model by
+    anything. All of `emb`'s columns ride through the generate.
 
     Output: `emb`'s columns plus ``cell`` and ``probe_rank``
     (0 = nearest)."""
     if probes < 1:
         raise ValueError(f"probes must be >= 1, got {probes}")
-    cand = []
-    for ci, cvec in enumerate(centroids):
-        carr = F.array(*[F.lit(float(v)) for v in cvec])
-        d2 = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                carr,
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        cand.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
+    cand = _centroid_dist_structs(centroids, vec_col)
     ranked = F.slice(F.array_sort(F.array(*cand)), 1, probes)
     return emb.select(
         "*", F.posexplode(ranked).alias("_p", "_pc")
@@ -392,45 +394,33 @@ def ivf_topk_probed(
     probes: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    corpus_cell_col: str | None = None,
 ) -> DataFrame:
     """IVF top-k with MULTI-PROBE search: the corpus is bucketed by its
-    nearest centroid (single assignment — the on-disk partition), while
-    each query probes its `probes` nearest cells. The standard
-    recall-vs-cost knob: probes=1 is `ivf_topk` over a trained model,
-    probes=k_cells is exact brute force; recall grows monotonically in
-    `probes` (each extra probe only ADDS candidates).
+    nearest centroid while each query probes its `probes` nearest
+    cells. The standard recall-vs-cost knob: probes=1 matches
+    single-probe `ivf_topk`, probes=k_cells is exact brute force;
+    recall grows monotonically in `probes` (each extra probe only ADDS
+    candidates; corpus vectors have exactly one cell, so no dedup).
 
-    Plan: both assignments are zero-shuffle literal-model projections;
-    the candidate join is an equi-join on cell (the query side — tiny ×
-    probes — broadcasts); dedup is unnecessary because corpus vectors
-    have exactly ONE cell. One window per query for the final cut.
+    Pass `corpus_cell_col` when the corpus already carries its cell
+    assignment (e.g. parquet partitioned by cell at ingest) — that is
+    the 100 TB path, where the cell equi-join becomes partition pruning
+    and no reassignment scan runs; with None the assignment is computed
+    inline (a zero-shuffle literal-model projection over the scan).
+
+    The scoring body IS `ivf_topk` (delegation, not a copy): queries
+    are pre-quantized BEFORE the probe generate so the q/nrm folds run
+    once per query, not once per probe.
     """
-    c = with_quantized(
-        kmeans_assign(corpus, centroids, vec_col, id_col), vec_col
-    ).select(
-        F.col("cell"),
-        F.col(id_col).alias("neighbor_id"),
-        F.col("q").alias("cq"),
-        F.col("nrm").alias("cn"),
+    c = (
+        corpus.withColumnRenamed(corpus_cell_col, "cell")
+        if corpus_cell_col
+        else kmeans_assign(corpus, centroids, vec_col)
     )
-    q = with_quantized(
-        kmeans_assign_probes(queries, centroids, probes, vec_col, id_col),
-        vec_col,
-    ).select(
-        F.col("cell"),
-        F.col(id_col).alias("query_id"),
-        F.col("q").alias("qq"),
-        F.col("nrm").alias("qn"),
+    q = kmeans_assign_probes(
+        with_quantized(queries, vec_col), centroids, probes, vec_col
     )
-    scored = (
-        c.join(F.broadcast(q), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_from_parts(
-                _dot(F.col("qq"), F.col("cq")), F.col("qn"), F.col("cn")
-            ).alias("cos_sim"),
-        )
+    return ivf_topk(
+        c, q, k=k, cell_col="cell", vec_col=vec_col, id_col=id_col
     )
-    return _cosine_topk(scored, k)

@@ -587,3 +587,30 @@ def test_ivf_multiprobe_recall_monotone_and_exact_at_full_probe(spark):
     assert r1 <= r2 <= rall
     assert rall == 1.0
     assert r1 > 0.3  # single probe still finds the home-cell neighbors
+
+
+def test_ivf_probed_accepts_prebucketed_corpus(spark):
+    """The 100 TB path: a corpus already carrying its cell assignment
+    (parquet partitioned by cell) skips the reassignment scan and
+    returns identical results."""
+    import random
+
+    from flink_project_spark.llm import similarity as SIM
+
+    rnd = random.Random(7)
+    vecs = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(120)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 29 == 0)
+    model = SIM.kmeans_train(emb, k=4, iters=2)
+    inline = {
+        tuple(r)
+        for r in SIM.ivf_topk_probed(emb, queries, model, k=3, probes=2).collect()
+    }
+    pre = SIM.kmeans_assign(emb, model).withColumnRenamed("cell", "my_cell")
+    bucketed = {
+        tuple(r)
+        for r in SIM.ivf_topk_probed(
+            pre, queries, model, k=3, probes=2, corpus_cell_col="my_cell"
+        ).collect()
+    }
+    assert inline == bucketed and len(inline) > 0
