@@ -324,6 +324,11 @@ def q_doc_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CUR.mixture_plan(_docs(spark, sf_dir))
 
 
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint summary (3-gram shingles, window 4)."""
+    return TX.winnow_fingerprints(_docs(spark, sf_dir), n=3, window=4)
+
+
 def q_doc_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable packing pieces (budget 512, 8 bucket streams)."""
     return CUR.pack_spans(_docs(spark, sf_dir), budget=512, n_buckets=8)
@@ -458,6 +463,7 @@ def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_profile_approx": q_doc_length_profile_approx,
         "doc_decontaminate_overlap": q_doc_decontaminate_overlap,
         "doc_pack_spans": q_doc_pack_spans,
+        "doc_winnow": q_doc_winnow,
     }
 
 
@@ -1083,6 +1089,29 @@ WITH dec AS (
                CAST(greatest(s, bin_id * 512) - bin_id * 512 AS BIGINT)
                  AS offset_in_bin
         FROM pieces
+        """,
+        # mirrors text.winnow_fingerprints(n=3, window=4): positional
+        # shingle md5s, sliding-window minima, distinct
+        "doc_winnow": _DWORDS
+        + """
+        , g AS (
+          SELECT doc_id,
+                 [md5(array_to_string(ws[i:i+2], ' '))
+                  for i in generate_series(1, greatest(len(ws) - 2, 1))]
+                   AS hs
+          FROM dwords
+        ), wn AS (
+          SELECT doc_id, len(hs) AS n_shingles,
+                 list_distinct(
+                   [list_aggregate(hs[i:i+3], 'min')
+                    for i in generate_series(1, greatest(len(hs) - 3, 1))]
+                 ) AS fps
+          FROM g
+        )
+        SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+               CAST(len(fps) AS BIGINT) AS n_fingerprints,
+               list_aggregate(fps, 'min') AS min_fp
+        FROM wn
         """,
         # mirrors text.rarity_stats(rare_max=2)
         "doc_rarity": _DWORDS

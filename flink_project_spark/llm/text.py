@@ -485,3 +485,56 @@ def length_profile_approx(
             f"p{int(round(q * 100))}", F.col("_p")[i].cast("long")
         )
     return out.drop("_p")
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    n: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash selection of
+    Schleimer/Wilkerson/Aiken's MOSS, SIGMOD '03): hash every
+    POSITIONAL word n-gram, then keep the minimum hash of each sliding
+    window of `window` consecutive shingles — guaranteeing any match of
+    length >= n + window - 1 words shares a fingerprint, with ~2/(w+1)
+    of the shingles retained. Complements `fingerprint` (content md5 +
+    global min-shingle): winnowing keeps LOCALIZED fingerprints, the
+    substring-match primitive.
+
+    Output per doc: n_shingles, n_fingerprints (distinct winnowed
+    hashes), min_fp. Docs with fewer than `window` shingles keep one
+    fingerprint (the global min); an empty doc has the single ""
+    shingle, same as `fingerprint`.
+
+    Shape: posexplode the positional shingle stream (md5 per ROW —
+    codegen, not an interpreted per-element HOF), ONE window pass per
+    doc for the sliding minima (rowsBetween(0, window-1)), one
+    aggregation. A single exchange on doc_id carries narrow
+    (doc, pos, 32-byte hash) rows.
+    """
+    if n < 1 or window < 1:
+        raise ValueError("n and window must be >= 1")
+    from pyspark.sql.window import Window
+
+    w = words(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    sh = docs.select(
+        "doc_id",
+        F.size(grams).alias("_n_sh"),
+        F.posexplode(grams).alias("_pos", "_g"),
+    ).withColumn("_h", F.md5(F.col("_g")))
+    wspec = (
+        Window.partitionBy("doc_id").orderBy("_pos").rowsBetween(0, window - 1)
+    )
+    winnowed = sh.withColumn("_wmin", F.min("_h").over(wspec)).filter(
+        F.col("_pos") <= F.greatest(F.col("_n_sh") - window, F.lit(0))
+    )
+    return winnowed.groupBy("doc_id").agg(
+        F.first("_n_sh").cast("long").alias("n_shingles"),
+        F.count_distinct(F.col("_wmin")).alias("n_fingerprints"),
+        F.min("_wmin").alias("min_fp"),
+    )

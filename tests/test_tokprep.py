@@ -515,3 +515,49 @@ def test_guards_reject_silent_wrong_usage(spark):
     sim = DD.doc_simhash(docs)
     with pytest.raises(ValueError, match="max_hamming"):
         DD.simhash_near_dups(sim, max_hamming=4)
+
+
+def test_winnow_fingerprints_matches_python_twin(spark):
+    """Winnowing (MOSS) twin check incl. short docs (< window shingles
+    keep one global-min fingerprint) and the guarantee that any shared
+    run of >= n + window - 1 words shares a fingerprint."""
+
+    def twin(docs, n, w):
+        out = {}
+        for doc_id, text in docs:
+            ws = [x for x in text.split() if x]
+            k = max(len(ws) - (n - 1), 1)
+            grams = [" ".join(ws[i : i + n]) for i in range(k)]
+            hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+            starts = range(max(len(hs) - w + 1, 1))
+            fps = sorted({min(hs[i : i + w]) for i in starts})
+            out[doc_id] = (len(hs), len(fps), fps[0])
+        return out
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 words >= 3+4-1
+    docs = [
+        (0, ""),
+        (1, "one"),
+        (2, "one two three"),  # 1 shingle
+        (3, "a b c d e f"),    # 4 shingles = exactly one window
+        (4, "x " * 30 + shared + " y z w v u t s"),
+        (5, "prefix words here " + shared + " other suffix tail words"),
+        (6, " ".join(f"t{i}" for i in range(40))),
+    ]
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    for n, w in [(3, 4), (2, 3), (3, 1)]:
+        got = {
+            r.doc_id: (r.n_shingles, r.n_fingerprints, r.min_fp)
+            for r in TX.winnow_fingerprints(sdf, n=n, window=w).collect()
+        }
+        assert got == twin(docs, n, w), (n, w)
+
+    # containment guarantee: docs 4 and 5 share the 7-word run, so
+    # their winnowed fingerprint SETS intersect
+    def fp_set(doc_id):
+        ws = [x for x in docs[doc_id][1].split() if x]
+        grams = [" ".join(ws[i : i + 3]) for i in range(max(len(ws) - 2, 1))]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        return {min(hs[i : i + 4]) for i in range(max(len(hs) - 3, 1))}
+
+    assert fp_set(4) & fp_set(5)
