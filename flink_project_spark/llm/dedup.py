@@ -97,11 +97,25 @@ def shingle_hashes(
     verify stage counts pair intersections by equi-joining hx — both
     without ever shuffling the shingle strings themselves.
     """
-    base = docs.select(
-        "doc_id", shingle_array(F.col(text_col), n).alias("shingles")
+    # words materialized as a column FIRST: referenced twice in the
+    # gram expression (size + slice), Catalyst keeps the projection
+    # separate instead of inlining the split into the transform lambda
+    # (the inlined form re-evaluates per element — the same hazard that
+    # made the first winnow_fingerprints 10x slower; here it measured
+    # ~1.5x on shingle-sized docs)
+    base = docs.select("doc_id", words(F.col(text_col)).alias("_ws"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(F.col("_ws")) - (n - 1), F.lit(1))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_ws"), i, n)),
+        )
     )
-    return base.select("doc_id", F.explode("shingles").alias("sh")).select(
-        "doc_id", F.md5(F.col("sh")).alias("hx")
+    return (
+        base.select("doc_id", grams.alias("shingles"))
+        .select("doc_id", F.explode("shingles").alias("sh"))
+        .select("doc_id", F.md5(F.col("sh")).alias("hx"))
     )
 
 
