@@ -265,6 +265,15 @@ def q_lag_delta_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew profile of events.user_id — the diagnostic that decides
+    plain vs salted strategies (operators/profiling.py). One row:
+    exact group-size quantiles via distributed global rank."""
+    from flink_project_spark.operators.profiling import key_skew_profile
+
+    return key_skew_profile(_events(spark, sf_dir), "user_id")
+
+
 def q_sorted_item_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: per-user item history ordered newest-first, string-rendered
     exactly like the reference's neighbor-list sink format."""
@@ -617,6 +626,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_delta_alerts": q_lag_delta_alerts,
         "itemcf_cooccurrence": q_itemcf_cooccurrence,
         "itemcf_decay_gated": q_itemcf_decay_gated,
+        # event_key_skew: the profiling composition reuses the
+        # rank-pick quantile rule length_profile driver-checks and the
+        # grouped-count machinery of action_counts
+        "event_key_skew": q_event_key_skew,
     }
 
 
@@ -1186,4 +1199,28 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
         """,
         **llm_oracle_sql(),
+        # mirrors operators/profiling.py::key_skew_profile — the same
+        # rank-pick ceil(q*n) rule as the length-profile oracles
+        "event_key_skew": """
+        WITH c AS (
+          SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+        ), r AS (
+          SELECT cnt,
+                 row_number() OVER (ORDER BY cnt, user_id) AS rn,
+                 count(*) OVER () AS nk
+          FROM c
+        )
+        SELECT CAST(max(rn) AS BIGINT) AS n_keys,
+               CAST(sum(cnt) AS BIGINT) AS n_rows,
+               CAST(max(cnt) AS BIGINT) AS max_group,
+               CAST(max(CASE WHEN rn = CAST(ceil(0.5 * nk) AS BIGINT)
+                             THEN cnt END) AS BIGINT) AS p50_group,
+               CAST(max(CASE WHEN rn = CAST(ceil(0.9 * nk) AS BIGINT)
+                             THEN cnt END) AS BIGINT) AS p90_group,
+               CAST(max(CASE WHEN rn = CAST(ceil(0.99 * nk) AS BIGINT)
+                             THEN cnt END) AS BIGINT) AS p99_group,
+               CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+                 * 100.0 AS top1_share_pct
+        FROM r
+        """,
     }

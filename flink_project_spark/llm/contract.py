@@ -252,6 +252,23 @@ def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivors: one embedding per cosine-similarity
+    component (sign-LSH pairs -> large-star/small-star CC -> anti-join).
+    Projects to (vec_id, label) — the survivors' identity, not the
+    float vectors, is the contract output."""
+    return SIM.semantic_dedup(
+        _emb(spark, sf_dir), dim=EMB_DIM, threshold=0.3, n_planes=4
+    ).select("vec_id", "label")
+
+
+def q_doc_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: exact global quality rank (distributed —
+    range repartition + broadcast offsets, never a one-task window)
+    with SQL-NTILE-parity stage assignment."""
+    return CUR.curriculum_order(_docs(spark, sf_dir), k_stages=4)
+
+
 # trained coarse-quantizer models, memoized like the persisted tables
 # (keyed on applicationId so a stopped session never leaks a model into
 # its id-reusing successor — same rule as cache.py)
@@ -464,6 +481,13 @@ def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate_overlap": q_doc_decontaminate_overlap,
         "doc_pack_spans": q_doc_pack_spans,
         "doc_winnow": q_doc_winnow,
+        # round-3 compositions (past the cap; pytest-sweep-oracled):
+        # emb_semantic_dedup = the driver-checked emb_near_dups pairs
+        # fed through the driver-checked doc_dedup_cc star-contraction;
+        # doc_curriculum_order = the driver-checked doc_quality formula
+        # under a distributed exact global rank (NTILE-parity tested)
+        "emb_semantic_dedup": q_emb_semantic_dedup,
+        "doc_curriculum_order": q_doc_curriculum_order,
     }
 
 
@@ -608,7 +632,7 @@ WITH dec AS (
   FROM documents
 )
 """
-    return {
+    d = {
         "doc_token_stats": _DWORDS
         + r"""
         SELECT source, count(*) AS n_docs,
@@ -1226,3 +1250,44 @@ WITH dec AS (
               >= 0.5
         """,
     }
+    # derived oracles — built FROM the entries above so the pair
+    # semantics / quality formula live in exactly one SQL string
+    # (mirrors the Spark side, where semantic_dedup composes
+    # embedding_near_dups and curriculum_order composes quality_score)
+    d["emb_semantic_dedup"] = (
+        "WITH RECURSIVE vpairs AS (\n"
+        + d["emb_near_dups"]
+        + """
+        ), nodes AS (
+          SELECT vec_a AS id FROM vpairs UNION SELECT vec_b FROM vpairs
+        ), sym AS (
+          SELECT vec_a AS a, vec_b AS b FROM vpairs
+          UNION SELECT vec_b, vec_a FROM vpairs
+        ), reach AS (
+          SELECT id, id AS comp FROM nodes
+          UNION
+          SELECT s.b AS id, r.comp FROM reach r JOIN sym s ON s.a = r.id
+        ), comp AS (
+          SELECT id, min(comp) AS component FROM reach GROUP BY id
+        ), losers AS (
+          SELECT id FROM comp WHERE id <> component
+        )
+        SELECT e.vec_id, e.label FROM embeddings e
+        LEFT JOIN losers l ON e.vec_id = l.id
+        WHERE l.id IS NULL
+        """
+    )
+    d["doc_curriculum_order"] = (
+        "WITH qual AS (\n"
+        + d["doc_quality"]
+        + """
+        )
+        SELECT doc_id, quality,
+               CAST(row_number() OVER (ORDER BY quality DESC, doc_id)
+                    AS BIGINT) AS grank,
+               CAST(ntile(4) OVER (ORDER BY quality DESC, doc_id)
+                    AS INT) AS stage
+        FROM qual
+        """
+    )
+    return d

@@ -530,3 +530,51 @@ def pack_spans(
         (piece_hi - piece_lo + 1).cast("long").alias("piece_tokens"),
         (piece_lo - F.col("bin_id") * budget).cast("long").alias("offset_in_bin"),
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    k_stages: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Curriculum staging: exact global quality rank -> NTILE stages.
+
+    Curriculum-learning data prep orders the corpus by a quality signal
+    and serves it in stages (easy/high-quality first). The ordering is
+    the composite `text.quality_score`; the rank is EXACT and global —
+    but computed with `operators.windows.global_rank` (range
+    repartition + per-partition row_number + broadcast offsets), never
+    a single-reducer `row_number() OVER (ORDER BY ...)`. Stages follow
+    SQL NTILE semantics exactly — with n docs and k stages the first
+    (n mod k) stages hold ceil(n/k) docs — computed arithmetically from
+    the global rank and a 1-row corpus-count broadcast, so any SQL
+    engine's NTILE reproduces the assignment bit-for-bit.
+
+    Scale: quality is a pure projection over the scan; the rank is one
+    range exchange + one parallel sort; the count attaches as a 1-row
+    broadcast. Nothing global ever lands on one task.
+    """
+    from flink_project_spark.operators.windows import global_rank
+
+    if k_stages < 1:
+        raise ValueError("k_stages must be >= 1")
+    qual = TX.quality_score(docs, text_col).select("doc_id", "quality")
+    ranked = global_rank(
+        qual, [F.col("quality").desc(), F.col("doc_id").asc()]
+    )
+    scalar = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("_n")))
+    k = int(k_stages)
+    # NTILE(k) closed form from the 1-based rank: with q = n div k and
+    # r = n % k, the first r tiles hold q+1 rows. `div` = exact
+    # integral division (same rule as chunk/pack offsets — no double
+    # rounding at any corpus size); q = 0 (n < k) only ever takes the
+    # first branch, so the small-tile division never sees q = 0.
+    stage = F.expr(
+        f"CAST(CASE WHEN grank <= ((_n div {k}) + 1) * (_n % {k}) "
+        f"THEN (grank - 1) div ((_n div {k}) + 1) + 1 "
+        f"ELSE (_n % {k}) + (grank - 1 - ((_n div {k}) + 1) * (_n % {k})) "
+        f"div (_n div {k}) + 1 END AS INT)"
+    )
+    return ranked.crossJoin(scalar).select(
+        "doc_id", "quality", "grank", stage.alias("stage")
+    )

@@ -424,3 +424,43 @@ def ivf_topk_probed(
     return ivf_topk(
         c, q, k=k, cell_col="cell", vec_col=vec_col, id_col=id_col
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.3,
+    n_planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style embedding-level dedup: keep exactly one vector
+    per cosine-similarity component (Abbas et al. 2023, "SemDeDup" —
+    the public semantic-dedup recipe for LLM corpora).
+
+    Composition of two scale-audited stages, not new machinery:
+    sign-LSH bucketed near-dup pairs (`embedding_near_dups` — never an
+    all-pairs join) feed the SAME large-star/small-star shuffle-CC used
+    for text dedup (`llm.dedup.connected_components`), and the
+    component non-minima are anti-joined away. Transitive chains
+    (A~B~C with A!~C) therefore collapse to ONE representative — the
+    semantic analog of `doc_dedup_cc`, with the identical canonical
+    rule (component-minimum id, engine-independent).
+
+    At 100 TB: the pair graph is orders of magnitude smaller than the
+    corpus (only bucket-colliding, threshold-passing pairs survive), so
+    the CC iterations run on edges, not vectors; the final anti-join is
+    one shuffle on the id. Returns the surviving rows of `emb`
+    unchanged.
+    """
+    from flink_project_spark.llm.dedup import connected_components
+
+    pairs = embedding_near_dups(
+        emb, dim, threshold=threshold, n_planes=n_planes,
+        vec_col=vec_col, id_col=id_col,
+    )
+    comp = connected_components(pairs, a_col="vec_a", b_col="vec_b")
+    losers = comp.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return emb.join(losers, id_col, "left_anti")

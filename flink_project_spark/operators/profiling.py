@@ -1,0 +1,70 @@
+"""Distribution diagnostics that gate physical-strategy choices.
+
+The engine ships two join/agg strategies in several places (plain vs
+salted top-K, plain vs bucketed as-of join) and documents "engage the
+salted form when a key is hot" — this module computes the evidence that
+decision needs. The cluster workflow: profile the prospective key once,
+read max_group / top1_share_pct, pick the strategy (and the salt bucket
+count) from numbers instead of folklore.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_project_spark.operators.windows import global_rank
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """ONE-row skew profile of a prospective shuffle key.
+
+    Reports exact group-size quantiles (rank-pick ceil(q*n) over the
+    ascending group-size order, key tie-break — the same exact-discrete
+    rule as `llm.text.length_profile`), the max group, and the share of
+    all rows held by the heaviest key. A key with top1_share_pct in
+    double digits is a salting candidate; p99 ~ p50 means plain hash
+    partitioning is fine.
+
+    Scale: one map-side-combined groupBy over the data, then ALL work
+    runs on the per-key count table (|keys| rows, 2 narrow columns).
+    The quantile ranks come from `global_rank` (range repartition +
+    broadcast offsets), so even a billion-key profile never sorts on a
+    single task. Output is a single row — safe to collect/broadcast
+    into a planning step.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    ranked = global_rank(
+        counts, [F.col("_cnt").asc(), F.col(key_col).asc()], rank_col="_rk"
+    )
+    scalar = F.broadcast(counts.agg(F.count(F.lit(1)).alias("_nk")))
+    aggs = [
+        F.max("_nk").cast("long").alias("n_keys"),
+        F.sum("_cnt").cast("long").alias("n_rows"),
+        F.max("_cnt").cast("long").alias("max_group"),
+    ]
+    for q in qs:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("_rk") == F.ceil(F.lit(q) * F.col("_nk")),
+                    F.col("_cnt"),
+                )
+            )
+            .cast("long")
+            .alias(f"p{int(round(q * 100))}_group")
+        )
+    return (
+        ranked.crossJoin(scalar)
+        .agg(*aggs)
+        .withColumn(
+            "top1_share_pct",
+            F.col("max_group").cast("double")
+            / F.col("n_rows").cast("double")
+            * 100.0,
+        )
+    )

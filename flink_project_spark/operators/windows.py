@@ -275,3 +275,59 @@ def session_counts(
             "cnt",
         )
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "grank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based GLOBAL rank without a single-reducer window.
+
+    ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY collapses
+    the whole table onto one task — the classic scale-killer for total
+    ordering. This operator produces the identical rank with bounded
+    parallelism, the standard distributed-ranking construction:
+
+    1. ``repartitionByRange(order_cols)`` — partition i holds a
+       contiguous key range, ranges ascending with i (sampled range
+       boundaries; correctness needs only range-monotonicity, which the
+       partitioner guarantees);
+    2. per-partition ``row_number`` over a window keyed on the
+       partition id (parallel — one sort per partition, no shuffle
+       beyond the range exchange);
+    3. per-partition counts -> cumulative offsets. The offsets table
+       has ``num_partitions`` rows, so its running-sum window is a
+       single-reducer over a FEW HUNDRED rows (driver-bounded, not
+       data-bounded), and the join back is a broadcast on partition id.
+
+    Global rank = offset + local row_number. Ties: pass a tie-breaking
+    column (e.g. the primary key) in ``order_cols`` — with a unique
+    composite key, equal-prefix rows may land in different range
+    partitions but their total order (and hence rank) is still exact.
+
+    Returns ``df`` with ``rank_col`` (BIGINT) appended.
+    """
+    part = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    d = part.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    rn = d.withColumn("_rn", F.row_number().over(w))
+    counts = rn.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    woff = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off"),
+    )
+    return (
+        rn.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )

@@ -72,7 +72,16 @@ def test_cosine_count_joins_broadcast(spark):
 #: doc_rarity / doc_mixture_plan attach a 1-row aggregate scalar via
 #: broadcast cross join — a nested-loop whose build side is a single
 #: row by construction, i.e. a scalar attach, not an unbounded join.
-NESTED_LOOP_OK = {"emb_cosine_topk", "doc_rarity", "doc_mixture_plan"}
+NESTED_LOOP_OK = {
+    "emb_cosine_topk",
+    "doc_rarity",
+    "doc_mixture_plan",
+    # 1-row scalar broadcasts (corpus count / key count attach): the
+    # nested loop's build side is a single aggregate row by
+    # construction, same rationale as doc_rarity/doc_mixture_plan
+    "doc_curriculum_order",
+    "event_key_skew",
+}
 
 
 def test_no_unbounded_cartesian_products(spark):
