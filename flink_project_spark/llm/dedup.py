@@ -739,3 +739,69 @@ def simhash_near_dups(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_banded(
+    sim: DataFrame, bits: int = 32, bands: int = 4
+) -> DataFrame:
+    """Explode (doc_id, simhash) into (doc_id, simhash, band, slice)
+    pigeonhole rows — the shared band form of `simhash_near_dups` and
+    `simhash_cross_matches`."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    return sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "slice"),
+    )
+
+
+def simhash_cross_matches(
+    new_sim: DataFrame,
+    ref_sim: DataFrame,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """doc_ids from `new_sim` having ANY `ref_sim` signature within
+    Hamming distance <= max_hamming — the cross-frame (new-vs-store)
+    twin of `simhash_near_dups`' self-join, same pigeonhole guarantee
+    (max_hamming < bands => at least one agreeing byte slice).
+
+    Scale: the join is per (band, slice) bucket — never new x ref; the
+    ref side carries only (simhash, band, slice), 3 longs per stored
+    signature. Used by the streaming ingest near-dup path, where
+    ref_sim is the bounded signature store.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}): the "
+            "pigeonhole guarantee needs at least one agreeing slice, else "
+            "qualifying pairs are silently missed"
+        )
+    a = simhash_banded(new_sim, bits, bands).select(
+        "band", "slice", F.col("doc_id"), F.col("simhash").alias("sim_a")
+    )
+    # the store side needs no identity — only (simhash, band, slice);
+    # a constant id satisfies simhash_banded's projection
+    b = simhash_banded(
+        ref_sim.select(F.lit(0).cast("long").alias("doc_id"), "simhash"),
+        bits,
+        bands,
+    ).select("band", "slice", F.col("simhash").alias("sim_b"))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["band", "slice"])
+        .filter(hamming <= max_hamming)
+        .select("doc_id")
+        .distinct()
+    )

@@ -65,3 +65,153 @@ def streaming_exact_dedup(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def near_dup_dedup_batch(
+    batch: DataFrame,
+    store_dir: str,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    horizon_seconds: int = 600,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """One micro-batch of streaming NEAR-dup dedup (SimHash banding).
+
+    Admission rule — deterministic and batch-boundary-independent: a
+    document survives iff NO earlier arrival (by (ts, id), across all
+    prior batches within the horizon AND earlier rows of this batch)
+    has a simhash within ``max_hamming``. "Earlier arrival" counts
+    dropped documents too: the signature store records EVERY arrival,
+    not just survivors, so re-slicing the same stream into different
+    micro-batches yields the identical admitted set (the property the
+    replay test pins). Like the batch `dedup_keep_canonical`
+    single-link rule, chains over-remove (B drops for A, C drops for
+    B): the compaction pass with mode="cc" is the principled
+    cross-horizon twin.
+
+    State: (simhash, ts) pairs — two longs per in-horizon arrival,
+    loaded per batch with an event-time cutoff filter. This module
+    keeps it as a parquet directory appended per batch; the cluster
+    analog is an hourly-partitioned store where horizon eviction is a
+    partition DROP, not a filter. Matching against the store is the
+    banded `simhash_cross_matches` equi-join — never batch x store.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from flink_project_spark.llm.dedup import (
+        doc_simhash,
+        simhash_cross_matches,
+        simhash_near_dups,
+    )
+
+    if batch.isEmpty():
+        return batch.limit(0)
+    spark = batch.sparkSession
+    sim = doc_simhash(
+        batch.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        text_col=text_col,
+        bits=bits,
+    ).join(
+        batch.select(
+            F.col(id_col).alias("doc_id"), F.col(ts_col).alias("_ts")
+        ),
+        "doc_id",
+    )
+    sim = sim.persist()
+    try:
+        ref = spark.read.parquet(store_dir)
+    except AnalysisException:
+        ref = None
+    if ref is not None:
+        cutoff = batch.agg(
+            F.max(F.col(ts_col)) - F.expr(f"INTERVAL {horizon_seconds} SECONDS")
+        ).collect()[0][0]
+        ref = ref.filter(F.col("_ts") >= F.lit(cutoff))
+        store_hits = simhash_cross_matches(
+            sim, ref, bits=bits, bands=bands, max_hamming=max_hamming
+        )
+    else:
+        store_hits = None
+    # in-batch: orient near-dup pairs by arrival order (ts, then id) —
+    # the later side of any pair is dropped
+    pairs = simhash_near_dups(
+        sim, bits=bits, bands=bands, max_hamming=max_hamming
+    )
+    ts_of = sim.select("doc_id", "_ts")
+    oriented = (
+        pairs.join(
+            ts_of.select(
+                F.col("doc_id").alias("doc_a"), F.col("_ts").alias("ts_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            ts_of.select(
+                F.col("doc_id").alias("doc_b"), F.col("_ts").alias("ts_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.when(
+                (F.col("ts_a") < F.col("ts_b"))
+                | (
+                    (F.col("ts_a") == F.col("ts_b"))
+                    & (F.col("doc_a") < F.col("doc_b"))
+                ),
+                F.col("doc_b"),
+            )
+            .otherwise(F.col("doc_a"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    losers = (
+        oriented if store_hits is None else oriented.union(store_hits).distinct()
+    )
+    survivors = batch.join(
+        losers.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )
+    # record EVERY arrival's signature (see docstring) — two longs/row
+    sim.select(
+        "simhash", F.col("_ts").alias("_ts")
+    ).write.mode("append").parquet(store_dir)
+    sim.unpersist()
+    return survivors
+
+
+def near_dup_foreach_batch(
+    store_dir: str,
+    sink,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    horizon_seconds: int = 600,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+):
+    """foreachBatch wiring for `near_dup_dedup_batch`: returns the
+    (batch_df, batch_id) callable; ``sink(survivors_df, batch_id)``
+    receives each batch's admitted documents. Pair with a checkpointed
+    writeStream — the signature-store append is idempotent only per
+    batch file, so exactly-once delivery relies on the checkpoint
+    replaying whole batches (the standard foreachBatch contract)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        survivors = near_dup_dedup_batch(
+            batch_df,
+            store_dir,
+            text_col=text_col,
+            ts_col=ts_col,
+            id_col=id_col,
+            horizon_seconds=horizon_seconds,
+            bits=bits,
+            bands=bands,
+            max_hamming=max_hamming,
+        )
+        sink(survivors, batch_id)
+
+    return _process

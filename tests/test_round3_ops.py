@@ -181,3 +181,149 @@ def test_semantic_dedup_matches_union_find_twin(spark):
     }
     assert got == expected
     assert len(pairs) > 0  # the fixture actually exercises the CC stage
+
+
+def _mk_near_dup_corpus(spark):
+    """Deterministic corpus with exact dups, near-dups (1-word edits on
+    a 30-word base), and distinct docs, spread over 3 event-time
+    groups. Returns (df, rows)."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(120)]
+    base = [rng.choice(vocab) for _ in range(30)]
+
+    def edit(k, seed):
+        r = random.Random(seed)
+        out = list(base)
+        for _ in range(k):
+            out[r.randrange(len(out))] = r.choice(vocab)
+        return " ".join(out)
+
+    rows = []
+    t0 = "2024-01-01 00:{:02d}:00"
+    # family A: original + near-dups arriving over minutes 0-2
+    rows.append((1, t0.format(0), " ".join(base)))
+    rows.append((2, t0.format(1), edit(1, 21)))
+    rows.append((3, t0.format(2), edit(2, 22)))
+    # distinct docs
+    for i, m in ((4, 3), (5, 4), (6, 5)):
+        r = random.Random(100 + i)
+        rows.append((i, t0.format(m), " ".join(r.choice(vocab) for _ in range(30))))
+    # family B near-dup pair split across later minutes
+    rows.append((7, t0.format(6), edit(1, 23)))
+    rows.append((8, t0.format(7), " ".join(reversed(base))))  # same word multiset
+    df = spark.createDataFrame(
+        rows, "doc_id long, ts_s string, text string"
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "text")
+    return df, rows
+
+
+def _sequential_twin_survivors(spark, df, max_hamming=3):
+    """Arrival-order greedy over ALL arrivals: doc survives iff no
+    earlier (ts, id) arrival has simhash within max_hamming."""
+    from flink_project_spark.llm.dedup import doc_simhash
+
+    sims = {
+        r["doc_id"]: r["simhash"]
+        for r in doc_simhash(df.select("doc_id", "text")).collect()
+    }
+    order = sorted(
+        [(r["ts"], r["doc_id"]) for r in df.select("ts", "doc_id").collect()]
+    )
+    keep = set()
+    seen = []
+    for ts, did in order:
+        h = sims[did]
+        if all(bin(h ^ p).count("1") > max_hamming for p in seen):
+            keep.add(did)
+        seen.append(h)
+    return keep
+
+
+def test_streaming_near_dup_dedup_matches_twin_and_batch_slicing(
+    spark, tmp_path
+):
+    """The streamed (3 micro-batch) admitted set == the single-batch
+    run == the arrival-order greedy twin: the signature store records
+    every arrival, so batch boundaries don't change semantics."""
+    from flink_project_spark.streaming.dedup import (
+        near_dup_dedup_batch,
+        near_dup_foreach_batch,
+    )
+
+    df, rows = _mk_near_dup_corpus(spark)
+    twin = _sequential_twin_survivors(spark, df)
+    assert twin != {r[0] for r in rows}  # corpus really has near-dups
+
+    # single-batch run
+    store1 = str(tmp_path / "store1")
+    got_single = {
+        r["doc_id"]
+        for r in near_dup_dedup_batch(
+            df, store1, horizon_seconds=3600
+        ).collect()
+    }
+    assert got_single == twin
+
+    # streamed run: three file drops = three micro-batches
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    store2 = str(tmp_path / "store2")
+
+    def sink(survivors, batch_id):
+        survivors.write.mode("append").parquet(out)
+
+    import uuid as _uuid
+
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(
+        str(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            near_dup_foreach_batch(store2, sink, horizon_seconds=3600)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    slices = [df.filter(F.col("doc_id") <= 3),
+              df.filter((F.col("doc_id") > 3) & (F.col("doc_id") <= 6)),
+              df.filter(F.col("doc_id") > 6)]
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    q.stop()
+    got_stream = {
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    }
+    assert got_stream == twin
+
+
+def test_streaming_near_dup_readmits_past_horizon(spark, tmp_path):
+    """A near-dup arriving beyond the horizon is re-admitted — the
+    bounded-state trade-off, same contract as streaming_exact_dedup."""
+    from flink_project_spark.streaming.dedup import near_dup_dedup_batch
+
+    store = str(tmp_path / "store")
+    text = " ".join(f"t{i}" for i in range(25))
+
+    def mk(did, ts):
+        return spark.createDataFrame(
+            [(did, ts, text)], "doc_id long, ts_s string, text string"
+        ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "text")
+
+    b1 = near_dup_dedup_batch(
+        mk(1, "2024-01-01 00:00:00"), store, horizon_seconds=600
+    )
+    assert {r["doc_id"] for r in b1.collect()} == {1}
+    # in-horizon exact dup: dropped
+    b2 = near_dup_dedup_batch(
+        mk(2, "2024-01-01 00:05:00"), store, horizon_seconds=600
+    )
+    assert b2.count() == 0
+    # far past the horizon: store rows age out, re-admitted
+    b3 = near_dup_dedup_batch(
+        mk(3, "2024-01-01 02:00:00"), store, horizon_seconds=600
+    )
+    assert {r["doc_id"] for r in b3.collect()} == {3}
