@@ -274,6 +274,33 @@ def q_event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(_events(spark, sf_dir), "user_id")
 
 
+def q_order_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: orders priced into OVERLAPPING price bands
+    (40k-wide bands on a 15k stride — each order matches up to 3).
+    The inequality join runs as a bucket equi-join + residual filter
+    (operators/rangejoin.py), never a nested loop over orders x bands;
+    exact-cents sums via the established floor-quantize rule."""
+    from flink_project_spark.operators.rangejoin import range_join_bucketed
+
+    orders = FX.load_tables(spark, sf_dir)["orders"].select("o_totalprice")
+    bands = spark.range(20).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 15000.0).alias("lo"),
+        (F.col("id") * 15000.0 + 40000.0).alias("hi"),
+    )
+    j = range_join_bucketed(
+        orders, bands, "o_totalprice", "lo", "hi", bucket_width=20000.0
+    )
+    return j.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("sum_cents"),
+    )
+
+
 def q_sorted_item_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: per-user item history ordered newest-first, string-rendered
     exactly like the reference's neighbor-list sink format."""
@@ -630,6 +657,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rank-pick quantile rule length_profile driver-checks and the
         # grouped-count machinery of action_counts
         "event_key_skew": q_event_key_skew,
+        # order_price_bands: the bucketed range join's residual-filter
+        # semantics are brute-force-equivalence-tested; the aggregate
+        # is the pricing_summary quantize rule
+        "order_price_bands": q_order_price_bands,
     }
 
 
@@ -1222,5 +1253,27 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
                  * 100.0 AS top1_share_pct
         FROM r
+        """,
+        # mirrors operators/rangejoin.py::range_join_bucketed over the
+        # same overlapping band table; the nested-loop BETWEEN join is
+        # the SEMANTIC spec the bucketed equi-join must reproduce
+        "order_price_bands": """
+        WITH b AS (
+          SELECT CAST(unnest(generate_series(0, 19)) AS INT) AS band_id
+        ), bands AS (
+          SELECT band_id,
+                 band_id * 15000.0 AS lo,
+                 band_id * 15000.0 + 40000.0 AS hi
+          FROM b
+        ), j AS (
+          SELECT bands.band_id, o.o_totalprice
+          FROM orders o JOIN bands
+            ON o.o_totalprice >= bands.lo AND o.o_totalprice < bands.hi
+        )
+        SELECT band_id,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM j GROUP BY band_id
         """,
     }

@@ -327,3 +327,68 @@ def test_streaming_near_dup_readmits_past_horizon(spark, tmp_path):
         mk(3, "2024-01-01 02:00:00"), store, horizon_seconds=600
     )
     assert {r["doc_id"] for r in b3.collect()} == {3}
+
+
+def test_range_join_bucketed_matches_nested_loop(spark):
+    """Bucketed decomposition == brute-force BETWEEN join, including
+    boundary values (exactly lo, exactly hi), overlapping ranges,
+    hi_inclusive, and left-join unmatched facts."""
+    from flink_project_spark.operators.rangejoin import range_join_bucketed
+
+    facts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(
+            [0.0, 4.9, 5.0, 9.99, 10.0, 14.5, 15.0, 25.0, 99.0, 100.0]
+        )],
+        "fid long, v double",
+    )
+    ranges = spark.createDataFrame(
+        [(0, 0.0, 10.0), (1, 5.0, 15.0), (2, 5.0, 15.0), (3, 90.0, 100.0)],
+        "rid long, lo double, hi double",
+    )
+    for hi_inc in (False, True):
+        got = {
+            (r["fid"], r["rid"])
+            for r in range_join_bucketed(
+                facts, ranges, "v", "lo", "hi", 4.0, hi_inclusive=hi_inc
+            ).collect()
+        }
+        upper = (F.col("v") <= F.col("hi")) if hi_inc else (
+            F.col("v") < F.col("hi")
+        )
+        ref = {
+            (r["fid"], r["rid"])
+            for r in facts.crossJoin(ranges)
+            .filter((F.col("v") >= F.col("lo")) & upper)
+            .collect()
+        }
+        assert got == ref, f"hi_inclusive={hi_inc}"
+    # left join: every fact appears; unmatched carry NULL rid
+    left = range_join_bucketed(
+        facts, ranges, "v", "lo", "hi", 4.0, how="left"
+    )
+    rows = left.collect()
+    assert {r["fid"] for r in rows} == set(range(10))
+    assert any(r["rid"] is None for r in rows)  # v=25.0 matches nothing
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        range_join_bucketed(facts, ranges, "v", "lo", "hi", 0.0)
+    with _pt.raises(ValueError):
+        range_join_bucketed(facts, ranges, "v", "lo", "hi", 4.0, how="outer")
+
+
+def test_order_price_bands_plans_hash_join_not_nested_loop(spark):
+    """The reason the operator exists: the band query must plan the
+    inequality join as a (broadcast) hash join on the bucket id, never
+    BroadcastNestedLoopJoin/CartesianProduct."""
+    import __spark_entry__ as E
+
+    plan = (
+        E.queries()["order_price_bands"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
