@@ -578,3 +578,21 @@ def curriculum_order(
     return ranked.crossJoin(scalar).select(
         "doc_id", "quality", "grank", stage.alias("stage")
     )
+
+
+def sample_by_rate_column(
+    docs: DataFrame,
+    rate_col: str,
+    key_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """`sample_by_hash` with a PER-ROW rate (whole percent 0..100),
+    e.g. the `keep_rate_pct` a broadcast-joined `mixture_plan` row
+    carries. Identical hash rule, so `sample_by_hash(docs, p)` ==
+    `sample_by_rate_column(docs.withColumn(c, lit(p)), c)` — the
+    equivalence the composition test pins. Still a pure projection +
+    filter: zero shuffle beyond whatever join attached the rate."""
+    bucket = (
+        v32(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))) % 100
+    )
+    return docs.filter(bucket < F.col(rate_col))

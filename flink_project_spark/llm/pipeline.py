@@ -1,0 +1,140 @@
+"""One-call batch corpus curation: the documented composition of the
+engine's curation stages, in the order a production corpus build runs
+them.
+
+    exact dedup -> near-dup dedup (MinHash-LSH + CC) -> quality gate
+    -> benchmark decontamination -> mixture resampling -> train split
+    [-> chunking]
+
+Every stage is one of the individually-oracled operators; this module
+adds only the glue (semi/anti joins between stages and the broadcast
+join that turns `mixture_plan`'s per-source `keep_rate_pct` into the
+per-row hash draw). The return value keeps each stage's frame so a
+caller can land any intermediate (the cluster workflow: write each
+stage to parquet, point the next run at the furthest-landed stage).
+
+Laziness: nothing here triggers a job — stages are plans until the
+caller writes or counts them. `CurationResult.audit()` computes the
+per-stage row counts (one lightweight count job per stage; run it
+AFTER landing the final frame so the counts read cached/landed data).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_project_spark.llm import curation as CUR
+from flink_project_spark.llm import dedup as DD
+from flink_project_spark.llm import text as TX
+
+
+@dataclass
+class CurationResult:
+    """Per-stage frames, insertion-ordered from raw input to output.
+
+    `final` is the last non-chunk stage (the split-labeled corpus);
+    `chunks` is present only when chunking was requested.
+    """
+
+    stages: dict[str, DataFrame] = field(default_factory=dict)
+
+    @property
+    def final(self) -> DataFrame:
+        names = [n for n in self.stages if n != "chunks"]
+        return self.stages[names[-1]]
+
+    @property
+    def chunks(self) -> DataFrame | None:
+        return self.stages.get("chunks")
+
+    def audit(self) -> dict[str, int]:
+        """Row count per stage — the yield funnel a corpus build
+        reports (input -> exact-deduped -> ... -> split)."""
+        return {name: df.count() for name, df in self.stages.items()}
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    text_col: str = "text",
+    quality_threshold: float = 0.5,
+    dedup_mode: str = "cc",
+    mixture_weights: dict[str, float] | None = None,
+    apply_mixture: bool = True,
+    split_ratios: tuple[tuple[str, int], ...] = CUR.DEFAULT_RATIOS,
+    chunk_tokens: int | None = None,
+    chunk_stride: int | None = None,
+) -> CurationResult:
+    """Run the full curation funnel over `docs` (doc_id, source, text,
+    ...). Stages and their scale shapes:
+
+    1. ``exact_dedup``: md5-canonical semi-join (one 32-byte-key
+       shuffle; the winner is the min doc_id — deterministic).
+    2. ``near_dedup``: MinHash-LSH pair graph -> `dedup_mode`
+       ("cc" = one survivor per connected component, "single_link" =
+       the cheap greedy rule) — the same audited, capped, never-
+       all-pairs machinery as the `doc_minhash_neardups` /
+       `doc_dedup_cc` contract queries.
+    3. ``quality_gate``: composite `quality_score` >= threshold,
+       attached by a doc_id join (score is a pure projection).
+    4. ``decontaminated`` (if `benchmark` given): drop docs whose
+       fingerprints collide with the benchmark set — broadcast
+       semi-join flags, anti-joined away.
+    5. ``mixture_sampled`` (if `apply_mixture`): `mixture_plan`
+       keep-rates broadcast-joined on source, realized by the
+       deterministic per-row hash draw (`sample_by_rate_column`).
+    6. ``split``: deterministic hash split labels (pure projection).
+    7. ``chunks`` (if `chunk_tokens`): zero-shuffle sliding-window
+       chunking with source/split labels carried through.
+    """
+    r = CurationResult()
+    r.stages["input"] = docs
+
+    exact = DD.exact_dedup_groups(docs, text_col).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    deduped = docs.join(exact, "doc_id", "left_semi")
+    r.stages["exact_dedup"] = deduped
+
+    pairs = DD.near_dup_pairs(deduped, text_col=text_col, audit_sink=[])
+    near = DD.dedup_keep_canonical(deduped, pairs, mode=dedup_mode)
+    r.stages["near_dedup"] = near
+
+    quality = TX.quality_score(near, text_col).select("doc_id", "quality")
+    gated = near.join(quality, "doc_id").filter(
+        F.col("quality") >= F.lit(float(quality_threshold))
+    )
+    r.stages["quality_gate"] = gated
+
+    current = gated
+    if benchmark is not None:
+        flags = CUR.decontaminate(current, benchmark, text_col).select(
+            "doc_id"
+        )
+        current = current.join(flags, "doc_id", "left_anti")
+        r.stages["decontaminated"] = current
+
+    if apply_mixture:
+        plan = CUR.mixture_plan(
+            current, weights=mixture_weights, text_col=text_col
+        ).select("source", "keep_rate_pct")
+        current = CUR.sample_by_rate_column(
+            current.join(F.broadcast(plan), "source"), "keep_rate_pct"
+        ).drop("keep_rate_pct")
+        r.stages["mixture_sampled"] = current
+
+    labeled = CUR.train_split(current, ratios=split_ratios)
+    r.stages["split"] = labeled
+
+    if chunk_tokens:
+        r.stages["chunks"] = CUR.chunk_spans(
+            labeled,
+            chunk_tokens=chunk_tokens,
+            stride=chunk_stride or chunk_tokens,
+            text_col=text_col,
+            carry_cols=("source", "split"),
+        )
+    return r

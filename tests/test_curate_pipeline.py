@@ -1,0 +1,118 @@
+"""curate_corpus: the one-call composition of the curation stages.
+
+The component operators each have their own oracle/tests; these tests
+pin the GLUE — stage ordering, survivor-set joins, the mixture
+broadcast composition, and metadata carried into chunking.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from flink_project_spark.llm.pipeline import curate_corpus
+
+
+def _corpus(spark):
+    rnd = random.Random(3)
+    vocab = [f"tok{i}" for i in range(200)]
+    mk = lambda n, r: " ".join(r.choice(vocab) for _ in range(n))  # noqa: E731
+
+    rows = []
+    # s_big: 40 long distinct docs (the dominating source)
+    for i in range(40):
+        rows.append((i, "s_big", mk(40, random.Random(50 + i))))
+    # s_small: 6 docs
+    for i in range(40, 46):
+        rows.append((i, "s_small", mk(40, random.Random(500 + i))))
+    # exact duplicate of doc 0 (later id loses)
+    rows.append((100, "s_big", rows[0][2]))
+    # near-dup chain of doc 1: one-word edits
+    base = rows[1][2].split()
+    e1 = list(base)
+    e1[3] = "zzz"
+    e2 = list(e1)
+    e2[7] = "yyy"
+    rows.append((101, "s_big", " ".join(e1)))
+    rows.append((102, "s_big", " ".join(e2)))
+    # junk doc (fails the length gate: < 10 words)
+    rows.append((103, "s_small", "short junk"))
+    return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+
+def test_curate_corpus_funnel(spark):
+    docs = _corpus(spark)
+    bench = docs.filter(F.col("doc_id") == 5).select("doc_id", "text")
+    r = curate_corpus(
+        docs,
+        benchmark=bench,
+        quality_threshold=0.5,
+        chunk_tokens=16,
+        chunk_stride=16,
+    )
+    assert list(r.stages) == [
+        "input",
+        "exact_dedup",
+        "near_dedup",
+        "quality_gate",
+        "decontaminated",
+        "mixture_sampled",
+        "split",
+        "chunks",
+    ]
+    audit = r.audit()
+    # the funnel shrinks monotonically up to the split stage
+    names = [n for n in r.stages if n != "chunks"]
+    for a, b in zip(names, names[1:]):
+        assert audit[b] <= audit[a], (a, b, audit)
+
+    exact_ids = {x["doc_id"] for x in r.stages["exact_dedup"].collect()}
+    assert 100 not in exact_ids and 0 in exact_ids  # md5 dup loses to min id
+    near_ids = {x["doc_id"] for x in r.stages["near_dedup"].collect()}
+    # CC mode: the whole chain {1, 101, 102} keeps exactly its minimum
+    assert 1 in near_ids and not {101, 102} & near_ids
+    gated_ids = {x["doc_id"] for x in r.stages["quality_gate"].collect()}
+    assert 103 not in gated_ids  # junk fails the word-count gate
+    dec_ids = {x["doc_id"] for x in r.stages["decontaminated"].collect()}
+    assert 5 not in dec_ids  # benchmark doc removed
+    # split labels present and only from the default ratio set
+    splits = {x["split"] for x in r.stages["split"].collect()}
+    assert splits <= {"train", "val", "test"}
+    # chunks carry source + split, and every chunk's doc survived
+    ch = r.chunks.select("doc_id", "source", "split").collect()
+    final_ids = {x["doc_id"] for x in r.stages["split"].collect()}
+    assert {c["doc_id"] for c in ch} <= final_ids
+    assert all(c["split"] in ("train", "val", "test") for c in ch)
+
+
+def test_curate_corpus_stage_toggles(spark):
+    """No benchmark -> no decontaminated stage; apply_mixture=False ->
+    no sampling stage; no chunk_tokens -> no chunks; final == split."""
+    docs = _corpus(spark)
+    r = curate_corpus(docs, apply_mixture=False)
+    assert "decontaminated" not in r.stages
+    assert "mixture_sampled" not in r.stages
+    assert r.chunks is None
+    assert r.final is r.stages["split"]
+    # without sampling, the split stage equals the quality gate rows
+    assert r.audit()["split"] == r.audit()["quality_gate"]
+
+
+def test_sample_by_rate_column_equals_scalar_rate(spark):
+    """The pipeline's per-row draw must reproduce sample_by_hash for a
+    constant rate — same hash rule, same kept set."""
+    from flink_project_spark.llm.curation import (
+        sample_by_hash,
+        sample_by_rate_column,
+    )
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"] for r in sample_by_hash(docs, 37).collect()}
+    b = {
+        r["doc_id"]
+        for r in sample_by_rate_column(
+            docs.withColumn("rp", F.lit(37)), "rp"
+        ).collect()
+    }
+    assert a == b and 0 < len(a) < 500
