@@ -392,3 +392,67 @@ def test_order_price_bands_plans_hash_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan
+
+
+def test_global_rank_seeded_sweep(spark):
+    """Seeded random frames (duplicate-heavy order values, skewed
+    distributions, tiny and single-partition-sized inputs) — global
+    rank equals the single-window reference on every draw."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = rng.choice([1, 7, 100, 2311])
+        card = rng.choice([1, 2, 17])
+        rows = [(i, rng.randrange(card)) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        order = [F.col("v").asc(), F.col("id").asc()]
+        from flink_project_spark.operators.windows import global_rank
+
+        got = global_rank(df, order, num_partitions=rng.choice([None, 3, 64]))
+        ref = df.withColumn(
+            "r", F.row_number().over(Window.orderBy(*order))
+        )
+        assert (
+            got.join(ref, "id").filter(F.col("grank") != F.col("r")).count()
+            == 0
+        ), f"seed={seed}"
+
+
+def test_range_join_seeded_sweep(spark):
+    """Seeded random fact/range draws (negative values, zero-width and
+    giant ranges, values exactly on bucket boundaries) vs the
+    brute-force BETWEEN join, across bucket widths."""
+    import random
+
+    from flink_project_spark.operators.rangejoin import range_join_bucketed
+
+    for seed in (11, 12):
+        rng = random.Random(seed)
+        facts = spark.createDataFrame(
+            [
+                (i, float(rng.randrange(-100, 101)) / rng.choice([1, 4]))
+                for i in range(120)
+            ],
+            "fid long, v double",
+        )
+        ranges_rows = []
+        for rid in range(15):
+            lo = float(rng.randrange(-100, 101))
+            width = rng.choice([0.0, 0.5, 7.0, 300.0])
+            ranges_rows.append((rid, lo, lo + width))
+        ranges = spark.createDataFrame(ranges_rows, "rid long, lo double, hi double")
+        for w in (1.0, 13.0):
+            got = {
+                (r["fid"], r["rid"])
+                for r in range_join_bucketed(
+                    facts, ranges, "v", "lo", "hi", w, hi_inclusive=True
+                ).collect()
+            }
+            ref = {
+                (r["fid"], r["rid"])
+                for r in facts.crossJoin(ranges)
+                .filter((F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")))
+                .collect()
+            }
+            assert got == ref, f"seed={seed} w={w}"
