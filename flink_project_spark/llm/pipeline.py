@@ -37,9 +37,14 @@ class CurationResult:
 
     `final` is the last non-chunk stage (the split-labeled corpus);
     `chunks` is present only when chunking was requested.
+    `lsh_audits` holds the near-dup stage's deferred bucket-cap audit
+    frames (`llm.dedup.near_dup_pairs(audit_sink=...)`) — materialized
+    by `audit()` so the LSH `max_bucket` cap is never silent in the
+    pipeline (the module's no-silent-caps rule).
     """
 
     stages: dict[str, DataFrame] = field(default_factory=dict)
+    lsh_audits: list = field(default_factory=list)
 
     @property
     def final(self) -> DataFrame:
@@ -52,8 +57,18 @@ class CurationResult:
 
     def audit(self) -> dict[str, int]:
         """Row count per stage — the yield funnel a corpus build
-        reports (input -> exact-deduped -> ... -> split)."""
-        return {name: df.count() for name, df in self.stages.items()}
+        reports — plus `lsh_dropped_buckets`/`lsh_dropped_members`
+        from the near-dup stage's bucket-cap audit (0 when the cap
+        never bound)."""
+        out = {name: df.count() for name, df in self.stages.items()}
+        dropped_buckets = dropped_members = 0
+        for adf in self.lsh_audits:
+            for row in adf.collect():
+                dropped_buckets += row["buckets"] or 0
+                dropped_members += row["dropped"] or 0
+        out["lsh_dropped_buckets"] = dropped_buckets
+        out["lsh_dropped_members"] = dropped_members
+        return out
 
 
 def curate_corpus(
@@ -99,7 +114,9 @@ def curate_corpus(
     deduped = docs.join(exact, "doc_id", "left_semi")
     r.stages["exact_dedup"] = deduped
 
-    pairs = DD.near_dup_pairs(deduped, text_col=text_col, audit_sink=[])
+    pairs = DD.near_dup_pairs(
+        deduped, text_col=text_col, audit_sink=r.lsh_audits
+    )
     near = DD.dedup_keep_canonical(deduped, pairs, mode=dedup_mode)
     r.stages["near_dedup"] = near
 

@@ -66,6 +66,9 @@ def test_curate_corpus_funnel(spark):
     names = [n for n in r.stages if n != "chunks"]
     for a, b in zip(names, names[1:]):
         assert audit[b] <= audit[a], (a, b, audit)
+    # the LSH bucket cap is surfaced, and never binds on this corpus
+    assert audit["lsh_dropped_buckets"] == 0
+    assert audit["lsh_dropped_members"] == 0
 
     exact_ids = {x["doc_id"] for x in r.stages["exact_dedup"].collect()}
     assert 100 not in exact_ids and 0 in exact_ids  # md5 dup loses to min id
