@@ -301,6 +301,18 @@ def q_order_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion (view -> click -> purchase): CEP-style ordered
+    sequence matching as a chain of conditional min-aggregations
+    (operators/funnel.py) — no per-user arrays, partitioning on
+    user_id reused across steps."""
+    from flink_project_spark.operators.funnel import funnel_steps
+
+    return funnel_steps(
+        _events(spark, sf_dir), ["view", "click", "purchase"]
+    )
+
+
 def q_sorted_item_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: per-user item history ordered newest-first, string-rendered
     exactly like the reference's neighbor-list sink format."""
@@ -661,6 +673,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semantics are brute-force-equivalence-tested; the aggregate
         # is the pricing_summary quantize rule
         "order_price_bands": q_order_price_bands,
+        # event_funnel: sequence-matching twin-tested against a python
+        # greedy walk; the grouped-min machinery is action_counts'
+        "event_funnel": q_event_funnel,
     }
 
 
@@ -1275,5 +1290,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
                     AS BIGINT) AS sum_cents
         FROM j GROUP BY band_id
+        """,
+        # mirrors operators/funnel.py::funnel_steps — the sequential
+        # conditional-min construction IS the SQL spec
+        "event_funnel": """
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ), s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+                               AND e.ts > s1.t1
+          WHERE e.event_type = 'click' GROUP BY 1
+        ), s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+                               AND e.ts > s2.t2
+          WHERE e.event_type = 'purchase' GROUP BY 1
+        ), u AS (
+          SELECT 1 AS step, 'view' AS step_name, count(*) AS users FROM s1
+          UNION ALL SELECT 2, 'click', count(*) FROM s2
+          UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        )
+        SELECT CAST(step AS INT) AS step, step_name,
+               CAST(users AS BIGINT) AS users,
+               CAST(users AS DOUBLE)
+                 / CAST(greatest(first_value(users) OVER (
+                     ORDER BY step
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 1) AS DOUBLE) * 100.0 AS conversion_pct
+        FROM u
         """,
     }

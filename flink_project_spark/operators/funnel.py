@@ -1,0 +1,105 @@
+"""Ordered event-sequence (funnel) analysis.
+
+The reference's Flink jobs compute per-scene CTRs and windowed counts;
+the natural next question a product analyst asks is sequential — "of
+the users who viewed, how many then clicked, then purchased?". Flink
+answers it with CEP; Spark has no CEP library, but the classic funnel
+semantics (match the steps IN ORDER, each after the previous) reduce
+to a chain of conditional min-aggregations, entirely in Catalyst:
+
+    t1(u) = min ts of step-1 events of u
+    t_i(u) = min ts of step-i events of u with ts > t_{i-1}(u)
+
+The greedy "earliest qualifying event per step" choice is optimal for
+subsequence matching, so a user completes the funnel iff t_k exists.
+An optional `horizon` bounds the whole journey relative to t1 (the
+user's FIRST entry — the standard funnel-anchoring convention; a CEP
+engine that re-anchors on every step-1 event answers a different,
+strictly more expensive question).
+
+Scale: k steps = k filtered passes over the (pre-filtered, column-
+pruned) events scan, each joined+aggregated on the user key — the
+partitioning on `user_col` is reused across all k rounds, and no
+per-user array ever materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_times(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    horizon_seconds: int | None = None,
+) -> DataFrame:
+    """Per-user earliest step-completion times: (user, t1..tk), one row
+    per user who completed at least step 1; t_i is NULL once the chain
+    breaks (later t's are NULL too — prefix semantics)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    out = cur
+    for i, s in enumerate(steps[1:], start=2):
+        cond = F.col(ts_col) > F.col(f"t{i - 1}")
+        if horizon_seconds is not None:
+            cond = cond & (
+                F.col(ts_col)
+                <= F.col("t1") + F.expr(f"INTERVAL {horizon_seconds} SECONDS")
+            )
+        nxt = (
+            events.filter(F.col(type_col) == s)
+            .join(out.select(user_col, "t1", f"t{i - 1}"), user_col)
+            .filter(cond)
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t{i}"))
+        )
+        out = out.join(nxt.select(user_col, f"t{i}"), user_col, "left")
+    return out
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    horizon_seconds: int | None = None,
+) -> DataFrame:
+    """Funnel conversion summary: one row per step with the user count
+    that reached it (in order) and the conversion percentage from step
+    1 (single IEEE division on exact counts). The summary window runs
+    over k rows — a constant-size frame, not a data-scaled one."""
+    times = funnel_times(
+        events, steps, user_col, type_col, ts_col, horizon_seconds
+    )
+    per_step = None
+    for i, s in enumerate(steps, start=1):
+        c = times.filter(F.col(f"t{i}").isNotNull()).agg(
+            F.lit(i).alias("step"),
+            F.lit(s).alias("step_name"),
+            F.count(F.lit(1)).alias("users"),
+        )
+        per_step = c if per_step is None else per_step.unionAll(c)
+    w = Window.orderBy("step").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    entry = F.first("users").over(w)
+    return per_step.select(
+        "step",
+        "step_name",
+        "users",
+        (
+            F.col("users").cast("double")
+            / F.greatest(entry, F.lit(1)).cast("double")
+            * 100.0
+        ).alias("conversion_pct"),
+    )

@@ -456,3 +456,65 @@ def test_range_join_seeded_sweep(spark):
                 .collect()
             }
             assert got == ref, f"seed={seed} w={w}"
+
+
+def test_funnel_matches_python_greedy_walk(spark):
+    """funnel_times/funnel_steps vs a python greedy subsequence walk
+    over the same events — with and without the horizon anchor."""
+    from flink_project_spark.operators.funnel import (
+        funnel_steps,
+        funnel_times,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    steps = ["view", "click", "purchase"]
+    rows = (
+        ev.select("user_id", "event_type", "ts")
+        .filter(F.col("event_type").isin(steps))
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_type"]))
+
+    def walk(events_sorted, horizon=None):
+        ts = [None] * len(steps)
+        for t, typ in events_sorted:
+            for i, s in enumerate(steps):
+                if typ != s:
+                    continue
+                if i == 0:
+                    if ts[0] is None:
+                        ts[0] = t
+                elif ts[i] is None and ts[i - 1] is not None and t > ts[i - 1]:
+                    if horizon is None or (t - ts[0]).total_seconds() <= horizon:
+                        ts[i] = t
+                break
+        return ts
+
+    for horizon in (None, 3600):
+        expected = {
+            u: walk(sorted(evs), horizon) for u, evs in by_user.items()
+        }
+        got = {
+            r["user_id"]: [r["t1"], r["t2"], r["t3"]]
+            for r in funnel_times(
+                ev, steps, horizon_seconds=horizon
+            ).collect()
+        }
+        exp_nonempty = {u: t for u, t in expected.items() if t[0] is not None}
+        assert got == exp_nonempty, f"horizon={horizon}"
+        counts = {
+            r["step"]: r["users"]
+            for r in funnel_steps(ev, steps, horizon_seconds=horizon).collect()
+        }
+        for i in range(3):
+            assert counts[i + 1] == sum(
+                1 for t in expected.values() if t[i] is not None
+            )
+    # depth is monotone: users at step i+1 <= step i
+    assert counts[3] <= counts[2] <= counts[1]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        funnel_times(ev, [])
