@@ -518,3 +518,51 @@ def test_funnel_matches_python_greedy_walk(spark):
 
     with _pt.raises(ValueError):
         funnel_times(ev, [])
+
+
+def test_streaming_near_dup_survives_restart(spark, tmp_path):
+    """Checkpoint restart: stop the query mid-stream, start a NEW query
+    on the same checkpoint + signature store — the admitted set equals
+    the uninterrupted run (the store is the cross-restart state; the
+    checkpoint guarantees whole-batch replay)."""
+    from flink_project_spark.streaming.dedup import near_dup_foreach_batch
+
+    df, _ = _mk_near_dup_corpus(spark)
+    twin = _sequential_twin_survivors(spark, df)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def sink(survivors, batch_id):
+        survivors.write.mode("append").parquet(out)
+
+    def start():
+        stream = spark.readStream.schema(
+            "doc_id long, ts timestamp, text string"
+        ).parquet(str(src))
+        return (
+            stream.writeStream.foreachBatch(
+                near_dup_foreach_batch(store, sink, horizon_seconds=3600)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    df.filter(F.col("doc_id") <= 4).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    q.processAllAvailable()
+    q.stop()
+    # restart on the same checkpoint; remaining docs arrive after
+    q = start()
+    df.filter(F.col("doc_id") > 4).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == twin
