@@ -313,6 +313,57 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over events — two exchanges
+    (first-week per user, then the distinct matrix count); offsets are
+    exact date arithmetic (operators/funnel.py::cohort_retention)."""
+    from flink_project_spark.operators.funnel import cohort_retention
+
+    r = cohort_retention(_events(spark, sf_dir), period="week")
+    # contract rendering: DATE arrives as a python date from Spark but
+    # as datetime64 from DuckDB — ISO-format it so the value hash
+    # compares the calendar day, not the binding's dtype
+    return r.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        "period_offset",
+        "users",
+    )
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped 3-way star join: filtered customer segment
+    (broadcast) x date-filtered orders x date-filtered lineitem,
+    revenue via the engine's exact quantized-cents rule, distributed
+    top-10 (TakeOrdered — never a global single-partition sort)."""
+    t = FX.load_tables(spark, sf_dir)
+    cust = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = t["orders"].filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = t["lineitem"].filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev_q = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+        + F.lit(0.5)
+    ).cast("decimal(30,0)")
+    j = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (F.sum(rev_q).cast("double") / F.lit(1000000.0)).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
 def q_sorted_item_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: per-user item history ordered newest-first, string-rendered
     exactly like the reference's neighbor-list sink format."""
@@ -676,6 +727,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event_funnel: sequence-matching twin-tested against a python
         # greedy walk; the grouped-min machinery is action_counts'
         "event_funnel": q_event_funnel,
+        # event_retention: python-twin-tested; distinct-count machinery
+        # as scene_uv. shipping_priority: the star-join + quantized
+        # revenue shapes are pricing_summary/transfer_error_ratio's
+        "event_retention": q_event_retention,
+        "shipping_priority": q_shipping_priority,
     }
 
 
@@ -1320,5 +1376,39 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ), 1) AS DOUBLE) * 100.0 AS conversion_pct
         FROM u
+        """,
+        # mirrors operators/funnel.py::cohort_retention(period='week')
+        "event_retention": """
+        WITH ev AS (
+          SELECT user_id AS u,
+                 CAST(date_trunc('week', ts) AS DATE) AS p
+          FROM events
+        ), f AS (
+          SELECT u, min(p) AS cohort FROM ev GROUP BY 1
+        ), m AS (
+          SELECT DISTINCT ev.u, f.cohort,
+                 CAST((ev.p - f.cohort) // 7 AS INT) AS period_offset
+          FROM ev JOIN f ON ev.u = f.u
+        )
+        SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+               period_offset, CAST(count(*) AS BIGINT) AS users
+        FROM m GROUP BY 1, 2
+        """,
+        # mirrors q_shipping_priority (TPC-H Q3 shape on the synthetic
+        # star schema; revenue quantized exactly like pricing_summary)
+        "shipping_priority": """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / 1000000.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
         """,
     }

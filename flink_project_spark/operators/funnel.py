@@ -103,3 +103,42 @@ def funnel_steps(
             * 100.0
         ).alias("conversion_pct"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST activity
+    period, counted in every later period they return.
+
+    (cohort, period_offset, users) with offset 0 = the cohort size.
+    `period` is any `date_trunc` unit. Two aggregations — first-period
+    per user (one exchange on the user key), then distinct
+    (cohort, offset, user) counting (one exchange on the matrix key);
+    the per-user first period rides the same user partitioning the
+    first aggregate produced. Offsets are exact date arithmetic
+    (datediff of truncated dates over the unit length), so any SQL
+    engine reproduces the matrix bit-for-bit.
+    """
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"unsupported period: {period!r} (day|week|month)")
+    bucket = F.date_trunc(period, F.col(ts_col)).cast("date")
+    ev = events.select(F.col(user_col).alias("u"), bucket.alias("p"))
+    first = ev.groupBy("u").agg(F.min("p").alias("cohort"))
+    if period == "month":
+        off = (F.year("p") - F.year("cohort")) * 12 + (
+            F.month("p") - F.month("cohort")
+        )
+    else:
+        days = 7 if period == "week" else 1
+        off = F.floor(F.datediff(F.col("p"), F.col("cohort")) / days)
+    return (
+        ev.join(first, "u")
+        .select("u", "cohort", off.cast("int").alias("period_offset"))
+        .distinct()
+        .groupBy("cohort", "period_offset")
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
