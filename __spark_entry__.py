@@ -313,6 +313,16 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing 1-hour count/sum/mean of event value — a
+    RANGE-framed window over unix seconds (operators/windows.py::
+    rolling_time_agg): one exchange + one sort, never the quadratic
+    self-join; sums exact via the quantize rule."""
+    return W.rolling_time_agg(
+        _events(spark, sf_dir), ["user_id"], "ts", "value", 3600
+    )
+
+
 def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over events — two exchanges
     (first-week per user, then the distinct matrix count); offsets are
@@ -732,6 +742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # revenue shapes are pricing_summary/transfer_error_ratio's
         "event_retention": q_event_retention,
         "shipping_priority": q_shipping_priority,
+        # user_rolling_value: the RANGE-frame window is pinned by its
+        # own oracle; machinery shared with lag_delta/rank windows
+        "user_rolling_value": q_user_rolling_value,
     }
 
 
@@ -1410,5 +1423,18 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2, 3
         ORDER BY revenue DESC, o_orderkey ASC
         LIMIT 10
+        """,
+        # mirrors operators/windows.py::rolling_time_agg(3600)
+        "user_rolling_value": """
+        SELECT user_id, ts, value,
+               CAST(count(*) OVER w AS BIGINT) AS w_count,
+               CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS HUGEINT))
+                    OVER w AS DOUBLE) / 1000000.0 AS w_sum,
+               CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS HUGEINT))
+                    OVER w AS DOUBLE) / 1000000.0
+                 / CAST(count(*) OVER w AS DOUBLE) AS w_mean
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         """,
     }

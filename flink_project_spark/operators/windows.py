@@ -331,3 +331,47 @@ def global_rank(
         .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
         .drop("_pid", "_rn", "_off")
     )
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    scale: int = 1000000,
+) -> DataFrame:
+    """Per-key trailing time-window aggregates: for every row, the
+    count/sum/mean of `value_col` over the PRECEDING `window_seconds`
+    (inclusive of the current row's instant) of that key's events.
+
+    The batch twin of a sliding streaming aggregate, as a single
+    RANGE-framed window over unix seconds — one exchange on the keys,
+    one per-partition sort, no self-join (the naive form joins the
+    table to itself on `0 <= t_a - t_b <= W`, quadratic on active
+    keys). The sum is quantized (floor(x*scale + 0.5), exact int64
+    accumulation) so any engine's RANGE frame reproduces it
+    bit-for-bit; the mean is one IEEE division on exact integers.
+    Ties on the timestamp: a RANGE frame includes ALL rows at the
+    boundary instants — deterministic by SQL definition, no tie-break
+    column needed.
+    """
+    sec = F.unix_timestamp(F.col(ts_col))
+    q = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(sec)
+        .rangeBetween(-(int(window_seconds)), 0)
+    )
+    cnt = F.count(F.lit(1)).over(w)
+    s = F.sum(q).over(w)
+    return df.select(
+        *keys,
+        ts_col,
+        value_col,
+        cnt.alias("w_count"),
+        (s.cast("double") / F.lit(float(scale))).alias("w_sum"),
+        (
+            s.cast("double") / F.lit(float(scale)) / cnt.cast("double")
+        ).alias("w_mean"),
+    )

@@ -616,3 +616,71 @@ def test_cohort_retention_matches_python_twin(spark):
 
     with _pt.raises(ValueError):
         cohort_retention(ev, period="hour")
+
+
+def test_rolling_time_agg_matches_self_join(spark):
+    """RANGE-framed rolling window vs the quadratic self-join spec,
+    including timestamp TIES (frame includes all rows at the boundary
+    instants) and window edges."""
+    import datetime as dt
+
+    from flink_project_spark.operators.windows import rolling_time_agg
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    import random
+
+    rng = random.Random(9)
+    for i in range(300):
+        rows.append(
+            (
+                i,
+                rng.randrange(5),
+                base + dt.timedelta(seconds=rng.randrange(0, 7200)),
+                round(rng.uniform(-5, 5), 3),
+            )
+        )
+    # forced exact-tie pairs
+    rows.append((300, 1, base + dt.timedelta(seconds=100), 1.5))
+    rows.append((301, 1, base + dt.timedelta(seconds=100), 2.5))
+    df = spark.createDataFrame(rows, "eid long, k long, ts timestamp, v double")
+    got = rolling_time_agg(df, ["k"], "ts", "v", 600)
+    # brute force: for each row, aggregate same-key rows in (t-600, t]
+    a = df.alias("a")
+    b = df.alias("b")
+    import pyspark.sql.functions as SF
+
+    sec = lambda c: SF.unix_timestamp(SF.col(c))  # noqa: E731
+    ref = (
+        a.join(
+            b,
+            (SF.col("a.k") == SF.col("b.k"))
+            & (sec("b.ts") <= sec("a.ts"))
+            & (sec("b.ts") >= sec("a.ts") - 600),
+        )
+        .groupBy("a.eid")
+        .agg(
+            SF.count(SF.lit(1)).alias("r_count"),
+            SF.sum(
+                SF.floor(SF.col("b.v") * 1000000 + SF.lit(0.5)).cast("long")
+            ).alias("r_qsum"),
+        )
+    )
+    j = (
+        got.join(df.select("eid", "k", "ts", "v"), ["k", "ts", "v"])
+        .join(ref, "eid")
+        .select(
+            "eid",
+            "w_count",
+            "r_count",
+            (F.col("w_sum") * 1000000).cast("long").alias("w_qsum"),
+            "r_qsum",
+        )
+    )
+    # the tie rows share (k, ts): joining back on (k, ts, v) keeps the
+    # mapping unique because v differs; every row must agree
+    bad = j.filter(
+        (F.col("w_count") != F.col("r_count"))
+        | (F.abs(F.col("w_qsum") - F.col("r_qsum")) > 1)
+    ).count()
+    assert bad == 0
