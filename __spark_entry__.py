@@ -323,6 +323,27 @@ def q_user_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregate via ROLLUP (priority, status) — subtotal
+    and grand-total rows in ONE pass (Catalyst expands the grouping
+    sets map-side; no union of re-scans); exact cents accumulation."""
+    o = FX.load_tables(spark, sf_dir)["orders"]
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).cast("long").alias("sum_cents"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "sum_cents",
+        )
+    )
+
+
 def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over events — two exchanges
     (first-week per user, then the distinct matrix count); offsets are
@@ -745,6 +766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # user_rolling_value: the RANGE-frame window is pinned by its
         # own oracle; machinery shared with lag_delta/rank windows
         "user_rolling_value": q_user_rolling_value,
+        # order_priority_rollup: grouping-sets expansion, aggregate
+        # machinery as pricing_summary
+        "order_priority_rollup": q_order_priority_rollup,
     }
 
 
@@ -1436,5 +1460,15 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        """,
+        # mirrors q_order_priority_rollup (GROUP BY ROLLUP, ALL labels)
+        "order_priority_rollup": """
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS HUGEINT))
+                    AS BIGINT) AS sum_cents
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         """,
     }

@@ -143,8 +143,20 @@ def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted quality-metrics table — shared by doc_quality and
+    doc_curriculum_order (the regex-heavy tokenization would otherwise
+    recompute per consumer, and the global rank's range-boundary
+    sampling pass reads it a second time within ONE query)."""
+    return CACHE.materialize(
+        spark,
+        f"doc_quality:{sf_dir}",
+        lambda: TX.quality_score(_docs(spark, sf_dir)),
+    )
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.quality_score(_docs(spark, sf_dir))
+    return _quality(spark, sf_dir)
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,8 +277,12 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum staging: exact global quality rank (distributed —
     range repartition + broadcast offsets, never a one-task window)
-    with SQL-NTILE-parity stage assignment."""
-    return CUR.curriculum_order(_docs(spark, sf_dir), k_stages=4)
+    with SQL-NTILE-parity stage assignment. Reads the shared persisted
+    quality table (`_quality`)."""
+    return CUR.curriculum_order(
+        _docs(spark, sf_dir), k_stages=4,
+        quality=_quality(spark, sf_dir),
+    )
 
 
 # trained coarse-quantizer models, memoized like the persisted tables
@@ -415,6 +431,7 @@ def llm_shared_intermediates(
         "emb": _emb(spark, sf_dir),
         "neardups": pairs,
         "simhash": _simhash(spark, sf_dir),
+        "quality": _quality(spark, sf_dir),
     }
     if audit is not None:
         out["neardups_overflow"] = audit

@@ -536,6 +536,7 @@ def curriculum_order(
     docs: DataFrame,
     k_stages: int = 4,
     text_col: str = "text",
+    quality: DataFrame | None = None,
 ) -> DataFrame:
     """Curriculum staging: exact global quality rank -> NTILE stages.
 
@@ -558,7 +559,14 @@ def curriculum_order(
 
     if k_stages < 1:
         raise ValueError("k_stages must be >= 1")
-    qual = TX.quality_score(docs, text_col).select("doc_id", "quality")
+    # `quality` lets a caller pass an already-materialized metrics
+    # table (the contract layer shares one persisted frame between the
+    # quality and curriculum queries) — the rank machinery reads its
+    # input twice (range-boundary sampling + the shuffle write), so a
+    # cached input pays the regex-heavy tokenization once, not thrice
+    qual = (
+        quality if quality is not None else TX.quality_score(docs, text_col)
+    ).select("doc_id", "quality")
     ranked = global_rank(
         qual, [F.col("quality").desc(), F.col("doc_id").asc()]
     )
