@@ -344,6 +344,104 @@ def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-way join chain: region -> nation -> supplier
+    co-located with customer (c_nationkey = s_nationkey) -> orders ->
+    lineitem, one year of orders, revenue per nation.
+
+    Declared as a flat join chain so Catalyst reorders it: the three
+    dimension tables (region 5 rows, nation 25, supplier O(100)) are
+    explicitly broadcast, leaving ONE data-scaled shuffle pair
+    (orders |><| lineitem on orderkey) plus the final 25-group
+    aggregate — at 100 TB the only big-big join is the one that has to
+    exist, and the co-nation predicate rides the broadcast joins for
+    free. Revenue follows the engine's exact quantized-micros rule.
+    Ref join shape: flink-process TransferLogJob's multi-table chain
+    (SURVEY.md section 2.4 J1/J2)."""
+    t = FX.load_tables(spark, sf_dir)
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    asia = t["region"].filter(F.col("r_name") == "ASIA")
+    rev_q = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+        + F.lit(0.5)
+    ).cast("decimal(30,0)")
+    j = (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t["customer"]),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(asia),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            (F.sum(rev_q).cast("double") / F.lit(1000000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped correlated scalar subquery, decorrelated: for
+    one brand's parts, revenue from lineitems whose quantity is below
+    20% of that part's average quantity.
+
+    The correlated `(SELECT 0.2*avg(...) WHERE partkey = outer)` becomes
+    a per-part aggregate joined back — the per-part stats table is
+    O(|parts|), broadcast; the threshold compare is exact integer
+    arithmetic (qty < sum/(5*cnt)  <=>  5*qty*cnt < sum on quantized
+    quantities), so Spark and the oracle agree bit-for-bit at the
+    boundary instead of racing double rounding."""
+    t = FX.load_tables(spark, sf_dir)
+    qq = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    brand_parts = t["part"].filter(F.col("p_brand") == "Brand#4").select(
+        "p_partkey"
+    )
+    # prune FIRST (broadcast semi on the brand's parts), so the per-part
+    # average aggregates ~1% of lineitem, not all of it
+    li = t["lineitem"].join(
+        F.broadcast(brand_parts),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(qq).alias("sum_qq"),
+        F.count(F.lit(1)).alias("cnt_q"),
+    )
+    price_q = F.floor(
+        F.col("l_extendedprice") * 1000000 + F.lit(0.5)
+    ).cast("decimal(30,0)")
+    j = li.join(F.broadcast(per_part), on="l_partkey").filter(
+        qq * F.lit(5) * F.col("cnt_q") < F.col("sum_qq")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        (
+            F.sum(price_q).cast("double") / F.lit(1000000.0) / F.lit(7.0)
+        ).alias("avg_yearly"),
+    )
+
+
 def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over events — two exchanges
     (first-week per user, then the distinct matrix count); offsets are
@@ -769,6 +867,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # order_priority_rollup: grouping-sets expansion, aggregate
         # machinery as pricing_summary
         "order_priority_rollup": q_order_priority_rollup,
+        # regional_supplier_volume: 6-way join-reorder chain; the join
+        # + quantized-revenue machinery is shipping_priority's
+        "regional_supplier_volume": q_regional_supplier_volume,
+        # small_quantity_revenue: decorrelated scalar subquery; exact
+        # integer threshold compare, aggregate rule as pricing_summary
+        "small_quantity_revenue": q_small_quantity_revenue,
     }
 
 
@@ -1470,5 +1574,48 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS sum_cents
         FROM orders
         GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        # mirrors q_regional_supplier_volume (TPC-H Q5 shape)
+        "regional_supplier_volume": """
+        SELECT n_name,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / 1000000.0 AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        """,
+        # mirrors q_small_quantity_revenue (TPC-H Q17 shape, exact
+        # integer threshold: qty < 0.2*avg  <=>  5*qq*cnt < sum_qq)
+        "small_quantity_revenue": """
+        WITH brand_li AS (
+          SELECT l_partkey,
+                 CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qq,
+                 l_extendedprice
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_brand = 'Brand#4')
+        ), per_part AS (
+          SELECT l_partkey,
+                 CAST(SUM(qq) AS BIGINT) AS sum_qq,
+                 CAST(count(*) AS BIGINT) AS cnt_q
+          FROM brand_li GROUP BY l_partkey
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_small,
+               CAST(SUM(CAST(floor(l_extendedprice * 1000000 + 0.5)
+                             AS HUGEINT)) AS DOUBLE)
+                 / 1000000.0 / 7.0 AS avg_yearly
+        FROM brand_li b
+        JOIN per_part p USING (l_partkey)
+        WHERE b.qq * 5 * p.cnt_q < p.sum_qq
         """,
     }
