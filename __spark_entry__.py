@@ -442,6 +442,156 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped bilateral trade: supplier-nation x customer-nation
+    revenue per ship year, restricted to one nation pair in EITHER
+    direction — a disjunctive predicate over two broadcast dimension
+    joins. The OR never becomes a join condition (which would block
+    hash joins): both nation lookups are plain equi-joins and the pair
+    filter runs as a post-join predicate on two broadcast-joined
+    columns, so the only data-scaled join is orders |><| lineitem."""
+    t = FX.load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev_q = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+        + F.lit(0.5)
+    ).cast("decimal(30,0)")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    j = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            (F.sum(rev_q).cast("double") / F.lit(1000000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_priority_return_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped conditional aggregation: per order priority,
+    how many lineitems were returned vs kept — SUM(CASE WHEN) pivots
+    computed map-side inside ONE grouped aggregate (no second scan, no
+    join per condition)."""
+    t = FX.load_tables(spark, sf_dir)
+    j = t["lineitem"].join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    is_ret = (F.col("l_returnflag") == "R").cast("long")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.sum(is_ret).alias("returned_items"),
+            F.sum(1 - is_ret).alias("kept_items"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo share: PROMO revenue / total revenue for
+    one ship month. Both numerator and denominator accumulate in the
+    same single grouped-less aggregate pass (conditional quantized
+    sums); the part-type lookup broadcasts. The final share is ONE
+    double division on exactly-agreed integer sums."""
+    t = FX.load_tables(spark, sf_dir)
+    lo = F.lit("1997-03-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    rev_q = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+        + F.lit(0.5)
+    ).cast("decimal(30,0)")
+    j = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    promo_q = F.when(F.col("p_type") == "PROMO", rev_q).otherwise(
+        F.lit(0).cast("decimal(30,0)")
+    )
+    return j.agg(
+        (F.sum(promo_q).cast("double") / F.lit(1000000.0)).alias(
+            "promo_revenue"
+        ),
+        (F.sum(rev_q).cast("double") / F.lit(1000000.0)).alias(
+            "total_revenue"
+        ),
+        (
+            F.lit(100.0)
+            * (F.sum(promo_q).cast("double") / F.lit(1000000.0))
+            / (F.sum(rev_q).cast("double") / F.lit(1000000.0))
+        ).alias("promo_share_pct"),
+    )
+
+
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped: per nation, count + total balance of customers
+    whose balance exceeds the average positive balance AND who placed
+    no orders in/after 1999 — a 1-row scalar-subquery broadcast
+    (threshold), then an anti join against the date-filtered orders,
+    then a 25-group aggregate. The anti join shuffles only custkeys
+    (the date filter pushes to the orders scan); the scalar attaches
+    as a broadcast, never a cross product of data-scaled sides."""
+    t = FX.load_tables(spark, sf_dir)
+    cust = t["customer"]
+    bal_q = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    # exact threshold: avg over positive balances as (sum_cents, n) so
+    # the compare is integer cross-multiplication, not a rounded double
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(bal_q).alias("sum_pos"),
+            F.count(F.lit(1)).alias("n_pos"),
+        )
+    )
+    rich = (
+        cust.join(F.broadcast(thr))
+        .filter(bal_q * F.col("n_pos") > F.col("sum_pos"))
+        .select("c_custkey", "c_nationkey", bal_q.alias("bal_cents"))
+    )
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    idle = rich.join(
+        recent.select("o_custkey"),
+        rich["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum("bal_cents").alias("total_bal_cents"),
+    )
+
+
 def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over events — two exchanges
     (first-week per user, then the distinct matrix count); offsets are
@@ -873,6 +1023,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # small_quantity_revenue: decorrelated scalar subquery; exact
         # integer threshold compare, aggregate rule as pricing_summary
         "small_quantity_revenue": q_small_quantity_revenue,
+        # nation_trade_volume: disjunctive post-join predicate over
+        # broadcast dims; join machinery as regional_supplier_volume
+        "nation_trade_volume": q_nation_trade_volume,
+        # priority_return_profile: SUM(CASE WHEN) conditional pivots
+        # in one aggregate pass
+        "priority_return_profile": q_priority_return_profile,
+        # promo_revenue_share: conditional quantized sums + one double
+        # division; scan-pruned by the ship-month filter
+        "promo_revenue_share": q_promo_revenue_share,
+        # idle_customer_balance: scalar-subquery broadcast threshold +
+        # anti join (J8 machinery) + grouped agg
+        "idle_customer_balance": q_idle_customer_balance,
     }
 
 
@@ -1617,5 +1779,79 @@ def oracle_sql() -> dict[str, str]:
         FROM brand_li b
         JOIN per_part p USING (l_partkey)
         WHERE b.qq * 5 * p.cnt_q < p.sum_qq
+        """,
+        # mirrors q_nation_trade_volume (TPC-H Q7 shape)
+        "nation_trade_volume": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / 1000000.0 AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3
+        """,
+        # mirrors q_priority_return_profile (TPC-H Q12 shape)
+        "priority_return_profile": """
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS returned_items,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS kept_items,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        """,
+        # mirrors q_promo_revenue_share (TPC-H Q14 shape)
+        "promo_revenue_share": """
+        WITH j AS (
+          SELECT CAST(floor(l_extendedprice * (1 - l_discount)
+                            * 1000000 + 0.5) AS HUGEINT) AS rev_q,
+                 p_type
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+            AND l_shipdate <  TIMESTAMP '1997-04-01'
+        )
+        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_q
+                             ELSE 0 END) AS DOUBLE) / 1000000.0
+                 AS promo_revenue,
+               CAST(SUM(rev_q) AS DOUBLE) / 1000000.0 AS total_revenue,
+               100.0
+                 * (CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_q
+                             ELSE 0 END) AS DOUBLE) / 1000000.0)
+                 / (CAST(SUM(rev_q) AS DOUBLE) / 1000000.0)
+                 AS promo_share_pct
+        FROM j
+        """,
+        # mirrors q_idle_customer_balance (TPC-H Q22 shape; integer
+        # cross-multiplied threshold, no rounded-double compare)
+        "idle_customer_balance": """
+        WITH thr AS (
+          SELECT CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS sum_pos,
+                 CAST(count(*) AS BIGINT) AS n_pos
+          FROM customer WHERE c_acctbal > 0
+        ), rich AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+          FROM customer, thr
+          WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * thr.n_pos
+                > thr.sum_pos
+        )
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_custs,
+               CAST(SUM(bal_cents) AS BIGINT) AS total_bal_cents
+        FROM rich
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = rich.c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY c_nationkey
         """,
     }

@@ -81,6 +81,9 @@ NESTED_LOOP_OK = {
     # construction, same rationale as doc_rarity/doc_mixture_plan
     "doc_curriculum_order",
     "event_key_skew",
+    # idle_customer_balance: the avg-positive-balance threshold is a
+    # 1-row aggregate attached by broadcast before the anti join
+    "idle_customer_balance",
 }
 
 
