@@ -126,12 +126,28 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_word_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (doc_id, word, tf) intermediate — word_counts, top_terms,
+    and rarity_stats all derive from it; persisted once per (session,
+    sf) like the corpus itself (cluster analog: land it as parquet
+    after the first tokenization pass)."""
+    return CACHE.materialize(
+        spark,
+        f"doc_word_tf:{sf_dir}",
+        lambda: TX.doc_word_tf(_docs(spark, sf_dir)),
+    )
+
+
 def q_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.word_counts(_docs(spark, sf_dir))
+    return TX.word_counts(
+        _docs(spark, sf_dir), tf=_doc_word_tf(spark, sf_dir)
+    )
 
 
 def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.top_terms(_docs(spark, sf_dir), k=5)
+    return TX.top_terms(
+        _docs(spark, sf_dir), k=5, tf=_doc_word_tf(spark, sf_dir)
+    )
 
 
 def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,7 +359,9 @@ def q_doc_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency rarity signals per document (exact-arithmetic
     unigram-model quality stage)."""
-    return TX.rarity_stats(_docs(spark, sf_dir), rare_max=2)
+    return TX.rarity_stats(
+        _docs(spark, sf_dir), rare_max=2, tf=_doc_word_tf(spark, sf_dir)
+    )
 
 
 def q_doc_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,6 +450,7 @@ def llm_shared_intermediates(
         "neardups": pairs,
         "simhash": _simhash(spark, sf_dir),
         "quality": _quality(spark, sf_dir),
+        "doc_word_tf": _doc_word_tf(spark, sf_dir),
     }
     if audit is not None:
         out["neardups_overflow"] = audit

@@ -144,7 +144,30 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def doc_word_tf(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, word, tf) term-frequency table — THE shared tokenized
+    intermediate: `word_counts`, `top_terms`, and `rarity_stats` all
+    start from this exact aggregate, so a pipeline running several of
+    them should compute it once (persist, or land it as parquet) and
+    pass it in via their `tf=` parameter.
+
+    At 100 TB this is also the right landed layout: the explode never
+    leaves the scan stage (tokens combine map-side into per-(doc, word)
+    counts), and everything downstream is keyed aggregation over rows
+    bounded by distinct doc-word pairs, not the raw token stream.
+    """
+    return (
+        docs.select("doc_id", F.explode(words(text_col)).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def word_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    tf: DataFrame | None = None,
+) -> DataFrame:
     """The reference's flagship WordCount (S1+P3+A1 parity) over the
     corpus: explode whitespace tokens, group, count.
 
@@ -152,7 +175,13 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     split -> groupBy(0).sum(1)); streaming twin StreamWorldCount.scala:15.
     One narrow shuffle of (word, partial_count) pairs — map-side partial
     aggregation makes the exchange O(vocabulary), not O(corpus).
+    Pass a precomputed `doc_word_tf` frame via `tf` to reuse the shared
+    tokenized intermediate (identical result, pinned by test).
     """
+    if tf is not None:
+        return tf.groupBy("word").agg(
+            F.sum("tf").cast("long").alias("cnt")
+        )
     return (
         docs.select(F.explode(words(text_col)).alias("word"))
         .groupBy("word")
@@ -161,7 +190,10 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def top_terms(
-    docs: DataFrame, text_col: str = "text", k: int = 5
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """TF-IDF-style top-k terms per document.
 
@@ -173,11 +205,8 @@ def top_terms(
     """
     from pyspark.sql.window import Window
 
-    tf = (
-        docs.select("doc_id", F.explode(words(text_col)).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    if tf is None:
+        tf = doc_word_tf(docs, text_col)
     df_counts = tf.groupBy("word").agg(
         F.count(F.lit(1)).alias("df")
     )
@@ -338,7 +367,10 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def rarity_stats(
-    docs: DataFrame, rare_max: int = 2, text_col: str = "text"
+    docs: DataFrame,
+    rare_max: int = 2,
+    text_col: str = "text",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-frequency rarity signals per document — the unigram-model
     stage of quality filtering (a doc made of globally-rare tokens is
@@ -363,10 +395,10 @@ def rarity_stats(
     only past ~9e18 token-pairs (a 1e5-token doc against a 9e13-token
     corpus) — beyond that, pre-divide by scaling total_words down.
     """
-    dw = (
-        docs.select("doc_id", F.explode(words(F.col(text_col))).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("k"))
+    if tf is None:
+        tf = doc_word_tf(docs, text_col)
+    dw = tf.select(
+        "doc_id", F.col("word").alias("w"), F.col("tf").alias("k")
     )
     cnts = dw.groupBy("w").agg(F.sum("k").alias("cnt"))
     total = cnts.agg(F.sum("cnt").alias("total_words"))

@@ -561,3 +561,34 @@ def test_winnow_fingerprints_matches_python_twin(spark):
         return {min(hs[i : i + 4]) for i in range(max(len(hs) - 3, 1))}
 
     assert fp_set(4) & fp_set(5)
+
+
+def test_shared_tf_paths_equal_direct_paths(spark):
+    """word_counts/top_terms/rarity_stats with a precomputed
+    doc_word_tf frame return exactly what the direct path returns —
+    the contract layer's shared-intermediate wiring must not change
+    any result."""
+    from flink_project_spark.llm import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b b c"),
+            (2, "b c c d d d"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    tf = TX.doc_word_tf(docs)
+    for direct, shared in [
+        (TX.word_counts(docs), TX.word_counts(docs, tf=tf)),
+        (TX.top_terms(docs, k=2), TX.top_terms(docs, k=2, tf=tf)),
+        (
+            TX.rarity_stats(docs, rare_max=1),
+            TX.rarity_stats(docs, rare_max=1, tf=tf),
+        ),
+    ]:
+        assert direct.columns == shared.columns
+        assert sorted(map(tuple, direct.collect())) == sorted(
+            map(tuple, shared.collect())
+        )
