@@ -45,12 +45,107 @@ def write_csv(
     df.write.mode("overwrite").option("sep", sep).csv(path)
 
 
-def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
-    """Engine-native columnar sink with optional Hive-style partitioning."""
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    sort_within: list[str] | None = None,
+    sort_partitions: int | None = None,
+) -> None:
+    """Engine-native columnar sink with optional Hive-style partitioning.
+
+    `sort_within` CLUSTERS the data on those columns before writing:
+    one range-partitioning exchange (`repartitionByRange`, so files
+    cover disjoint key ranges) + a per-task sort (so row groups inside
+    each file are tight too). Clustered files carry near-disjoint
+    min/max footer statistics on the cluster column, and later range/
+    point filters skip whole files/row groups at the scan. Worth one
+    shuffle at write time for any column that is a common filter key;
+    pinned by the footer-stats test in `tests/test_sinks.py`.
+    `sort_partitions` pins the output file count; default lets AQE
+    size the range exchange by data volume (the right call at scale).
+    """
+    if sort_within:
+        if sort_partitions:
+            df = df.repartitionByRange(sort_partitions, *sort_within)
+        else:
+            df = df.repartitionByRange(*sort_within)
+        df = df.sortWithinPartitions(*sort_within)
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    sort_within: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet dataset into ~target-sized files; returns the
+    output file count.
+
+    THE small-files fix: streaming/foreachBatch sinks and per-day
+    backfills accumulate thousands of KB-scale files whose open/footer
+    overhead dominates scans and whose count bloats the driver's
+    listing. Sizing reads the dataset's real on-disk bytes, then one
+    round-robin repartition to ceil(bytes/target) rewrites it. Run it
+    per closed partition (e.g. yesterday's directory) from a scheduled
+    job; combine with `sort_within` to restore row-group pruning in
+    the same pass.
+    """
+    import math
+    import os as _os
+
+    total = 0
+    for root, _dirs, files in _os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += _os.path.getsize(_os.path.join(root, f))
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_within:
+        # cluster while compacting: range-partition into the target
+        # file count so compacted files also carry disjoint key ranges
+        df = df.repartitionByRange(n, *sort_within).sortWithinPartitions(
+            *sort_within
+        )
+    else:
+        df = df.repartition(n)
+    # stage-then-swap: Spark cannot overwrite a path it is reading
+    # from, so write the compacted copy next to it and rename over.
+    # (Local-FS rename here; on HDFS/S3 swap via the storage API's
+    # rename/commit — same two-step shape.)
+    import shutil
+
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n
+
+
+def write_parquet_partition_overwrite(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Idempotent incremental backfill: overwrite ONLY the Hive-style
+    partitions present in `df`, leaving every other partition in place
+    (`partitionOverwriteMode=dynamic`, set per-write so the session
+    default is untouched).
+
+    THE daily-pipeline write pattern at 100 TB: re-running one day's
+    job replaces that day's directory atomically-per-partition instead
+    of truncating the dataset (static overwrite) or appending
+    duplicates. Pair with a date filter on read — the partition prune
+    test pins that the filter becomes PartitionFilters.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
 
 
 def write_bucketed(

@@ -209,3 +209,116 @@ def test_kv_upsert_keys_are_injective_and_null_safe(spark):
     assert h[r"\N|x"]["v"] == "v3"
     # the null-value row wrote nothing under any plausible key
     assert not any(k.startswith("skip") for k in h)
+
+
+def test_partition_overwrite_replaces_only_touched_days(spark, tmp_path):
+    """Dynamic partition overwrite: re-running one day's backfill
+    replaces that day's partition and leaves the others byte-for-byte
+    alone — the idempotent daily-pipeline write."""
+    from pyspark.sql import functions as F
+
+    from flink_project_spark.sinks.writers import (
+        write_parquet_partition_overwrite,
+    )
+
+    path = str(tmp_path / "daily")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0),
+         ("2024-01-02", 3, 30.0)],
+        "day string, k int, v double",
+    )
+    write_parquet_partition_overwrite(base, path, ["day"])
+
+    # re-run day 2 with corrected values (and a different row count)
+    fix = spark.createDataFrame(
+        [("2024-01-02", 3, 33.0), ("2024-01-02", 4, 44.0)],
+        "day string, k int, v double",
+    )
+    write_parquet_partition_overwrite(fix, path, ["day"])
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(path)
+            # partition-dir values come back type-inferred (date here)
+            .select(F.col("day").cast("string"), "k", "v")
+            .collect(),
+        )
+    )
+    assert got == [
+        ("2024-01-01", 1, 10.0),
+        ("2024-01-01", 2, 20.0),
+        ("2024-01-02", 3, 33.0),
+        ("2024-01-02", 4, 44.0),
+    ]
+
+    # a day filter on read-back still prunes to one directory
+    plan = (
+        spark.read.parquet(path)
+        .filter(F.col("day") == "2024-01-02")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+
+
+def test_sorted_write_gives_pruning_rowgroup_stats(spark, tmp_path):
+    """sort_within produces near-disjoint per-file min/max stats on the
+    sort column (the footer metadata scans prune on); unsorted writes
+    of the same data give overlapping full-range stats."""
+    import pyarrow.parquet as pq
+
+    from flink_project_spark.sinks.writers import write_parquet
+
+    df = spark.range(0, 100000).select(
+        (F.col("id") * 7919 % 100000).alias("k"), F.col("id").alias("v")
+    ).repartition(4)
+
+    def file_ranges(path):
+        out = []
+        for f in (tmp_path / path).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            lo = min(
+                md.row_group(g).column(idx["k"]).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(idx["k"]).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            out.append((lo, hi))
+        return sorted(out)
+
+    write_parquet(df, str(tmp_path / "unsorted"))
+    write_parquet(
+        df, str(tmp_path / "sorted"), sort_within=["k"], sort_partitions=4
+    )
+
+    uns, srt = file_ranges("unsorted"), file_ranges("sorted")
+    assert len(uns) == 4 and len(srt) == 4
+
+    def covered(ranges):
+        return sum(hi - lo for lo, hi in ranges)
+
+    # each unsorted file spans ~the full key range; sorted files span
+    # ~1/4 each, so the summed covered width collapses
+    assert covered(srt) < covered(uns) / 2
+    # and a point filter would prune: some sorted file excludes key 0
+    assert any(lo > 0 for lo, _hi in srt)
+
+
+def test_compact_parquet_reduces_file_count_and_keeps_rows(spark, tmp_path):
+    from flink_project_spark.sinks.writers import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # 64 tiny files
+    spark.range(0, 10000).repartition(64).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(path + "/*.parquet")) == 64
+    n = compact_parquet(spark, path, target_file_mb=128)
+    assert n == 1
+    assert len(glob.glob(path + "/*.parquet")) == 1
+    assert spark.read.parquet(path).count() == 10000
