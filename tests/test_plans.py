@@ -195,3 +195,45 @@ def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
     )
     assert n_dirs > 1
     assert q.count() == events.filter(F.to_date("ts") == F.lit(one_day)).count()
+
+
+def test_q5_chain_broadcasts_dims_and_pushes_date(spark):
+    """regional_supplier_volume: all four dimension joins broadcast
+    (region/nation/supplier/customer) and the order-year range reaches
+    the orders scan as PushedFilters — the only data-scaled join left
+    is orders |><| lineitem."""
+    plan = _plan(spark, "regional_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("o_orderdate" in p and "GreaterThanOrEqual" in p for p in pushed), pushed
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_semi_prune_before_aggregate(spark):
+    """small_quantity_revenue: the brand part filter must prune the
+    lineitem scan via a broadcast LEFT SEMI join BEFORE the per-part
+    aggregate (aggregate over ~1% of lineitem, not all of it), and the
+    join-back of per-part stats must broadcast."""
+    plan = _plan(spark, "small_quantity_revenue")
+    assert "LeftSemi" in plan, plan
+    semi_pos = plan.index("LeftSemi")
+    agg_pos = plan.index("HashAggregate")
+    # plan strings print top-down (final op first): the semi join must
+    # appear BELOW (after) the aggregates that consume it
+    assert semi_pos > agg_pos, "semi prune not upstream of the aggregate"
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_q22_anti_join_on_filtered_orders(spark):
+    """idle_customer_balance: the orders side of the anti join must be
+    date-filtered at the scan (PushedFilters on o_orderdate), and the
+    threshold attach must be a 1-row broadcast, not a data-scaled
+    nested loop."""
+    plan = _plan(spark, "idle_customer_balance")
+    assert "LeftAnti" in plan, plan
+    # NB: long PushedFilters lists are truncated in the plan string
+    # (no closing bracket) — match to end-of-line, not to `]`
+    pushed = re.findall(r"PushedFilters: \[[^\n]*", plan)
+    assert any(
+        "GreaterThanOrEqual(o_orderdate" in p for p in pushed
+    ), pushed
