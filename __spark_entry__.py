@@ -22,7 +22,7 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_project_spark import cache as CACHE
@@ -592,6 +592,388 @@ def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped EXISTS decorrelation: orders in one quarter that
+    have at least one lineitem shipped after the order date, counted per
+    priority. The correlated EXISTS becomes a LEFT SEMI join — equi on
+    orderkey with the correlated l_shipdate > o_orderdate predicate as
+    the join's residual condition, so Spark plans one hash/sort-merge
+    semi join (each order tests at most once, no row multiplication)
+    and the quarter filter prunes the orders scan before the shuffle."""
+    t = FX.load_tables(spark, sf_dir)
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    shipped_late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return shipped_late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped: top 20 customers by revenue lost to returned
+    items in one quarter. Aggregate-then-join: revenue is grouped by
+    o_custkey BEFORE the customer join, so the name-attach join moves
+    |customers-with-returns| rows, not |lineitems| — at 100 TB the
+    customer dimension never rides the fact shuffle. Top-20 is a
+    TakeOrdered over the aggregate, never a global sort."""
+    t = FX.load_tables(spark, sf_dir)
+    lo = F.lit("1997-07-01").cast("timestamp")
+    hi = F.lit("1997-10-01").cast("timestamp")
+    rev_q = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+        + F.lit(0.5)
+    ).cast("decimal(30,0)")
+    per_cust = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(
+            t["orders"]
+            .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+            .select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum(rev_q).cast("double") / F.lit(1000000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return (
+        per_cust.join(
+            t["customer"].select(
+                "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_custkey", "c_name", "c_nationkey", "revenue", "n_items")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped two-level aggregation: per-customer order count
+    (LEFT join keeps zero-order customers) re-grouped into a histogram
+    of customers per count. The non-urgent filter applies on the orders
+    side BEFORE the join (pushed to the scan); both aggregations are
+    map-side combinable and the second one groups O(distinct counts)
+    keys — the classic distribution query stays two narrow shuffles at
+    any scale."""
+    t = FX.load_tables(spark, sf_dir)
+    orders = (
+        t["orders"]
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        t["customer"]
+        .select("c_custkey")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped distinct-supplier census: suppliers per
+    (p_type, p_size) over the lineitem bridge, excluding one brand and
+    a NOT-IN supplier blacklist (negative balance). The NOT IN is an
+    anti join against a broadcast blacklist; count(DISTINCT) runs as
+    Spark's two-phase distinct aggregate — partials dedup (type, size,
+    suppkey) map-side so the shuffle carries the distinct triples, not
+    raw lineitems."""
+    t = FX.load_tables(spark, sf_dir)
+    bad_supp = t["supplier"].filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    parts = t["part"].filter(F.col("p_brand") != "Brand#1").select(
+        "p_partkey", "p_type", "p_size"
+    )
+    li = (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return li.groupBy("p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped HAVING-subquery: orders whose total quantity
+    exceeds a threshold, with their customer. The HAVING becomes a
+    grouped aggregate on l_orderkey (quantized integer sum, map-side
+    combinable) filtered BEFORE any join — the few qualifying orders
+    then join orders and customer, so the expensive side collapses
+    first and the joins move only survivors."""
+    t = FX.load_tables(spark, sf_dir)
+    qq = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(qq).alias("sum_qq"))
+        .filter(F.col("sum_qq") > 25000)
+    )
+    j = big.join(
+        t["orders"].select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).join(
+        t["customer"].select("c_custkey", "c_name"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return j.select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("total_cents"),
+        (F.col("sum_qq").cast("double") / F.lit(100.0)).alias("sum_qty"),
+    )
+
+
+def q_disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped OR-of-ANDs predicate: revenue from lineitems
+    matching any of three (brand, size-range, quantity-range) clauses.
+    The part lookup is ONE broadcast equi-join on partkey; the
+    disjunction stays a post-join filter (putting the OR into the join
+    condition would force a nested-loop join). A partkey IN-superset
+    filter could pre-prune the scan; at three brands of a 25-brand
+    dimension the superset still passes ~12% — the equi-join already
+    bounds the work, so the plan keeps the join clean."""
+    t = FX.load_tables(spark, sf_dir)
+    rev_q = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+        + F.lit(0.5)
+    ).cast("decimal(30,0)")
+    q = F.col("l_quantity")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & q.between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(11, 30)
+            & q.between(5, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & q.between(10, 40)
+        )
+    )
+    j = t["lineitem"].join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return j.filter(clause).agg(
+        (F.sum(rev_q).cast("double") / F.lit(1000000.0)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped double-correlated EXISTS/NOT-EXISTS, fully
+    decorrelated: suppliers who were the ONLY late shipper in a
+    multi-supplier finished order ('late' = shipped >= 120 days after
+    the order date, adapted to this schema's single date pair). Both
+    correlated subqueries collapse into ONE grouped aggregate per
+    (order, supplier) then per order — n_supp > 1 replaces EXISTS
+    (another supplier), n_late = 1 AND this-supplier-late replaces
+    NOT EXISTS (another late supplier). Two narrow shuffles on
+    orderkey, one on suppkey; no self-join of lineitem against itself,
+    which is the naive plan that dies at 100 TB."""
+    t = FX.load_tables(spark, sf_dir)
+    j = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            t["orders"]
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    per_pair = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            (
+                F.col("l_shipdate")
+                >= F.col("o_orderdate") + F.expr("INTERVAL 120 DAYS")
+            ).cast("int")
+        ).alias("is_late")
+    )
+    w = Window.partitionBy("l_orderkey")
+    marked = per_pair.withColumn(
+        "n_supp", F.count(F.lit(1)).over(w)
+    ).withColumn("n_late", F.sum("is_late").over(w))
+    waiting = marked.filter(
+        (F.col("is_late") == 1)
+        & (F.col("n_supp") > 1)
+        & (F.col("n_late") == 1)
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped scan-filter-aggregate: potential revenue from
+    discounted small-quantity lineitems in one ship year. Zero joins,
+    zero wide columns — the entire query is predicate pushdown + column
+    pruning + one map-side-combined scalar aggregate; at 100 TB the
+    plan reads three columns of the pruned row groups and nothing else.
+    Revenue = extendedprice * discount summed in exact quantized micros
+    (price is cents-exact and discount hundredths-exact in this data,
+    so price_cents * disc_hundredths * 100 is integer-exact micros)."""
+    t = FX.load_tables(spark, sf_dir)
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+        "decimal(30,0)"
+    )
+    disc_h = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast(
+        "decimal(30,0)"
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= lo)
+        & (F.col("l_shipdate") < hi)
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        (
+            F.sum(price_c * disc_h).cast("double") / F.lit(10000.0)
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market share: within one region's customer
+    market, the share of lineitem revenue supplied by one nation, per
+    order year. The share numerator is a conditional quantized sum
+    inside the SAME grouped pass as the denominator (no second scan or
+    self-join); all four dimension lookups broadcast, so the only
+    data-scaled join is orders |><| lineitem."""
+    t = FX.load_tables(spark, sf_dir)
+    cust_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    supp_nation = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev_q = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+        + F.lit(0.5)
+    ).cast("decimal(30,0)")
+    j = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("c_nk"))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    target_q = F.when(F.col("supp_nation") == "NATION_3", rev_q).otherwise(
+        F.lit(0).cast("decimal(30,0)")
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(target_q).cast("double") / F.lit(1000000.0)).alias(
+                "nation_revenue"
+            ),
+            (F.sum(rev_q).cast("double") / F.lit(1000000.0)).alias(
+                "market_revenue"
+            ),
+            (
+                F.sum(target_q).cast("double") / F.sum(rev_q).cast("double")
+            ).alias("mkt_share"),
+        )
+    )
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped argmax: the supplier(s) with maximum revenue in
+    one ship quarter. The Q15 view is a per-supplier grouped aggregate;
+    the 'WHERE revenue = (SELECT max ...)' attaches the 1-row max as a
+    broadcast and compares the QUANTIZED integer sums — a double
+    compare at the max boundary is a tie-break coin flip across
+    engines, the integer compare is exact."""
+    t = FX.load_tables(spark, sf_dir)
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    rev_q = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+        + F.lit(0.5)
+    ).cast("decimal(30,0)")
+    per_supp = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_q).alias("rev_micros"))
+    )
+    mx = per_supp.agg(F.max("rev_micros").alias("max_micros"))
+    return (
+        per_supp.join(F.broadcast(mx))
+        .filter(F.col("rev_micros") == F.col("max_micros"))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_micros").cast("double") / F.lit(1000000.0)).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
 def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over events — two exchanges
     (first-week per user, then the distinct matrix count); offsets are
@@ -1035,6 +1417,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # idle_customer_balance: scalar-subquery broadcast threshold +
         # anti join (J8 machinery) + grouped agg
         "idle_customer_balance": q_idle_customer_balance,
+        # order_priority_check: EXISTS -> residual-condition semi join
+        "order_priority_check": q_order_priority_check,
+        # returned_item_revenue: aggregate-then-join + TakeOrdered
+        "returned_item_revenue": q_returned_item_revenue,
+        # customer_order_distribution: two-level histogram aggregation
+        "customer_order_distribution": q_customer_order_distribution,
+        # part_supplier_diversity: NOT-IN anti join + two-phase distinct
+        "part_supplier_diversity": q_part_supplier_diversity,
+        # large_volume_customers: HAVING subquery collapsed before joins
+        "large_volume_customers": q_large_volume_customers,
+        # disjunctive_part_revenue: OR-of-ANDs post-join predicate
+        "disjunctive_part_revenue": q_disjunctive_part_revenue,
+        # waiting_suppliers: double EXISTS/NOT-EXISTS decorrelated into
+        # one per-(order,supplier) aggregate + per-order window
+        "waiting_suppliers": q_waiting_suppliers,
+        # forecast_revenue_change: pure pushdown scan-agg (Q6 shape)
+        "forecast_revenue_change": q_forecast_revenue_change,
+        # nation_market_share: conditional share in one grouped pass
+        "nation_market_share": q_nation_market_share,
+        # top_supplier_revenue: argmax via 1-row quantized-max broadcast
+        "top_supplier_revenue": q_top_supplier_revenue,
     }
 
 
@@ -1853,5 +2256,174 @@ def oracle_sql() -> dict[str, str]:
                           WHERE o_custkey = rich.c_custkey
                             AND o_orderdate >= TIMESTAMP '1999-01-01')
         GROUP BY c_nationkey
+        """,
+        # mirrors q_order_priority_check (TPC-H Q4 shape)
+        "order_priority_check": """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """,
+        # mirrors q_returned_item_revenue (TPC-H Q10 shape)
+        "returned_item_revenue": """
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                     * 1000000 + 0.5) AS HUGEINT))
+                      AS DOUBLE) / 1000000.0 AS revenue,
+                 CAST(count(*) AS BIGINT) AS n_items
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1997-07-01'
+            AND o_orderdate <  TIMESTAMP '1997-10-01'
+          GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_name, c_nationkey, revenue, n_items
+        FROM per_cust JOIN customer ON o_custkey = c_custkey
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+        """,
+        # mirrors q_customer_order_distribution (TPC-H Q13 shape)
+        "customer_order_distribution": """
+        WITH per_cust AS (
+          SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+                          AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        )
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM per_cust GROUP BY c_count
+        """,
+        # mirrors q_part_supplier_diversity (TPC-H Q16 shape over the
+        # lineitem bridge — this schema carries no partsupp table)
+        "part_supplier_diversity": """
+        SELECT p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_type, p_size
+        """,
+        # mirrors q_large_volume_customers (TPC-H Q18 shape; quantized
+        # integer HAVING threshold)
+        "large_volume_customers": """
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS sum_qq
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 25000
+        )
+        SELECT c_custkey, c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                 AS total_cents,
+               CAST(sum_qq AS DOUBLE) / 100.0 AS sum_qty
+        FROM big
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        """,
+        # mirrors q_disjunctive_part_revenue (TPC-H Q19 shape)
+        "disjunctive_part_revenue": """
+        SELECT CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / 1000000.0 AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 30
+               AND l_quantity BETWEEN 5 AND 25)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 10 AND 40)
+        """,
+        # mirrors q_waiting_suppliers (TPC-H Q21 shape, decorrelated;
+        # 'late' adapted to shipdate >= orderdate + 120 days)
+        "waiting_suppliers": """
+        WITH per_pair AS (
+          SELECT l_orderkey, l_suppkey,
+                 MAX(CASE WHEN l_shipdate >= o_orderdate
+                                             + INTERVAL 120 DAY
+                          THEN 1 ELSE 0 END) AS is_late
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+          GROUP BY l_orderkey, l_suppkey
+        ), marked AS (
+          SELECT *,
+                 count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+                 SUM(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+          FROM per_pair
+        )
+        SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM marked JOIN supplier ON l_suppkey = s_suppkey
+        WHERE is_late = 1 AND n_supp > 1 AND n_late = 1
+        GROUP BY s_suppkey, s_name
+        """,
+        # mirrors q_forecast_revenue_change (TPC-H Q6 shape; price is
+        # cents-exact and discount hundredths-exact, so the product is
+        # integer-exact in units of 1e-4)
+        "forecast_revenue_change": """
+        SELECT CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)
+                        * CAST(floor(l_discount * 100 + 0.5) AS HUGEINT))
+                    AS DOUBLE) / 10000.0 AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+        """,
+        # mirrors q_nation_market_share (TPC-H Q8 shape)
+        "nation_market_share": """
+        WITH j AS (
+          SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                 CAST(floor(l_extendedprice * (1 - l_discount)
+                            * 1000000 + 0.5) AS HUGEINT) AS rev_q,
+                 n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region   ON n1.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA'
+        )
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_q
+                             ELSE 0 END) AS DOUBLE) / 1000000.0
+                 AS nation_revenue,
+               CAST(SUM(rev_q) AS DOUBLE) / 1000000.0 AS market_revenue,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_q
+                             ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(rev_q) AS DOUBLE) AS mkt_share
+        FROM j GROUP BY o_year
+        """,
+        # mirrors q_top_supplier_revenue (TPC-H Q15 shape; the argmax
+        # compares QUANTIZED integer sums, never doubles at the boundary)
+        "top_supplier_revenue": """
+        WITH per_supp AS (
+          SELECT l_suppkey,
+                 CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                     * 1000000 + 0.5) AS HUGEINT))
+                      AS HUGEINT) AS rev_micros
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(rev_micros AS DOUBLE) / 1000000.0 AS total_revenue
+        FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev_micros = (SELECT max(rev_micros) FROM per_supp)
         """,
     }

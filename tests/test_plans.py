@@ -84,6 +84,9 @@ NESTED_LOOP_OK = {
     # idle_customer_balance: the avg-positive-balance threshold is a
     # 1-row aggregate attached by broadcast before the anti join
     "idle_customer_balance",
+    # top_supplier_revenue: the Q15 max-revenue scalar is a 1-row
+    # aggregate attached by broadcast before the integer-exact compare
+    "top_supplier_revenue",
 }
 
 
