@@ -227,6 +227,60 @@ def test_q17_semi_prune_before_aggregate(spark):
     assert plan.count("BroadcastHashJoin") >= 1
 
 
+def test_q4_exists_is_semi_join_with_residual(spark):
+    """order_priority_check: the correlated EXISTS must plan as ONE
+    LEFT SEMI join (no row multiplication) carrying the correlated
+    l_shipdate > o_orderdate compare as its residual condition, with
+    the quarter range pushed to the orders scan."""
+    plan = _plan(spark, "order_priority_check")
+    assert "LeftSemi" in plan, plan
+    pushed = re.findall(r"PushedFilters: \[[^\n]*", plan)
+    assert any("o_orderdate" in p for p in pushed), pushed
+    assert "CartesianProduct" not in plan
+
+
+def test_q6_scan_prunes_columns_and_pushes_filters(spark):
+    """forecast_revenue_change: the scan must read ONLY the four
+    referenced lineitem columns (ReadSchema pruning) and carry the
+    date/discount/quantity predicates as PushedFilters — the whole
+    query is scan + one aggregate, zero joins."""
+    plan = _plan(spark, "forecast_revenue_change")
+    assert "Join" not in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m is not None, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    }, cols
+    pushed = re.findall(r"PushedFilters: \[[^\n]*", plan)
+    assert any("l_discount" in p and "l_quantity" in p for p in pushed), pushed
+
+
+def test_q10_aggregates_before_customer_join(spark):
+    """returned_item_revenue: the per-custkey revenue aggregate must
+    run BELOW the customer join (aggregate-then-join — the dimension
+    never rides the fact shuffle) and the top-20 must be a
+    TakeOrderedAndProject, never a global Sort."""
+    plan = _plan(spark, "returned_item_revenue")
+    assert "TakeOrderedAndProject" in plan, plan
+    cust_join = plan.index("c_custkey#")
+    first_agg = plan.index("HashAggregate")
+    # top-down plan string: the customer join appears above at least
+    # one aggregate only if aggregation happens upstream of it — the
+    # FINAL agg must sit below the TakeOrdered but above the join-back
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert first_agg < cust_join or plan.count("HashAggregate") >= 2, plan
+
+
+def test_q21_no_lineitem_self_join(spark):
+    """waiting_suppliers: the decorrelated plan reads lineitem ONCE —
+    both EXISTS tests come from one (order, supplier) aggregate plus a
+    per-order window, never a lineitem×lineitem self-join."""
+    plan = _plan(spark, "waiting_suppliers")
+    assert plan.count("lineitem.parquet") <= 1, plan
+    assert "Window" in plan, plan
+
+
 def test_q22_anti_join_on_filtered_orders(spark):
     """idle_customer_balance: the orders side of the anti join must be
     date-filtered at the scan (PushedFilters on o_orderdate), and the
