@@ -380,6 +380,19 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.winnow_fingerprints(_docs(spark, sf_dir), n=3, window=4)
 
 
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring span stats per doc (Lee et al. '21
+    ExactSubstr in k-gram form, n=5): maximal contiguous runs of tokens
+    covered by a corpus-repeated 5-gram."""
+    return DD.dup_gram_spans(_docs(spark, sf_dir), n=5)
+
+
+def q_doc_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executable companion: rebuild each doc with its duplicated
+    spans removed (what ExactSubstr dedup does to the corpus)."""
+    return DD.strip_dup_spans(_docs(spark, sf_dir), n=5)
+
+
 def q_doc_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable packing pieces (budget 512, 8 bucket streams)."""
     return CUR.pack_spans(_docs(spark, sf_dir), budget=512, n_buckets=8)
@@ -524,6 +537,12 @@ def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # under a distributed exact global rank (NTILE-parity tested)
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "doc_curriculum_order": q_doc_curriculum_order,
+        # span-level exact-substring dedup (past the cap; pytest-sweep-
+        # oracled): dup_gram_spans reuses the winnow positional-gram
+        # machinery the in-cap doc_fingerprint/doc_winnow driver-check,
+        # plus the islands-and-gaps merge of doc_pack_spans
+        "doc_dup_spans": q_doc_dup_spans,
+        "doc_dup_span_strip": q_doc_dup_span_strip,
     }
 
 
@@ -1324,6 +1343,87 @@ WITH dec AS (
                CAST(ntile(4) OVER (ORDER BY quality DESC, doc_id)
                     AS INT) AS stage
         FROM qual
+        """
+    )
+    # shared span pipeline for the ExactSubstr (k-gram, n=5) oracles:
+    # positional 5-gram md5s (1-based; Spark is 0-based — only span
+    # LENGTHS leave the CTE so the offset convention cancels), grams
+    # repeated anywhere in the corpus, islands-and-gaps merge with the
+    # `next_pos <= prev_pos + n` chain rule, span end clamped to the doc
+    dupspans = (
+        _DWORDS
+        + r"""
+        , gl AS (
+          SELECT doc_id, len(ws) AS n_tok,
+                 unnest([{'pos': i,
+                          'h': md5(array_to_string(ws[i:i+4], ' '))}
+                         for i in generate_series(
+                             1, greatest(len(ws) - 4, 1))]) AS u
+          FROM dwords WHERE len(ws) > 0
+        ), gp AS (
+          SELECT doc_id, n_tok, u.pos AS pos, u.h AS h FROM gl
+        ), duph AS (
+          SELECT h FROM gp GROUP BY h HAVING count(*) > 1
+        ), dp AS (
+          SELECT gp.doc_id, gp.n_tok, gp.pos FROM gp JOIN duph USING (h)
+        ), isl AS (
+          SELECT doc_id, n_tok, pos,
+                 CASE WHEN lag(pos) OVER w IS NULL
+                           OR pos > lag(pos) OVER w + 5
+                      THEN 1 ELSE 0 END AS b
+          FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ), isl2 AS (
+          SELECT doc_id, n_tok, pos,
+                 sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+          FROM isl
+        ), spans AS (
+          SELECT doc_id, any_value(n_tok) AS n_tok, min(pos) AS s,
+                 least(max(pos) + 4, any_value(n_tok)) AS e
+          FROM isl2 GROUP BY doc_id, isl_id
+        )
+        """
+    )
+    d["doc_dup_spans"] = (
+        dupspans
+        + r"""
+        , per_doc AS (
+          SELECT doc_id, count(*) AS nds, sum(e - s + 1) AS dt,
+                 max(e - s + 1) AS ms
+          FROM spans GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(len(d.ws) AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.nds, 0) AS BIGINT) AS n_dup_spans,
+               CAST(coalesce(p.dt, 0) AS BIGINT) AS dup_tokens,
+               CAST(coalesce(p.ms, 0) AS BIGINT) AS max_span_tokens,
+               CAST(coalesce(p.dt, 0) AS DOUBLE)
+                 / greatest(len(d.ws), 1) AS dup_ratio
+        FROM dwords d LEFT JOIN per_doc p USING (doc_id)
+        """
+    )
+    d["doc_dup_span_strip"] = (
+        dupspans
+        + r"""
+        , dpos AS (
+          SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM spans
+        ), toks AS (
+          SELECT doc_id,
+                 unnest([{'pos': i, 'word': ws[i]}
+                         for i in generate_series(1, len(ws))]) AS u
+          FROM dwords WHERE len(ws) > 0
+        ), kept AS (
+          SELECT t.doc_id, t.u.pos AS pos, t.u.word AS word
+          FROM toks t ANTI JOIN dpos p
+            ON t.doc_id = p.doc_id AND t.u.pos = p.pos
+        ), rebuilt AS (
+          SELECT doc_id, count(*) AS kept_tokens,
+                 string_agg(word, ' ' ORDER BY pos) AS clean_text
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tokens,
+               CAST(coalesce(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+               coalesce(r.clean_text, '') AS clean_text
+        FROM dwords d LEFT JOIN rebuilt r USING (doc_id)
         """
     )
     return d

@@ -805,3 +805,186 @@ def simhash_cross_matches(
         .select("doc_id")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-substring spans (suffix-array dedup, k-gram form)
+# ---------------------------------------------------------------------------
+
+
+def _positional_grams(docs: DataFrame, n: int, text_col: str) -> DataFrame:
+    """(doc_id, n_tok, pos, h) — md5 of every positional word n-gram.
+
+    Same lead-window gram build as `text.winnow_fingerprints` (one
+    exchange of narrow (doc, pos, word) rows, codegen end to end; the
+    transform/slice form is O(words²) per doc). Docs with fewer than n
+    words emit their single truncated gram at pos 0; empty docs emit
+    nothing (callers restore them with a left join).
+    """
+    w = words(F.col(text_col))
+    wl = docs.select(
+        "doc_id",
+        F.size(w).alias("n_tok"),
+        F.greatest(F.size(w) - (n - 1), F.lit(1)).alias("_n_g"),
+        F.posexplode(w).alias("pos", "_w"),
+    )
+    order = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("_w"), *[F.lead("_w", i).over(order) for i in range(1, n)]
+    )
+    return (
+        wl.withColumn("h", F.md5(gram))
+        .filter(F.col("pos") < F.col("_n_g"))
+        .select("doc_id", "n_tok", "pos", "h")
+    )
+
+
+def _dup_span_islands(docs: DataFrame, n: int, text_col: str) -> DataFrame:
+    """(doc_id, n_tok, span_start, span_end) — maximal contiguous runs
+    of duplicated tokens (0-based, end inclusive, clamped to the doc)."""
+    grams = _positional_grams(docs, n, text_col)
+    # a gram is duplicated iff its hash occurs more than once in the
+    # corpus (cross-doc or a repeat within the same doc — the Lee '21
+    # rule). groupBy + inner join beats count() OVER (PARTITION BY h):
+    # the window form shuffles the full positional stream by h AND
+    # cannot map-side-combine; the aggregate ships one row per distinct
+    # gram and the join back is hash-partitioned on the same key.
+    dup_h = grams.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    dup_pos = grams.join(dup_h, "h").select("doc_id", "n_tok", "pos")
+    # island merge: gram spans are [pos, pos+n-1], all the same length,
+    # so ends are monotone in pos and two spans chain into one
+    # contiguous duplicated region iff next_pos <= prev_pos + n
+    order = Window.partitionBy("doc_id").orderBy("pos")
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islands = (
+        dup_pos.withColumn(
+            "_new",
+            F.when(
+                F.col("pos") > F.lag("pos").over(order) + n, F.lit(1)
+            ).otherwise(
+                F.when(F.lag("pos").over(order).isNull(), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ),
+        )
+        .withColumn("_isl", F.sum("_new").over(run))
+        .groupBy("doc_id", "_isl")
+        .agg(
+            F.first("n_tok").alias("n_tok"),
+            F.min("pos").alias("span_start"),
+            F.least(F.max("pos") + (n - 1), F.first("n_tok") - 1).alias(
+                "span_end"
+            ),
+        )
+        .select("doc_id", "n_tok", "span_start", "span_end")
+    )
+    return islands
+
+
+def dup_gram_spans(
+    docs: DataFrame, n: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate-substring span statistics per document — the
+    k-gram form of suffix-array substring dedup (Lee et al. '21
+    "Deduplicating Training Data Makes Language Models Better", §4.1
+    ExactSubstr; ref analog: none — the reference stops at whole-doc
+    dedup, this is the span-level extension its corpus jobs would need).
+
+    A positional word n-gram is *duplicated* iff the identical gram
+    occurs more than once in the corpus (another doc, or a repeat in the
+    same doc). A token is duplicated iff some duplicated gram covers it;
+    maximal contiguous runs of duplicated tokens are the spans. Any
+    substring of >= n tokens shared by two documents is covered wall to
+    wall (every one of its grams repeats), so span boundaries are exact
+    for matches of length >= n; shorter incidental overlaps are below
+    the detection threshold by construction.
+
+    Output per doc: n_tokens, n_dup_spans, dup_tokens, max_span_tokens,
+    dup_ratio. Docs with no duplicated gram (or no tokens) report zeros.
+
+    Design for 100 TB: the gram stream is (int, int, int, md5) — fixed
+    width, never the documents. Two exchanges: the per-doc lead window
+    (reused by the island merge — same partitioning) and the global
+    gram-count hash aggregate, which map-side-combines (partial counts
+    per task) so the shuffle carries one row per distinct gram per task,
+    not per occurrence. At extreme scale, truncate md5 to its first 16
+    hex chars for an int64 key (birthday collisions at 10^12 grams mark
+    ~1e4 false-dup grams — negligible over-removal); kept full-width
+    here for bit-exact oracle parity.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    spans = _dup_span_islands(docs, n, text_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+            "dup_tokens"
+        ),
+        F.max(F.col("span_end") - F.col("span_start") + 1).alias(
+            "max_span_tokens"
+        ),
+    )
+    base = docs.select(
+        "doc_id", F.size(words(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    dup_tok = F.coalesce("dup_tokens", F.lit(0)).cast("long")
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        dup_tok.alias("dup_tokens"),
+        F.coalesce("max_span_tokens", F.lit(0))
+        .cast("long")
+        .alias("max_span_tokens"),
+        (
+            dup_tok.cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+        ).alias("dup_ratio"),
+    )
+
+
+def strip_dup_spans(
+    docs: DataFrame, n: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Rebuild each document with its duplicated spans removed — the
+    executable companion of `dup_gram_spans` (what ExactSubstr dedup
+    actually does to the corpus). Returns (doc_id, n_tokens,
+    kept_tokens, clean_text); docs made empty keep clean_text = ''.
+
+    Shape: the span table joins back to the positional word stream as
+    an exploded (doc_id, dup position) anti-join — rows proportional to
+    duplicated tokens, never tokens x spans — and the surviving words
+    reassemble with an order-preserving sort_array over (pos, word)
+    structs. Reassembly shuffles the surviving words once, grouped by
+    doc; at 100 TB this is the unavoidable rewrite of the corpus
+    itself, so the exchange is the payload, not overhead.
+    """
+    spans = _dup_span_islands(docs, n, text_col)
+    dup_positions = spans.select(
+        "doc_id",
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"),
+    )
+    w = words(F.col(text_col))
+    tokens = docs.select("doc_id", F.posexplode(w).alias("pos", "word"))
+    kept = tokens.join(dup_positions, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("clean_text"),
+    )
+    base = docs.select(
+        "doc_id", F.size(w).cast("long").alias("n_tokens")
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

@@ -614,3 +614,70 @@ def test_ivf_probed_accepts_prebucketed_corpus(spark):
         ).collect()
     }
     assert inline == bucketed and len(inline) > 0
+
+
+def test_dup_gram_spans_exact_boundaries(spark):
+    """ExactSubstr k-gram semantics on a hand-built corpus: a 6-token
+    run shared by two docs is flagged wall to wall (and nothing else),
+    whole-doc duplicates report ratio 1.0, unique docs report zeros,
+    and sub-n incidental overlaps stay below the detection threshold."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta unique one two three"),
+            (2, "prefix words alpha beta gamma delta epsilon zeta sfx tail"),
+            (3, "totally different content here nothing shared at all"),
+            (4, ""),
+            (5, "alpha beta gamma delta epsilon zeta unique one two three"),
+            (6, "alpha beta only"),  # 3-token overlap < n: not flagged
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in DD.dup_gram_spans(docs, n=5).collect()
+    }
+    assert len(out) == 6
+    # docs 1/5 are identical: every token duplicated, one span
+    for d in (1, 5):
+        assert out[d]["n_dup_spans"] == 1
+        assert out[d]["dup_tokens"] == 10
+        assert out[d]["max_span_tokens"] == 10
+        assert out[d]["dup_ratio"] == 1.0
+    # doc 2 shares exactly the 6-token run alpha..zeta (positions 2-7):
+    # two 5-grams of that run repeat in docs 1/5, covering 6 tokens
+    assert out[2]["n_dup_spans"] == 1
+    assert out[2]["dup_tokens"] == 6
+    assert out[2]["max_span_tokens"] == 6
+    # unique / empty / below-threshold docs report zeros
+    for d in (3, 4, 6):
+        assert out[d]["n_dup_spans"] == 0
+        assert out[d]["dup_tokens"] == 0
+        assert out[d]["dup_ratio"] == 0.0
+
+
+def test_strip_dup_spans_rebuilds_survivors(spark):
+    """The rewrite keeps exactly the un-flagged tokens in order, and
+    stripping is idempotent-safe for fully-duplicated docs (empty)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta unique one two three"),
+            (2, "prefix words alpha beta gamma delta epsilon zeta sfx tail"),
+            (3, "totally different content here nothing shared at all"),
+            (5, "alpha beta gamma delta epsilon zeta unique one two three"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in DD.strip_dup_spans(docs, n=5).collect()}
+    assert out[2]["clean_text"] == "prefix words sfx tail"
+    assert out[2]["kept_tokens"] == 4
+    assert out[3]["clean_text"] == docs.filter(
+        F.col("doc_id") == 3
+    ).head()["text"]
+    assert out[1]["clean_text"] == "" and out[1]["kept_tokens"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["kept_tokens"] == 0
+    # conservation: kept + flagged = total per doc
+    spans = {
+        r["doc_id"]: r for r in DD.dup_gram_spans(docs, n=5).collect()
+    }
+    for d, r in out.items():
+        assert r["kept_tokens"] + spans[d]["dup_tokens"] == r["n_tokens"]
