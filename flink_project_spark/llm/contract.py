@@ -393,6 +393,33 @@ def q_doc_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.strip_dup_spans(_docs(spark, sf_dir), n=5)
 
 
+def q_doc_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) mixture reweighting: per-source
+    keep rates toward sqrt(T_s)-proportional target shares."""
+    return CUR.mixture_temperature(_docs(spark, sf_dir))
+
+
+def q_doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget cap (2000 tokens): deterministic
+    md5-order admission until the running token sum crosses budget."""
+    return CUR.token_budget_sample(_docs(spark, sf_dir), budget=2000)
+
+
+def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-vs-corpus dedup verdicts: incoming = doc_id % 5 == 0,
+    base = the rest; exact content-md5 match then MinHash-LSH near-dup
+    (threshold 0.8), precedence exact > near > new."""
+    docs = _docs(spark, sf_dir)
+    # the %5 split partitions the corpus, so the union-side pair table
+    # IS the shared persisted near-dup pair table — reuse it instead of
+    # re-minhashing (the production shape: stored pairs + snapshot scan)
+    return DD.incremental_dedup(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        pairs=_near_dup_pairs(spark, sf_dir),
+    )
+
+
 def q_doc_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executable packing pieces (budget 512, 8 bucket streams)."""
     return CUR.pack_spans(_docs(spark, sf_dir), budget=512, n_buckets=8)
@@ -543,6 +570,16 @@ def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plus the islands-and-gaps merge of doc_pack_spans
         "doc_dup_spans": q_doc_dup_spans,
         "doc_dup_span_strip": q_doc_dup_span_strip,
+        # snapshot-vs-corpus dedup (past the cap; pytest-sweep-oracled):
+        # composes the in-cap exact-dedup md5 machinery with the in-cap
+        # minhash banding/verify stages, restricted to cross-side pairs
+        "doc_incremental_dedup": q_doc_incremental_dedup,
+        # temperature mixture + token-budget cap (past the cap;
+        # pytest-sweep-oracled): the groupBy-plus-scalar-broadcast and
+        # md5-order window shapes of the in-cap doc_mixture_plan /
+        # doc_source_quota with the token-denominated knobs
+        "doc_mixture_temperature": q_doc_mixture_temperature,
+        "doc_token_budget_sample": q_doc_token_budget_sample,
     }
 
 
@@ -1399,6 +1436,117 @@ WITH dec AS (
                CAST(coalesce(p.dt, 0) AS DOUBLE)
                  / greatest(len(d.ws), 1) AS dup_ratio
         FROM dwords d LEFT JOIN per_doc p USING (doc_id)
+        """
+    )
+    # temperature mixture: sqrt weights quantized to int64 BEFORE the
+    # cross-source sum (order-independent normalizer), then the same
+    # C = min(T/w), keep = least(1, C*w/T) sequence as doc_mixture_plan
+    d["doc_mixture_temperature"] = (
+        _DWORDS
+        + r"""
+        , tok AS (
+          SELECT source, CAST(SUM(len(ws)) AS BIGINT) AS tokens
+          FROM dwords GROUP BY source
+        ), pw AS (
+          SELECT source, tokens,
+                 CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS pwq
+          FROM tok
+        ), norm AS (
+          SELECT CAST(SUM(pwq) AS BIGINT) AS sum_pwq FROM pw
+        ), scored AS (
+          SELECT p.source, p.tokens, p.pwq, n.sum_pwq,
+                 CASE WHEN p.pwq > 0 THEN
+                   CAST(p.tokens AS DOUBLE)
+                   / (CAST(p.pwq AS DOUBLE) / CAST(n.sum_pwq AS DOUBLE))
+                 END AS ratio
+          FROM pw p, norm n
+        ), cm AS (
+          SELECT min(ratio) AS c FROM scored
+        ), kr AS (
+          SELECT s.source, s.tokens,
+                 CAST(s.pwq AS DOUBLE) / CAST(s.sum_pwq AS DOUBLE)
+                   AS target_weight,
+                 CASE WHEN s.tokens > 0 THEN
+                   least(1.0,
+                         cm.c * (CAST(s.pwq AS DOUBLE)
+                                 / CAST(s.sum_pwq AS DOUBLE))
+                              / CAST(s.tokens AS DOUBLE))
+                 ELSE 0.0 END AS keep_rate
+          FROM scored s, cm
+        )
+        SELECT source, tokens, target_weight, keep_rate,
+               CAST(floor(CAST(tokens AS DOUBLE) * keep_rate) AS BIGINT)
+                 AS kept_tokens,
+               CAST(floor(keep_rate * 100 + 0.5) AS BIGINT)
+                 AS keep_rate_pct
+        FROM kr
+        """
+    )
+    # token-budget cap: running int64 token sum per source in
+    # md5('budget:'||doc_id) order; a doc is kept iff its PREDECESSOR
+    # sum was under budget (the crossing doc is admitted)
+    d["doc_token_budget_sample"] = (
+        _DWORDS
+        + r"""
+        , sized AS (
+          SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tokens,
+                 md5('budget:' || CAST(doc_id AS VARCHAR)) AS h
+          FROM dwords
+        ), cums AS (
+          SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                     ROWS UNBOUNDED PRECEDING)
+                   AS cum_tokens
+          FROM sized
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM cums WHERE cum_tokens - n_tokens < 2000
+        """
+    )
+    # snapshot-vs-corpus verdicts: the union-side banding equals banding
+    # the whole documents table (the %5 split partitions it), so cand /
+    # shx / sizes come straight from _MINHASH; cross-side restriction
+    # and the exact>near precedence mirror dedup.incremental_dedup
+    d["doc_incremental_dedup"] = (
+        _DWORDS
+        + _DSH
+        + _MINHASH
+        + r"""
+        , sizes AS (
+          SELECT doc_id, len(shs) AS n FROM dsh
+        ), inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN shx a ON a.doc_id = c.doc_a
+          JOIN shx b ON b.doc_id = c.doc_b AND b.sh = a.sh
+          GROUP BY 1, 2
+        ), vp AS (
+          SELECT i.doc_a, i.doc_b FROM inter i
+          JOIN sizes na ON na.doc_id = i.doc_a
+          JOIN sizes nb ON nb.doc_id = i.doc_b
+          WHERE CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE)
+                >= 0.8
+        ), newdocs AS (
+          SELECT doc_id, md5(text) AS m FROM documents WHERE doc_id % 5 = 0
+        ), basem AS (
+          SELECT DISTINCT md5(text) AS m FROM documents
+          WHERE doc_id % 5 <> 0
+        ), exact AS (
+          SELECT DISTINCT n.doc_id FROM newdocs n JOIN basem b USING (m)
+        ), near AS (
+          SELECT DISTINCT
+                 CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS doc_id
+          FROM vp WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)
+        )
+        SELECT n.doc_id,
+               CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                    WHEN r.doc_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'new' END AS verdict
+        FROM newdocs n
+        LEFT JOIN exact e ON e.doc_id = n.doc_id
+        LEFT JOIN near r ON r.doc_id = n.doc_id
         """
     )
     d["doc_dup_span_strip"] = (

@@ -417,6 +417,117 @@ def mixture_plan(
     )
 
 
+def mixture_temperature(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture reweighting at alpha = 0.5: target
+    share w_s proportional to sqrt(T_s) — the standard smoothing that
+    up-weights small sources relative to proportional sampling without
+    flattening to uniform (Conneau & Lample '19 §3.1; T5 §3.4.2 use
+    T_s^alpha with alpha<1; alpha=0.5 is the sqrt point). Downsampling
+    only (no source upsampled): C = min_s(T_s / w_s), keep_rate_s =
+    C * w_s / T_s, exactly `mixture_plan`'s rule with the smoothed
+    targets.
+
+    Engine-exact float discipline: sqrt(T_s) is quantized to an int64
+    (floor(sqrt * 1e6)) BEFORE the cross-source sum, so the normalizer
+    is an exact integer sum (order-independent — a raw double sum would
+    depend on aggregation order and diverge between engines); every
+    downstream value is a fixed sequence of IEEE ops on exact integers.
+    Same plan as `mixture_plan`: one map-side-combined groupBy + a
+    1-row scalar broadcast.
+    """
+    tok = (
+        docs.select(by, F.size(TX.words(F.col(text_col))).alias("_nt"))
+        .groupBy(by)
+        .agg(F.sum("_nt").cast("long").alias("tokens"))
+        .withColumn(
+            "_pwq",
+            F.floor(F.sqrt(F.col("tokens").cast("double")) * 1000000).cast(
+                "long"
+            ),
+        )
+    )
+    ratio = F.when(
+        F.col("_pwq") > 0,
+        F.col("tokens").cast("double")
+        / (F.col("_pwq").cast("double") / F.col("_sum_pwq").cast("double")),
+    )
+    scalar = F.broadcast(
+        tok.agg(F.sum("_pwq").cast("long").alias("_sum_pwq"))
+    )
+    scored = tok.crossJoin(scalar).withColumn("_ratio", ratio)
+    cmin = F.broadcast(scored.agg(F.min("_ratio").alias("_c")))
+    tw = F.col("_pwq").cast("double") / F.col("_sum_pwq").cast("double")
+    out = scored.crossJoin(cmin).select(
+        by,
+        "tokens",
+        tw.alias("target_weight"),
+        F.when(
+            F.col("tokens") > 0,
+            F.least(
+                F.lit(1.0),
+                F.col("_c") * tw / F.col("tokens").cast("double"),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("keep_rate"),
+    )
+    return out.withColumn(
+        "kept_tokens",
+        F.floor(F.col("tokens").cast("double") * F.col("keep_rate")).cast(
+            "long"
+        ),
+    ).withColumn(
+        "keep_rate_pct",
+        F.floor(F.col("keep_rate") * 100 + F.lit(0.5)).cast("long"),
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget: int,
+    by: str = "source",
+    text_col: str = "text",
+    salt: str = "budget",
+) -> DataFrame:
+    """Cap each `by` group at a TOKEN budget (not a document count —
+    the knob corpus recipes actually specify): admit documents in
+    deterministic md5(salt:doc_id) order until the group's running
+    token sum passes `budget`; the doc that crosses the line is kept
+    (its predecessor sum was under budget), everything after is cut.
+    Uniform-at-random admission in expectation, reproducible across
+    runs and engines, no RNG state; changing `salt` redraws.
+
+    Plan: one hash-partitioned window per group (running int64 sum in
+    md5 order) + filter — the token-denominated twin of
+    `source_quota`'s count top-K. Output: the kept (doc_id, by,
+    n_tokens, cum_tokens) rows.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string")))
+    w = (
+        Window.partitionBy(by)
+        .orderBy(h.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sized = docs.select(
+        "doc_id",
+        by,
+        F.size(TX.words(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget)
+        .select("doc_id", by, "n_tokens", "cum_tokens")
+    )
+
+
 def decontaminate_overlap(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -988,3 +988,97 @@ def strip_dup_spans(
         F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (snapshot-vs-corpus) dedup
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    pairs: DataFrame | None = None,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Verdict per INCOMING doc against an EXISTING corpus — the
+    continuously-ingested-corpus path (a new crawl snapshot arrives;
+    dedupe it against the 100 TB store without re-deduping the store):
+    (doc_id, verdict) with verdict 'exact_dup' (byte-identical content
+    exists in the base), 'near_dup' (exact Jaccard >= threshold with
+    some base doc via MinHash-LSH candidates), else 'new'. doc_ids must
+    be globally unique across the two frames.
+
+    Stages: (1) exact — incoming content-md5 semi-matched against the
+    distinct base md5 set (32-byte keys, never text); (2) near —
+    MinHash-LSH banding over the union, candidate pairs restricted to
+    CROSS-side before the exact-Jaccard verify join (base-base pairs
+    are the store's own dedup problem, not this snapshot's; new-new
+    pairs belong to a within-snapshot pass). Precedence exact > near.
+
+    Scale note: this computes base-side signatures inline for oracle
+    exactness. In production the base corpus's (doc_id, band, band_key)
+    table and signature table are PRECOMPUTED and stored (parquet,
+    bucketed by band key) — an incoming snapshot minhashes only itself
+    and equi-joins the stored band table, exactly the pattern
+    `simhash_cross_matches` implements for the streaming store. The
+    per-stage shuffles are otherwise identical to `near_dup_pairs`.
+    `lsh_kwargs` pass through (n, k, bands, rows, max_bucket,
+    audit_sink, ...).
+
+    `pairs`: a precomputed verified near-dup pair table covering the
+    union of the two frames (doc_a, doc_b, jaccard >= threshold) — pass
+    it when the store already maintains one (the shared persisted pair
+    table in a pipeline, or the stored band-join output in production)
+    to skip the inline MinHash build entirely; `threshold`/`lsh_kwargs`
+    are then unused for the near stage.
+    """
+    if pairs is None:
+        cols = ["doc_id", text_col]
+        union = base_docs.select(*cols).unionByName(new_docs.select(*cols))
+        pairs = near_dup_pairs(
+            union, text_col=text_col, threshold=threshold, **lsh_kwargs
+        )
+    new_ids = new_docs.select("doc_id")
+    na = new_ids.select(
+        F.col("doc_id").alias("doc_a"), F.lit(True).alias("a_new")
+    )
+    nb = new_ids.select(
+        F.col("doc_id").alias("doc_b"), F.lit(True).alias("b_new")
+    )
+    cross = (
+        pairs.join(na, "doc_a", "left")
+        .join(nb, "doc_b", "left")
+        .filter(
+            F.coalesce("a_new", F.lit(False))
+            != F.coalesce("b_new", F.lit(False))
+        )
+    )
+    near = (
+        cross.select(
+            F.when(F.coalesce("a_new", F.lit(False)), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+    base_md5 = (
+        base_docs.select(F.md5(F.col(text_col)).alias("m"))
+        .distinct()
+        .withColumn("_exact", F.lit(True))
+    )
+    flagged = (
+        new_docs.select("doc_id", F.md5(F.col(text_col)).alias("m"))
+        .join(base_md5, "m", "left")
+        .join(near, "doc_id", "left")
+    )
+    return flagged.select(
+        "doc_id",
+        F.when(F.coalesce("_exact", F.lit(False)), F.lit("exact_dup"))
+        .when(F.coalesce("_near", F.lit(False)), F.lit("near_dup"))
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
+    )

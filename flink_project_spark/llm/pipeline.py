@@ -79,6 +79,7 @@ def curate_corpus(
     dedup_mode: str = "cc",
     mixture_weights: dict[str, float] | None = None,
     apply_mixture: bool = True,
+    mixture_mode: str = "plan",
     split_ratios: tuple[tuple[str, int], ...] = CUR.DEFAULT_RATIOS,
     chunk_tokens: int | None = None,
     chunk_stride: int | None = None,
@@ -98,9 +99,12 @@ def curate_corpus(
     4. ``decontaminated`` (if `benchmark` given): drop docs whose
        fingerprints collide with the benchmark set — broadcast
        semi-join flags, anti-joined away.
-    5. ``mixture_sampled`` (if `apply_mixture`): `mixture_plan`
-       keep-rates broadcast-joined on source, realized by the
-       deterministic per-row hash draw (`sample_by_rate_column`).
+    5. ``mixture_sampled`` (if `apply_mixture`): keep-rates
+       broadcast-joined on source, realized by the deterministic
+       per-row hash draw (`sample_by_rate_column`). `mixture_mode`:
+       "plan" (uniform target, or `mixture_weights` when given) or
+       "temperature" (alpha=0.5 sqrt-smoothed targets via
+       `mixture_temperature`; `mixture_weights` must be None).
     6. ``split``: deterministic hash split labels (pure projection).
     7. ``chunks`` (if `chunk_tokens`): zero-shuffle sliding-window
        chunking with source/split labels carried through.
@@ -135,9 +139,23 @@ def curate_corpus(
         r.stages["decontaminated"] = current
 
     if apply_mixture:
-        plan = CUR.mixture_plan(
-            current, weights=mixture_weights, text_col=text_col
-        ).select("source", "keep_rate_pct")
+        if mixture_mode == "temperature":
+            if mixture_weights is not None:
+                raise ValueError(
+                    "mixture_weights is only valid with mixture_mode="
+                    "'plan' — temperature mode derives its own targets"
+                )
+            plan = CUR.mixture_temperature(current, text_col=text_col)
+        elif mixture_mode == "plan":
+            plan = CUR.mixture_plan(
+                current, weights=mixture_weights, text_col=text_col
+            )
+        else:
+            raise ValueError(
+                f"unknown mixture_mode {mixture_mode!r} "
+                "(expected 'plan' or 'temperature')"
+            )
+        plan = plan.select("source", "keep_rate_pct")
         current = CUR.sample_by_rate_column(
             current.join(F.broadcast(plan), "source"), "keep_rate_pct"
         ).drop("keep_rate_pct")

@@ -119,3 +119,31 @@ def test_sample_by_rate_column_equals_scalar_rate(spark):
         ).collect()
     }
     assert a == b and 0 < len(a) < 500
+
+
+def test_curate_corpus_temperature_mixture(spark):
+    """mixture_mode='temperature' runs the funnel with sqrt-smoothed
+    targets (small sources keep MORE than under the uniform plan's
+    min-source rule would force on the big one); invalid combinations
+    are rejected before any job runs."""
+    import pytest as _pytest
+
+    docs = _corpus(spark)
+    r = curate_corpus(docs, mixture_mode="temperature")
+    assert "mixture_sampled" in r.stages
+    assert r.final.count() > 0
+    # the dominating source is downsampled, the small one survives
+    kept = {
+        row["source"]: row["n"]
+        for row in r.stages["mixture_sampled"]
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert kept.get("s_small", 0) >= 1
+    with _pytest.raises(ValueError, match="temperature"):
+        curate_corpus(
+            docs, mixture_mode="temperature", mixture_weights={"a": 1.0}
+        )
+    with _pytest.raises(ValueError, match="mixture_mode"):
+        curate_corpus(docs, mixture_mode="bogus")

@@ -681,3 +681,34 @@ def test_strip_dup_spans_rebuilds_survivors(spark):
     }
     for d, r in out.items():
         assert r["kept_tokens"] + spans[d]["dup_tokens"] == r["n_tokens"]
+
+
+def test_incremental_dedup_verdicts(spark):
+    """Snapshot-vs-corpus: exact copies flag exact_dup, high-Jaccard
+    variants flag near_dup, unrelated docs stay new — and base-base
+    duplicates never leak into the incoming verdicts."""
+    base_text = " ".join(f"tok{i}" for i in range(40))
+    near_text = " ".join(f"tok{i}" for i in range(39)) + " changed"
+    base = spark.createDataFrame(
+        [
+            (100, base_text),
+            (101, "base only content entirely different " * 5),
+            # base-internal duplicate pair — must not affect verdicts
+            (102, "repeated base doc " * 10),
+            (103, "repeated base doc " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base_text),  # exact copy of base 100
+            (2, near_text),  # near dup of base 100
+            (3, "completely unrelated fresh material nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["verdict"]
+        for r in DD.incremental_dedup(new, base).collect()
+    }
+    assert out == {1: "exact_dup", 2: "near_dup", 3: "new"}

@@ -592,3 +592,59 @@ def test_shared_tf_paths_equal_direct_paths(spark):
         assert sorted(map(tuple, direct.collect())) == sorted(
             map(tuple, shared.collect())
         )
+
+
+def test_mixture_temperature_matches_python_twin(spark):
+    """alpha=0.5 smoothing: targets proportional to quantized sqrt(T);
+    the binding (smallest-ratio) source keeps everything, and smaller
+    sources get LARGER target shares than proportional sampling."""
+    import math
+
+    rows = {
+        r.source: r
+        for r in CUR.mixture_temperature(_mk_src_docs(spark)).collect()
+    }
+    toks = {"s0": 14, "s1": 7, "s2": 3}
+    pwq = {s: math.floor(math.sqrt(t) * 1000000) for s, t in toks.items()}
+    sum_pwq = sum(pwq.values())
+    tw = {s: pwq[s] / sum_pwq for s in toks}
+    c = min(toks[s] / tw[s] for s in toks)
+    for s, r in rows.items():
+        assert r.tokens == toks[s]
+        assert r.target_weight == tw[s]
+        assert r.keep_rate == min(1.0, c * tw[s] / toks[s])
+        assert r.kept_tokens == math.floor(toks[s] * r.keep_rate)
+    # sqrt smoothing: the smallest source's share exceeds its
+    # proportional share, the largest source's falls below it
+    total = sum(toks.values())
+    assert tw["s2"] > toks["s2"] / total
+    assert tw["s0"] < toks["s0"] / total
+    # exactly one source binds at keep_rate 1.0 (no upsampling)
+    assert sum(1 for r in rows.values() if r.keep_rate == 1.0) == 1
+
+
+def test_token_budget_sample_caps_each_source(spark):
+    """Every kept doc's PREDECESSOR sum is under budget, the crossing
+    doc is admitted, everything later in md5 order is cut, and a
+    too-small budget still keeps the first doc per source."""
+    docs = _mk_src_docs(spark)
+    out = CUR.token_budget_sample(docs, budget=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert set(by_src) == {"s0", "s1", "s2"}
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r.cum_tokens)
+        for r in rows:
+            assert r.cum_tokens - r.n_tokens < 5
+    # budget=1: exactly the first-in-hash-order doc per source survives
+    first = CUR.token_budget_sample(docs, budget=1).collect()
+    per_src = {}
+    for r in first:
+        per_src[r.source] = per_src.get(r.source, 0) + 1
+        assert r.cum_tokens == r.n_tokens
+    assert per_src == {"s0": 1, "s1": 1, "s2": 1}
+    # determinism: same salt -> same set; different salt -> same sizes
+    a = {r.doc_id for r in CUR.token_budget_sample(docs, budget=5).collect()}
+    b = {r.doc_id for r in CUR.token_budget_sample(docs, budget=5).collect()}
+    assert a == b
