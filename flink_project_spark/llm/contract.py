@@ -380,17 +380,37 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.winnow_fingerprints(_docs(spark, sf_dir), n=3, window=4)
 
 
+def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr island table (5-gram) shared by doc_dup_spans and
+    doc_dup_span_strip — one gram build serves both consumers."""
+    return CACHE.materialize(
+        spark,
+        f"dupspans:{sf_dir}",
+        lambda: DD.dup_span_islands(_docs(spark, sf_dir), 5, "text"),
+    )
+
+
 def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate-substring span stats per doc (Lee et al. '21
     ExactSubstr in k-gram form, n=5): maximal contiguous runs of tokens
     covered by a corpus-repeated 5-gram."""
-    return DD.dup_gram_spans(_docs(spark, sf_dir), n=5)
+    return DD.dup_gram_spans(
+        _docs(spark, sf_dir), n=5, spans=_dup_spans(spark, sf_dir)
+    )
 
 
 def q_doc_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The executable companion: rebuild each doc with its duplicated
     spans removed (what ExactSubstr dedup does to the corpus)."""
-    return DD.strip_dup_spans(_docs(spark, sf_dir), n=5)
+    return DD.strip_dup_spans(
+        _docs(spark, sf_dir), n=5, spans=_dup_spans(spark, sf_dir)
+    )
+
+
+def q_doc_heuristic_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published page-level quality-filter rules (C4 §2.2 page-level
+    subset + Gopher A1.1), one boolean per rule + composite keeps."""
+    return TX.heuristic_rules(_docs(spark, sf_dir))
 
 
 def q_doc_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,6 +511,7 @@ def llm_shared_intermediates(
         "simhash": _simhash(spark, sf_dir),
         "quality": _quality(spark, sf_dir),
         "doc_word_tf": _doc_word_tf(spark, sf_dir),
+        "dupspans": _dup_spans(spark, sf_dir),
     }
     if audit is not None:
         out["neardups_overflow"] = audit
@@ -580,6 +601,10 @@ def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_source_quota with the token-denominated knobs
         "doc_mixture_temperature": q_doc_mixture_temperature,
         "doc_token_budget_sample": q_doc_token_budget_sample,
+        # page-level C4/Gopher rule gate (past the cap; pytest-sweep-
+        # oracled): the same in-scan regexp/array-filter machinery as
+        # the in-cap doc_quality/doc_pii_stats
+        "doc_heuristic_rules": q_doc_heuristic_rules,
     }
 
 
@@ -1436,6 +1461,52 @@ WITH dec AS (
                CAST(coalesce(p.dt, 0) AS DOUBLE)
                  / greatest(len(d.ws), 1) AS dup_ratio
         FROM dwords d LEFT JOIN per_doc p USING (doc_id)
+        """
+    )
+    # C4/Gopher page-level rule gate — every rule a pure expression on
+    # the split/regexp machinery; the 8-word Gopher stopword list and
+    # the rule thresholds are shared verbatim with llm.text
+    gopher_cases = " + ".join(
+        "(CASE WHEN list_contains(lw, '" + s + "') THEN 1 ELSE 0 END)"
+        for s in TX.GOPHER_STOPWORDS
+    )
+    d["doc_heuristic_rules"] = (
+        _DWORDS
+        + rf"""
+        , hx AS (
+          SELECT doc_id, text, ws,
+                 list_transform(ws, w -> lower(w)) AS lw,
+                 len(ws) AS n_words,
+                 greatest(len(ws), 1) AS nw1,
+                 len(regexp_extract_all(text, '[.!?]')) AS n_sentences,
+                 right(rtrim(text), 1) IN ('.', '!', '?', '"')
+                   AS ends_terminal,
+                 contains(text, '{{') AS has_brace,
+                 contains(lower(text), 'lorem ipsum') AS has_lorem,
+                 CAST(coalesce(list_aggregate(
+                        list_transform(ws, w -> length(w)), 'sum'), 0)
+                      AS DOUBLE) / nw1 AS mean_word_len,
+                 CAST(len(regexp_extract_all(text, '#'))
+                      + len(regexp_extract_all(text, '\.\.\.'))
+                      AS DOUBLE) / nw1 AS symbol_ratio,
+                 CAST(len(list_filter(ws,
+                        w -> regexp_matches(w, '[a-zA-Z]')))
+                      AS DOUBLE) / nw1 AS alpha_word_ratio
+          FROM dwords
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               ends_terminal, has_brace, has_lorem,
+               mean_word_len, symbol_ratio, alpha_word_ratio,
+               CAST({gopher_cases} AS BIGINT) AS stop_hits,
+               (ends_terminal AND n_sentences >= 3
+                AND NOT has_brace AND NOT has_lorem) AS c4_keep,
+               (n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+                AND ({gopher_cases}) >= 2) AS gopher_keep
+        FROM hx
         """
     )
     # temperature mixture: sqrt weights quantized to int64 BEFORE the

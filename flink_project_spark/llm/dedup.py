@@ -839,7 +839,7 @@ def _positional_grams(docs: DataFrame, n: int, text_col: str) -> DataFrame:
     )
 
 
-def _dup_span_islands(docs: DataFrame, n: int, text_col: str) -> DataFrame:
+def dup_span_islands(docs: DataFrame, n: int, text_col: str) -> DataFrame:
     """(doc_id, n_tok, span_start, span_end) — maximal contiguous runs
     of duplicated tokens (0-based, end inclusive, clamped to the doc)."""
     grams = _positional_grams(docs, n, text_col)
@@ -884,7 +884,10 @@ def _dup_span_islands(docs: DataFrame, n: int, text_col: str) -> DataFrame:
 
 
 def dup_gram_spans(
-    docs: DataFrame, n: int = 5, text_col: str = "text"
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Exact duplicate-substring span statistics per document — the
     k-gram form of suffix-array substring dedup (Lee et al. '21
@@ -913,10 +916,16 @@ def dup_gram_spans(
     hex chars for an int64 key (birthday collisions at 10^12 grams mark
     ~1e4 false-dup grams — negligible over-removal); kept full-width
     here for bit-exact oracle parity.
+
+    `spans`: a precomputed `dup_span_islands` table (doc_id, n_tok,
+    span_start, span_end) — pass it when `strip_dup_spans` shares the
+    same islands (one gram build serves both); `n`/`text_col` must
+    match the values it was built with.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    spans = _dup_span_islands(docs, n, text_col)
+    if spans is None:
+        spans = dup_span_islands(docs, n, text_col)
     per_doc = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
@@ -946,7 +955,10 @@ def dup_gram_spans(
 
 
 def strip_dup_spans(
-    docs: DataFrame, n: int = 5, text_col: str = "text"
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Rebuild each document with its duplicated spans removed — the
     executable companion of `dup_gram_spans` (what ExactSubstr dedup
@@ -960,8 +972,12 @@ def strip_dup_spans(
     structs. Reassembly shuffles the surviving words once, grouped by
     doc; at 100 TB this is the unavoidable rewrite of the corpus
     itself, so the exchange is the payload, not overhead.
+
+    `spans`: optional precomputed `dup_span_islands` table shared with
+    `dup_gram_spans` (same contract as there).
     """
-    spans = _dup_span_islands(docs, n, text_col)
+    if spans is None:
+        spans = dup_span_islands(docs, n, text_col)
     dup_positions = spans.select(
         "doc_id",
         F.explode(F.sequence("span_start", "span_end")).alias("pos"),

@@ -581,3 +581,85 @@ def winnow_fingerprints(
         F.count_distinct(F.col("_wmin")).alias("n_fingerprints"),
         F.min("_wmin").alias("min_fp"),
     )
+
+
+#: Gopher's stopword-presence rule list (Rae et al. '21, A1.1): a page
+#: must contain at least two of these to pass the "contains real
+#: English" check. Shared verbatim with the SQL oracle.
+GOPHER_STOPWORDS: list[str] = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+]
+
+
+def heuristic_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Published page-level quality-filter rules, one boolean per rule
+    plus the two composite keep flags — the pre-dedup gate of the
+    public training-data pipelines:
+
+    C4 (Raffel et al. '20 §2.2, page-level subset): text ends in
+    terminal punctuation; >= 3 sentence terminators; no '{' (code
+    marker); no 'lorem ipsum'. (C4's line-level variants need line
+    structure; these are the page-level forms.)
+
+    Gopher (Rae et al. '21, Appendix A1.1): 50 <= words <= 100000;
+    3 <= mean word length <= 10; '#'-or-'...' symbol-to-word ratio
+    <= 0.1; >= 80% of words contain an alphabetic char; contains >= 2
+    of the 8-word stopword list.
+
+    All rules are pure column expressions inside the scan (regexp
+    counts, array filters on the split) — zero shuffles; ratios are
+    single IEEE divisions of exact integer counts, so the DuckDB
+    oracle reproduces every value bit-exactly.
+    """
+    t = F.col(text_col)
+    w = words(t)
+    n_words = F.size(w)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    n_sentences = F.size(F.regexp_extract_all(t, F.lit("[.!?]"), F.lit(0)))
+    last_char = F.substring(F.rtrim(t), -1, 1)
+    ends_terminal = last_char.isin(".", "!", "?", '"')
+    has_brace = t.contains("{")
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    sum_word_len = F.aggregate(
+        F.transform(w, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    mean_wl = sum_word_len.cast("double") / nw
+    n_hash = F.size(F.regexp_extract_all(t, F.lit("#"), F.lit(0)))
+    n_ellipsis = F.size(F.regexp_extract_all(t, F.lit("\\.\\.\\."), F.lit(0)))
+    sym_ratio = (n_hash + n_ellipsis).cast("double") / nw
+    n_alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]")))
+    alpha_ratio = n_alpha_words.cast("double") / nw
+    lowered = F.transform(w, F.lower)
+    stop_hits = sum(
+        F.when(F.array_contains(lowered, s), 1).otherwise(0)
+        for s in GOPHER_STOPWORDS
+    )
+    c4_keep = (
+        ends_terminal
+        & (n_sentences >= 3)
+        & ~has_brace
+        & ~has_lorem
+    )
+    gopher_keep = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (sym_ratio <= 0.1)
+        & (alpha_ratio >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sentences.cast("long").alias("n_sentences"),
+        ends_terminal.alias("ends_terminal"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+        c4_keep.alias("c4_keep"),
+        gopher_keep.alias("gopher_keep"),
+    )

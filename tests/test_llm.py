@@ -712,3 +712,37 @@ def test_incremental_dedup_verdicts(spark):
         for r in DD.incremental_dedup(new, base).collect()
     }
     assert out == {1: "exact_dup", 2: "near_dup", 3: "new"}
+
+
+def test_heuristic_rules_c4_and_gopher(spark):
+    """Page-level C4 and Gopher rules on hand-built docs covering the
+    branches the synthetic corpus can't (punctuation, braces, lorem
+    ipsum, symbol-heavy and non-alpha pages)."""
+    good = (
+        "The quick brown fox jumps over the lazy dog and runs to be "
+        "free of all that noise with great joy and have speed. " * 4
+        + "It works. It really does."
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),  # passes both gates
+            (2, "Short. Text. Here."),  # C4 ok count, gopher too short
+            (3, good + " {"),  # brace: c4 fails
+            (4, good.replace("fox", "Lorem Ipsum dolor")),  # lorem
+            (5, "no terminal punctuation at all " * 20),  # c4 fails
+            (6, "### " * 60 + "."),  # symbol-heavy, non-alpha words
+            (7, ""),  # empty: everything false/zero
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.heuristic_rules(docs).collect()}
+    assert out[1]["c4_keep"] and out[1]["gopher_keep"]
+    assert out[1]["stop_hits"] >= 2 and out[1]["ends_terminal"]
+    assert out[2]["n_sentences"] == 3 and not out[2]["gopher_keep"]
+    assert out[3]["has_brace"] and not out[3]["c4_keep"]
+    assert out[4]["has_lorem"] and not out[4]["c4_keep"]
+    assert not out[5]["ends_terminal"] and not out[5]["c4_keep"]
+    assert out[6]["symbol_ratio"] > 0.1 and out[6]["alpha_word_ratio"] < 0.8
+    assert not out[6]["gopher_keep"]
+    assert out[7]["n_words"] == 0 and not out[7]["c4_keep"]
+    assert not out[7]["gopher_keep"]
