@@ -77,6 +77,50 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+    token_col: str | None = None,
+    max_records_per_file: int | None = None,
+) -> DataFrame:
+    """Last-mile training-corpus export: deterministic shards + a
+    manifest. Each row lands in shard ``v32('shard:' || key) % n_shards``
+    — an explicit md5-derived assignment (NOT Spark's internal hash), so
+    the shard a document lives in is stable across Spark versions,
+    cluster sizes, and re-runs; the output is Hive-partitioned by
+    ``shard`` so per-shard readers (one trainer data-loader per shard)
+    prune to their directory at the scan.
+
+    `max_records_per_file` caps rows per part-file WITHOUT an extra
+    shuffle (Spark's maxRecordsPerFile writer option) — the knob for
+    loader-friendly file sizes inside each shard.
+
+    Returns the manifest as a DataFrame (shard, rows[, tokens]) read
+    back from the written files — counted from the actual output, not
+    the input plan, so a partial/failed write can't produce a manifest
+    that overstates the corpus.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from flink_project_spark.llm.hashing import v32
+
+    shard = F.pmod(
+        v32(F.concat(F.lit("shard:"), F.col(key_col).cast("string"))),
+        F.lit(n_shards),
+    ).cast("int")
+    w = df.withColumn("shard", shard).write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    w.partitionBy("shard").parquet(path)
+    back = df.sparkSession.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).cast("long").alias("tokens"))
+    return back.groupBy("shard").agg(*aggs).orderBy("shard")
+
+
 def compact_parquet(
     spark,
     path: str,

@@ -75,6 +75,29 @@ def read_csv(
     return spark.read.schema(schema).option("sep", sep).csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: T.StructType,
+    mode: str = "DROPMALFORMED",
+) -> DataFrame:
+    """JSONL corpus ingest — one JSON document per line, the de-facto
+    interchange format of web-crawl corpora; `.gz`/`.snappy` files
+    decompress transparently through the same codec chain as S3.
+
+    Explicit schema, never inferred (inference scans the data twice and
+    drifts across snapshots — SURVEY §1.3 applies to JSON exactly as to
+    CSV); unused JSON fields are pruned AT PARSE time, so a 3-column
+    projection of a 40-field crawl record never materializes the rest.
+    `mode`: DROPMALFORMED (default — crawl JSONL always carries some
+    corrupt lines; they vanish here, mirroring the reference's
+    parse-and-drop flatMap, P2), PERMISSIVE (corrupt rows become nulls;
+    add a `_corrupt_record` string field to the schema to retain the
+    raw line for a quarantine sink), or FAILFAST.
+    """
+    return spark.read.schema(schema).option("mode", mode).json(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

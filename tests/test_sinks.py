@@ -322,3 +322,43 @@ def test_compact_parquet_reduces_file_count_and_keeps_rows(spark, tmp_path):
     assert n == 1
     assert len(glob.glob(path + "/*.parquet")) == 1
     assert spark.read.parquet(path).count() == 10000
+
+
+def test_write_training_shards_manifest_and_determinism(spark, tmp_path):
+    """Shard assignment is the explicit md5 rule (stable across runs),
+    the manifest counts the written files, maxRecordsPerFile bounds
+    part-file sizes, and per-shard reads prune to one directory."""
+    import glob
+
+    from flink_project_spark.llm.hashing import v32_py
+    from flink_project_spark.sinks.writers import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}", 5 + i % 7) for i in range(200)],
+        "doc_id long, text string, n_tokens long",
+    )
+    out = str(tmp_path / "shards")
+    m = write_training_shards(
+        df, out, n_shards=4, token_col="n_tokens", max_records_per_file=20
+    ).collect()
+    assert [r["shard"] for r in m] == [0, 1, 2, 3]
+    assert sum(r["rows"] for r in m) == 200
+    assert sum(r["tokens"] for r in m) == sum(5 + i % 7 for i in range(200))
+    # explicit assignment rule — recomputable outside Spark
+    expected0 = sum(1 for i in range(200) if v32_py(f"shard:{i}") % 4 == 0)
+    assert m[0]["rows"] == expected0
+    # file-size cap holds inside every shard directory
+    for f in glob.glob(f"{out}/shard=*/part-*.parquet"):
+        n = spark.read.parquet(f).count()
+        assert n <= 20
+    # a second write lands every doc in the same shard
+    out2 = str(tmp_path / "shards2")
+    m2 = write_training_shards(
+        df, out2, n_shards=4, token_col="n_tokens"
+    ).collect()
+    assert [(r["shard"], r["rows"]) for r in m2] == [
+        (r["shard"], r["rows"]) for r in m
+    ]
+    # shard filter prunes to one partition directory
+    one = spark.read.parquet(out).filter(F.col("shard") == 2)
+    assert one.count() == m[2]["rows"]

@@ -181,3 +181,47 @@ def test_salted_topk_equals_plain_topk(spark):
         ).collect()
     }
     assert salted == plain and len({g for g, _ in plain}) == 8
+
+
+def test_read_jsonl_schema_and_corrupt_modes(spark, tmp_path):
+    """JSONL ingest: explicit schema projects only the named fields,
+    DROPMALFORMED drops corrupt lines, PERMISSIVE retains them in
+    _corrupt_record, and .gz decompresses through the codec chain."""
+    import gzip
+
+    from pyspark.sql import types as T
+
+    from flink_project_spark.sources.readers import read_jsonl
+
+    lines = [
+        '{"doc_id": 1, "text": "alpha", "extra": {"deep": [1,2,3]}}',
+        '{"doc_id": 2, "text": "beta"}',
+        "{corrupt json line",
+        '{"doc_id": 4, "text": "gamma"}',
+    ]
+    p = tmp_path / "corpus.jsonl"
+    p.write_text("\n".join(lines))
+    gz = tmp_path / "corpus2.jsonl.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write('{"doc_id": 9, "text": "zipped"}\n')
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    got = read_jsonl(spark, str(p), schema).collect()
+    assert {(r["doc_id"], r["text"]) for r in got} == {
+        (1, "alpha"),
+        (2, "beta"),
+        (4, "gamma"),
+    }
+    # PERMISSIVE + _corrupt_record quarantines the bad line
+    qschema = schema.add(T.StructField("_corrupt_record", T.StringType()))
+    perm = read_jsonl(spark, str(p), qschema, mode="PERMISSIVE")
+    bad = perm.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(bad) == 1 and "corrupt" in bad[0]["_corrupt_record"]
+    # gz through the codec chain
+    z = read_jsonl(spark, str(gz), schema).collect()
+    assert [(r["doc_id"], r["text"]) for r in z] == [(9, "zipped")]
