@@ -746,3 +746,73 @@ def test_heuristic_rules_c4_and_gopher(spark):
     assert not out[6]["gopher_keep"]
     assert out[7]["n_words"] == 0 and not out[7]["c4_keep"]
     assert not out[7]["gopher_keep"]
+
+
+def test_dup_gram_spans_random_sweep_vs_python_twin(spark):
+    """Seeded random corpora (tiny vocab => organic gram collisions,
+    plus planted cross-doc copies): engine spans must equal a
+    brute-force covered-token-run reference exactly, and strip must
+    keep exactly the uncovered tokens in order."""
+    import random
+
+    n = 4
+    for seed in (11, 23, 47):
+        rnd = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        texts = {}
+        for d in range(30):
+            texts[d] = " ".join(
+                rnd.choice(vocab) for _ in range(rnd.randint(0, 25))
+            )
+        # plant a shared 9-token run in three docs
+        run = " ".join(rnd.choice(vocab) for _ in range(9))
+        for d in (3, 7, 19):
+            texts[d] = texts[d] + " " + run
+
+        grams: dict[str, int] = {}
+        split = {d: t.split() for d, t in texts.items()}
+        for ws in split.values():
+            ng = max(len(ws) - n + 1, 1) if ws else 0
+            for i in range(ng):
+                g = " ".join(ws[i : i + n])
+                grams[g] = grams.get(g, 0) + 1
+        expected = {}
+        kept_expected = {}
+        for d, ws in split.items():
+            covered = set()
+            ng = max(len(ws) - n + 1, 1) if ws else 0
+            for i in range(ng):
+                if grams[" ".join(ws[i : i + n])] > 1:
+                    covered.update(range(i, min(i + n, len(ws))))
+            spans = []
+            for j in sorted(covered):
+                if spans and j == spans[-1][1] + 1:
+                    spans[-1][1] = j
+                else:
+                    spans.append([j, j])
+            expected[d] = (
+                len(spans),
+                sum(e - s + 1 for s, e in spans),
+                max((e - s + 1 for s, e in spans), default=0),
+            )
+            kept_expected[d] = " ".join(
+                w for j, w in enumerate(ws) if j not in covered
+            )
+
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_dup_spans"],
+                r["dup_tokens"],
+                r["max_span_tokens"],
+            )
+            for r in DD.dup_gram_spans(docs, n=n).collect()
+        }
+        assert got == expected, f"seed {seed}"
+        stripped = {
+            r["doc_id"]: r["clean_text"]
+            for r in DD.strip_dup_spans(docs, n=n).collect()
+        }
+        assert stripped == kept_expected, f"seed {seed}"
