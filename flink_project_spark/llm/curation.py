@@ -406,12 +406,20 @@ def mixture_plan(
             .otherwise(F.lit(0.0))
             .alias("keep_rate"),
         )
+    return _finalize_mixture(out)
+
+
+def _finalize_mixture(out: DataFrame) -> DataFrame:
+    """Shared tail of every mixture planner: kept_tokens and the
+    integer keep_rate_pct that sample_by_hash/sample_by_rate_column
+    consume (floor(x*100 + 0.5) = round-half-up). ONE definition so
+    the two mixture modes can never quantize the draw differently."""
     return out.withColumn(
         "kept_tokens",
-        F.floor(F.col("tokens").cast("double") * F.col("keep_rate")).cast("long"),
+        F.floor(F.col("tokens").cast("double") * F.col("keep_rate")).cast(
+            "long"
+        ),
     ).withColumn(
-        # the integer form sample_by_hash consumes (floor(x*100 + 0.5)
-        # = round-half-up, deterministic in any engine)
         "keep_rate_pct",
         F.floor(F.col("keep_rate") * 100 + F.lit(0.5)).cast("long"),
     )
@@ -475,15 +483,7 @@ def mixture_temperature(
         .otherwise(F.lit(0.0))
         .alias("keep_rate"),
     )
-    return out.withColumn(
-        "kept_tokens",
-        F.floor(F.col("tokens").cast("double") * F.col("keep_rate")).cast(
-            "long"
-        ),
-    ).withColumn(
-        "keep_rate_pct",
-        F.floor(F.col("keep_rate") * 100 + F.lit(0.5)).cast("long"),
-    )
+    return _finalize_mixture(out)
 
 
 def token_budget_sample(

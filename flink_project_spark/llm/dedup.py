@@ -65,13 +65,25 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingle_array(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column."""
+    """Distinct word n-gram shingles as an array column.
+
+    Zero-word documents get an EMPTY shingle set (not a synthetic ''
+    shingle): an empty doc has no content to near-match — exact dedup
+    still groups byte-identical ones — and a '' shingle would give all
+    empty docs identical MinHash signatures, forming one degenerate
+    all-empties LSH bucket (a real hot-bucket hazard at corpus scale)
+    plus jaccard-1.0 pairs between e.g. '' and whitespace-only docs.
+    Mirrors the oracle's list-comprehension shingles, which are
+    likewise empty for zero-word docs.
+    """
     w = words(text)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(w, i, n)),
     )
-    return F.array_distinct(grams)
+    return F.when(F.size(w) == 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
 
 
 #: Mersenne prime 2^31-1 — the classic universal-hash modulus. All
@@ -103,7 +115,12 @@ def shingle_hashes(
     # (the inlined form re-evaluates per element — the same hazard that
     # made the first winnow_fingerprints 10x slower; here it measured
     # ~1.5x on shingle-sized docs)
-    base = docs.select("doc_id", words(F.col(text_col)).alias("_ws"))
+    base = docs.select("doc_id", words(F.col(text_col)).alias("_ws")).filter(
+        # zero-word docs emit NO shingles (see shingle_array: avoids
+        # the degenerate all-empties LSH bucket and '' jaccard-1 pairs;
+        # mirrors the oracle's empty comprehension)
+        F.size(F.col("_ws")) > 0
+    )
     grams = F.array_distinct(
         F.transform(
             F.sequence(

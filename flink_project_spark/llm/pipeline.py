@@ -109,6 +109,20 @@ def curate_corpus(
     7. ``chunks`` (if `chunk_tokens`): zero-shuffle sliding-window
        chunking with source/split labels carried through.
     """
+    # config validation up front (NOT inside `if apply_mixture:` — a
+    # typo'd mode in a no-mixture run must still be reported, before
+    # any job runs)
+    if mixture_mode not in ("plan", "temperature"):
+        raise ValueError(
+            f"unknown mixture_mode {mixture_mode!r} "
+            "(expected 'plan' or 'temperature')"
+        )
+    if mixture_mode == "temperature" and mixture_weights is not None:
+        raise ValueError(
+            "mixture_weights is only valid with mixture_mode='plan' — "
+            "temperature mode derives its own targets"
+        )
+
     r = CurationResult()
     r.stages["input"] = docs
 
@@ -140,20 +154,10 @@ def curate_corpus(
 
     if apply_mixture:
         if mixture_mode == "temperature":
-            if mixture_weights is not None:
-                raise ValueError(
-                    "mixture_weights is only valid with mixture_mode="
-                    "'plan' — temperature mode derives its own targets"
-                )
             plan = CUR.mixture_temperature(current, text_col=text_col)
-        elif mixture_mode == "plan":
+        else:
             plan = CUR.mixture_plan(
                 current, weights=mixture_weights, text_col=text_col
-            )
-        else:
-            raise ValueError(
-                f"unknown mixture_mode {mixture_mode!r} "
-                "(expected 'plan' or 'temperature')"
             )
         plan = plan.select("source", "keep_rate_pct")
         current = CUR.sample_by_rate_column(

@@ -100,10 +100,19 @@ def write_training_shards(
     Returns the manifest as a DataFrame (shard, rows[, tokens]) read
     back from the written files — counted from the actual output, not
     the input plan, so a partial/failed write can't produce a manifest
-    that overstates the corpus.
+    that overstates the corpus. The manifest always has exactly
+    `n_shards` rows: a shard with no assigned documents reports
+    rows=0 (and tokens=0) even though no ``shard=K`` directory exists
+    on disk — per-shard loaders must consult the manifest, not probe
+    directories.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if max_records_per_file is not None and max_records_per_file < 1:
+        raise ValueError(
+            f"max_records_per_file must be >= 1, got {max_records_per_file}"
+            " (an accidental 0 would silently mean 'unbounded')"
+        )
     from flink_project_spark.llm.hashing import v32
 
     shard = F.pmod(
@@ -111,14 +120,25 @@ def write_training_shards(
         F.lit(n_shards),
     ).cast("int")
     w = df.withColumn("shard", shard).write.mode("overwrite")
-    if max_records_per_file:
+    if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", int(max_records_per_file))
     w.partitionBy("shard").parquet(path)
     back = df.sparkSession.read.parquet(path)
     aggs = [F.count(F.lit(1)).alias("rows")]
     if token_col is not None:
         aggs.append(F.sum(token_col).cast("long").alias("tokens"))
-    return back.groupBy("shard").agg(*aggs).orderBy("shard")
+    counted = back.groupBy("shard").agg(*aggs)
+    all_shards = df.sparkSession.range(n_shards).select(
+        F.col("id").cast("int").alias("shard")
+    )
+    zeros = [F.coalesce("rows", F.lit(0)).cast("long").alias("rows")]
+    if token_col is not None:
+        zeros.append(F.coalesce("tokens", F.lit(0)).cast("long").alias("tokens"))
+    return (
+        all_shards.join(counted, "shard", "left")
+        .select("shard", *zeros)
+        .orderBy("shard")
+    )
 
 
 def compact_parquet(

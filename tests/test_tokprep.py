@@ -644,7 +644,31 @@ def test_token_budget_sample_caps_each_source(spark):
         per_src[r.source] = per_src.get(r.source, 0) + 1
         assert r.cum_tokens == r.n_tokens
     assert per_src == {"s0": 1, "s1": 1, "s2": 1}
-    # determinism: same salt -> same set; different salt -> same sizes
+    # determinism: same salt -> identical kept set across runs
     a = {r.doc_id for r in CUR.token_budget_sample(docs, budget=5).collect()}
     b = {r.doc_id for r in CUR.token_budget_sample(docs, budget=5).collect()}
     assert a == b
+    # a different salt is an INDEPENDENT deterministic draw: it still
+    # satisfies the budget rule, and repeating it reproduces itself
+    alt = CUR.token_budget_sample(docs, budget=5, salt="other").collect()
+    for r in alt:
+        assert r.cum_tokens - r.n_tokens < 5
+    alt2 = {
+        r.doc_id
+        for r in CUR.token_budget_sample(docs, budget=5, salt="other").collect()
+    }
+    assert {r.doc_id for r in alt} == alt2
+    # the salt actually reaches the hash: salt='redraw' provably
+    # reorders this fixture (computed from the md5 rule directly:
+    # default admits s0 doc 2 / s1 doc 4 first, 'redraw' admits
+    # s0 doc 1 / s1 doc 5 first)
+    first_alt = {
+        (r.source, r.doc_id)
+        for r in CUR.token_budget_sample(docs, budget=1, salt="redraw").collect()
+    }
+    first_default = {
+        (r.source, r.doc_id)
+        for r in CUR.token_budget_sample(docs, budget=1).collect()
+    }
+    assert first_alt != first_default
+    assert ("s0", 1) in first_alt and ("s0", 2) in first_default
