@@ -1327,6 +1327,15 @@ def shared_intermediates(
     return out
 
 
+def q_event_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar resample: 1-hour tumbling counts per event_type
+    with every bucket of the observed range present (zeros filled) —
+    the chart/forecast export form of T1."""
+    return W.gap_fill_counts(
+        _events(spark, sf_dir), "ts", "1 hour", ["event_type"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scene_uv": q_scene_uv,
@@ -1438,6 +1447,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_market_share": q_nation_market_share,
         # top_supplier_revenue: argmax via 1-row quantized-max broadcast
         "top_supplier_revenue": q_top_supplier_revenue,
+        # event_gap_fill: the dense-calendar twin of the driver-checked
+        # event_window_counts (same bucket rule; adds the bounded
+        # calendar broadcast + zero-fill left join)
+        "event_gap_fill": q_event_gap_fill,
     }
 
 
@@ -1588,6 +1601,29 @@ def oracle_sql() -> dict[str, str]:
                || '_' || CAST(cnt_detail_page_show AS VARCHAR)
                || '_' || CAST(cnt_other AS VARCHAR) AS metrics_joined
         FROM counts
+        """,
+        "event_gap_fill": """
+        WITH sparse AS (
+          SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                 event_type, count(*) AS cnt
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        ), rng AS (
+          SELECT min(time_bucket(INTERVAL '1 hour', ts)) AS mn,
+                 max(time_bucket(INTERVAL '1 hour', ts)) AS mx
+          FROM events
+        ), cal AS (
+          SELECT unnest(generate_series(mn, mx, INTERVAL '1 hour'))
+                   AS window_start
+          FROM rng WHERE mn IS NOT NULL
+        ), keys AS (
+          SELECT DISTINCT event_type FROM events
+        )
+        SELECT c.window_start, k.event_type,
+               CAST(coalesce(s.cnt, 0) AS BIGINT) AS cnt
+        FROM cal c
+        CROSS JOIN keys k
+        LEFT JOIN sparse s ON s.window_start = c.window_start
+                          AND s.event_type = k.event_type
         """,
         "event_window_counts": """
         SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,

@@ -83,6 +83,7 @@ def curate_corpus(
     split_ratios: tuple[tuple[str, int], ...] = CUR.DEFAULT_RATIOS,
     chunk_tokens: int | None = None,
     chunk_stride: int | None = None,
+    strip_spans_n: int | None = None,
 ) -> CurationResult:
     """Run the full curation funnel over `docs` (doc_id, source, text,
     ...). Stages and their scale shapes:
@@ -94,6 +95,12 @@ def curate_corpus(
        the cheap greedy rule) — the same audited, capped, never-
        all-pairs machinery as the `doc_minhash_neardups` /
        `doc_dedup_cc` contract queries.
+    2b. ``span_stripped`` (if `strip_spans_n`): after whole-doc
+       near-dedup, remove the remaining PARTIAL overlaps — duplicated
+       >= strip_spans_n-token substrings (ExactSubstr, `llm.dedup.
+       strip_dup_spans`) — rewriting each survivor's text; docs left
+       with zero tokens are dropped. Runs over the deduped corpus so
+       the gram table never pays for docs already removed.
     3. ``quality_gate``: composite `quality_score` >= threshold,
        attached by a doc_id join (score is a pure projection).
     4. ``decontaminated`` (if `benchmark` given): drop docs whose
@@ -137,6 +144,16 @@ def curate_corpus(
     )
     near = DD.dedup_keep_canonical(deduped, pairs, mode=dedup_mode)
     r.stages["near_dedup"] = near
+
+    if strip_spans_n:
+        stripped = DD.strip_dup_spans(near, n=strip_spans_n, text_col=text_col)
+        near = near.drop(text_col).join(
+            stripped.filter(F.col("kept_tokens") > 0).select(
+                "doc_id", F.col("clean_text").alias(text_col)
+            ),
+            "doc_id",
+        )
+        r.stages["span_stripped"] = near
 
     quality = TX.quality_score(near, text_col).select("doc_id", "quality")
     gated = near.join(quality, "doc_id").filter(

@@ -375,3 +375,49 @@ def rolling_time_agg(
             s.cast("double") / F.lit(float(scale)) / cnt.cast("double")
         ).alias("w_mean"),
     )
+
+
+def gap_fill_counts(
+    events: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: list[str],
+) -> DataFrame:
+    """Dense calendar resample: `tumbling_counts` with EVERY bucket of
+    the observed time range present for EVERY key — missing buckets
+    filled with cnt 0. The export/dashboard form of T1: a chart, a
+    forecast model, or a rate-anomaly scan needs the zero rows, which
+    the sparse groupBy omits by construction.
+
+    Plan: the sparse count (the one data-scaled exchange) + a calendar
+    exploded from a 1-row global min/max aggregate via sequence() —
+    calendar size = time-range / duration, INDEPENDENT of event volume
+    — crossed with the distinct-key table and left-joined back. The
+    cross is a broadcast of the bounded calendar (|keys| x |buckets|
+    rows); rows with NULL timestamps never enter the calendar range
+    and are dropped, same as the oracle's time_bucket(NULL).
+    """
+    bucket = F.window(F.col(ts_col), duration)["start"]
+    sparse = (
+        events.groupBy(bucket.alias("window_start"), *keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("window_start").isNotNull())
+    )
+    calendar = (
+        events.agg(
+            F.min(bucket).alias("_mn"), F.max(bucket).alias("_mx")
+        )
+        .filter(F.col("_mn").isNotNull())
+        .select(
+            F.explode(
+                F.expr(f"sequence(_mn, _mx, interval {duration})")
+            ).alias("window_start")
+        )
+    )
+    key_table = events.select(*keys).distinct()
+    dense = key_table.crossJoin(F.broadcast(calendar))
+    return dense.join(sparse, ["window_start", *keys], "left").select(
+        "window_start",
+        *keys,
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+    )

@@ -147,3 +147,34 @@ def test_curate_corpus_temperature_mixture(spark):
         )
     with _pytest.raises(ValueError, match="mixture_mode"):
         curate_corpus(docs, mixture_mode="bogus")
+
+
+def test_curate_corpus_span_strip_stage(spark):
+    """strip_spans_n: partial overlaps that SURVIVE whole-doc near-dedup
+    (low jaccard, long shared run) are rewritten out of the text; docs
+    stripped to zero tokens are dropped; the stage is absent by
+    default."""
+    docs = _corpus(spark)
+    # doc 200 shares a 12-word run with doc 0 but is otherwise distinct:
+    # jaccard << 0.8 so near-dedup keeps both; ExactSubstr strips the run
+    run = " ".join(docs.filter(F.col("doc_id") == 0).head()["text"].split()[:12])
+    opening = " ".join(f"fresh{i}" for i in range(18)) + " "
+    extra = spark.createDataFrame(
+        [(200, "s_big", opening + run)],
+        ["doc_id", "source", "text"],
+    )
+    both = docs.union(extra)
+    r = curate_corpus(
+        both, apply_mixture=False, chunk_tokens=None, strip_spans_n=6
+    )
+    assert "span_stripped" in r.stages
+    kept = {
+        row["doc_id"]: row["text"]
+        for row in r.stages["span_stripped"].collect()
+    }
+    assert 200 in kept and 0 in kept
+    assert run not in kept[200] and run not in kept[0]
+    assert kept[200].startswith("fresh0 fresh1")
+    # default run has no such stage
+    r2 = curate_corpus(docs, apply_mixture=False)
+    assert "span_stripped" not in r2.stages

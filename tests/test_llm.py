@@ -816,3 +816,31 @@ def test_dup_gram_spans_random_sweep_vs_python_twin(spark):
             for r in DD.strip_dup_spans(docs, n=n).collect()
         }
         assert stripped == kept_expected, f"seed {seed}"
+
+
+def test_gap_fill_counts_dense_calendar(spark):
+    """Every (key, bucket) pair of the observed range is present, zeros
+    where no events fall, sparse counts preserved, NULL timestamps
+    ignored, and the dense row count is exactly |keys| x |buckets|."""
+    from flink_project_spark.operators.windows import gap_fill_counts
+
+    rows = [
+        (1, "2024-01-01 00:05:00", "a"),
+        (2, "2024-01-01 00:07:00", "a"),
+        (3, "2024-01-01 03:30:00", "a"),  # hours 1-2 empty for 'a'
+        (4, "2024-01-01 01:10:00", "b"),
+        (5, None, "b"),  # NULL ts: counted nowhere
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+    out = gap_fill_counts(ev, "ts", "1 hour", ["event_type"]).collect()
+    # range: 00:00..03:00 -> 4 buckets x 2 keys = 8 rows
+    assert len(out) == 8
+    got = {(str(r["window_start"]), r["event_type"]): r["cnt"] for r in out}
+    assert got[("2024-01-01 00:00:00", "a")] == 2
+    assert got[("2024-01-01 01:00:00", "a")] == 0
+    assert got[("2024-01-01 02:00:00", "a")] == 0
+    assert got[("2024-01-01 03:00:00", "a")] == 1
+    assert got[("2024-01-01 01:00:00", "b")] == 1
+    assert sum(v for (_, k), v in got.items() if k == "b") == 1

@@ -89,6 +89,11 @@ NESTED_LOOP_OK = {
     # top_supplier_revenue: the Q15 max-revenue scalar is a 1-row
     # aggregate attached by broadcast before the integer-exact compare
     "top_supplier_revenue",
+    # event_gap_fill: the calendar side explodes from a 1-row min/max
+    # aggregate (|buckets| = time-range/duration, volume-independent)
+    # and broadcasts onto the distinct-key table — bounded by
+    # construction, same rationale as the scalar attaches above
+    "event_gap_fill",
 }
 
 
