@@ -413,6 +413,16 @@ def q_doc_heuristic_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.heuristic_rules(_docs(spark, sf_dir))
 
 
+def q_media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-chunk simhash near-dup pairs over the opaque binary
+    payloads (chunk 64, stride 32, Hamming <= 3) — blob dedup with no
+    codec in the loop. The oracle mirrors the byte chunks as text
+    substrings: payload is UTF-8 of the fixture text and the corpus is
+    ASCII, so byte and character offsets coincide; the ENGINE operates
+    on the binary column throughout."""
+    return MM.payload_near_dups(MM.attach_payload(_docs_media(spark, sf_dir)))
+
+
 def q_doc_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled (alpha=0.5) mixture reweighting: per-source
     keep rates toward sqrt(T_s)-proportional target shares."""
@@ -605,6 +615,10 @@ def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracled): the same in-scan regexp/array-filter machinery as
         # the in-cap doc_quality/doc_pii_stats
         "doc_heuristic_rules": q_doc_heuristic_rules,
+        # blob near-dup (past the cap; pytest-sweep-oracled): byte-chunk
+        # hashes through the in-cap doc_simhash bit-majority aggregate
+        # and the in-cap doc_simhash_neardups pigeonhole band join
+        "media_near_dups": q_media_near_dups,
     }
 
 
@@ -1463,6 +1477,45 @@ WITH dec AS (
         FROM dwords d LEFT JOIN per_doc p USING (doc_id)
         """
     )
+    # blob near-dup: byte chunks mirrored as ASCII text substrings
+    # (payload = UTF-8 of the fixture text; corpus is ASCII so byte and
+    # character offsets coincide), then the identical bit-majority +
+    # pigeonhole banding as the doc_simhash oracles
+    d["media_near_dups"] = f"""
+        WITH ch0 AS (
+          SELECT doc_id,
+                 unnest([md5(substring(text, i, 64))
+                         for i in generate_series(
+                             1, greatest(length(text) - 63, 1), 32)]) AS hx
+          FROM documents WHERE length(text) > 0
+        ), wh AS (
+          SELECT doc_id, {v32_from_hex_sql('hx')} AS h FROM ch0
+        ), bits AS (
+          SELECT doc_id, g.j,
+                 SUM(CASE WHEN (h & (CAST(1 AS BIGINT) << g.j)) <> 0
+                          THEN 1 ELSE -1 END) AS s
+          FROM wh, generate_series(0, 31) g(j)
+          GROUP BY doc_id, g.j
+        ), sim0 AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                               ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id
+        ), sim AS (
+          SELECT d.doc_id, COALESCE(s.simhash, CAST(0 AS BIGINT)) AS simhash
+          FROM documents d LEFT JOIN sim0 s ON d.doc_id = s.doc_id
+        ), sbands AS (
+          SELECT doc_id, simhash, g.b AS band,
+                 (simhash >> (g.b * 8)) & 255 AS slice
+          FROM sim, generate_series(0, 3) g(b)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, c.simhash)) AS INT) AS hamming
+        FROM sbands a
+        JOIN sbands c ON a.band = c.band AND a.slice = c.slice
+                     AND a.doc_id < c.doc_id
+        WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+        """
     # C4/Gopher page-level rule gate — every rule a pure expression on
     # the split/regexp machinery; the 8-word Gopher stopword list and
     # the rule thresholds are shared verbatim with llm.text

@@ -672,19 +672,18 @@ def simhash(text: Column, bits: int = 32) -> Column:
     )
 
 
-def doc_simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
-    """(doc_id, simhash) via explode -> grouped bit-sum aggregate.
+def simhash_from_hashes(
+    ids: DataFrame, hashed: DataFrame, bits: int = 32
+) -> DataFrame:
+    """(doc_id, simhash) bit-majority aggregate from an exploded
+    (doc_id, h) 32-bit-hash table — the shared core of `doc_simhash`
+    (word hashes) and `multimodal.payload_simhash` (byte-chunk hashes).
 
-    Equivalent to `simhash()` per row but runs as `bits` codegen'd
-    conditional sums with map-side partial aggregation — the shuffle
-    carries |docs| x bits longs. Documents with zero whitespace tokens
-    produce no exploded rows; the left join restores them with
-    simhash = 0, matching the fold semantics (and the DuckDB oracle
-    applies the identical COALESCE).
+    Runs as `bits` codegen'd conditional sums with map-side partial
+    aggregation — the shuffle carries |ids| x bits longs. Ids with no
+    hash rows are restored with simhash = 0 via the left join (the
+    fold semantics; oracles apply the identical COALESCE).
     """
-    wh = docs.select(
-        "doc_id", F.explode(words(F.col(text_col))).alias("w")
-    ).select("doc_id", v32(F.col("w")).alias("h"))
     aggs = [
         F.sum(
             F.when(
@@ -699,13 +698,23 @@ def doc_simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> Data
             F.col(f"_s{j}") > 0, F.lit(2**j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         sim_val = term if sim_val is None else sim_val + term
-    simdf = wh.groupBy("doc_id").agg(*aggs).select(
+    simdf = hashed.groupBy("doc_id").agg(*aggs).select(
         "doc_id", sim_val.alias("simhash")
     )
-    return docs.select("doc_id").join(simdf, "doc_id", "left").select(
+    return ids.select("doc_id").join(simdf, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"),
     )
+
+
+def doc_simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """(doc_id, simhash) via explode -> grouped bit-sum aggregate
+    (see `simhash_from_hashes` for the aggregate's shape). Documents
+    with zero whitespace tokens report simhash = 0."""
+    wh = docs.select(
+        "doc_id", F.explode(words(F.col(text_col))).alias("w")
+    ).select("doc_id", v32(F.col("w")).alias("h"))
+    return simhash_from_hashes(docs, wh, bits)
 
 
 def simhash_near_dups(

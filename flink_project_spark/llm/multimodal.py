@@ -215,3 +215,75 @@ def resize_plan(decoded: DataFrame, max_side: int = 256) -> DataFrame:
         F.floor(tw).cast("int").alias("target_width"),
         F.floor(th).cast("int").alias("target_height"),
     )
+
+
+def payload_simhash(
+    media: DataFrame,
+    chunk: int = 64,
+    stride: int = 32,
+    bits: int = 32,
+) -> DataFrame:
+    """(doc_id, simhash) over BYTE chunks of the opaque binary payload
+    — content near-dup for media blobs with NO codec in the loop: blobs
+    differing by small byte edits (re-muxed metadata, trailing tags)
+    land within a few Hamming bits; pair them with
+    `dedup.simhash_near_dups`, exactly as for text. Byte-identical
+    blobs are the exact case and already collide on `meta.checksum`.
+
+    Positional fixed-stride chunking (positions 1, 1+stride, ...; each
+    chunk `chunk` bytes, the tail chunk truncated). Fixed offsets keep
+    the oracle bit-exact but make the signature sensitive to byte
+    INSERTIONS (everything downstream shifts); at production scale use
+    content-defined chunking (rolling-hash boundaries, as in LBFS/
+    backup dedup) for insertion-robust chunks — the aggregate and
+    banding downstream are unchanged.
+
+    Plan: positions exploded per blob (a Generate — no shuffle; the
+    payload bytes never leave the scan task), md5 per chunk -> 32-bit
+    ints, then the same codegen'd bit-majority aggregate as
+    `doc_simhash` — the only exchange carries |blobs| x bits longs.
+    Zero-byte payloads report simhash = 0, mirroring zero-token docs.
+    """
+    if chunk < 1 or stride < 1:
+        raise ValueError("chunk and stride must be >= 1")
+    from flink_project_spark.llm.dedup import simhash_from_hashes
+    from flink_project_spark.llm.hashing import v32_from_hex
+
+    p = F.col("payload")
+    npos = F.greatest(
+        F.octet_length(p) - (chunk - 1), F.lit(1)
+    )
+    ch = (
+        media.filter(F.octet_length(p) > 0)
+        .select(
+            "doc_id",
+            p.alias("_p"),
+            F.explode(
+                F.sequence(F.lit(1), npos, F.lit(stride))
+            ).alias("_pos"),
+        )
+        .select(
+            "doc_id",
+            v32_from_hex(
+                F.md5(F.col("_p").substr(F.col("_pos"), F.lit(chunk)))
+            ).alias("h"),
+        )
+    )
+    return simhash_from_hashes(media, ch, bits)
+
+
+def payload_near_dups(
+    media: DataFrame,
+    chunk: int = 64,
+    stride: int = 32,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Blob near-dup pairs: `payload_simhash` + the pigeonhole banded
+    self-join of `dedup.simhash_near_dups` (never blob x blob)."""
+    from flink_project_spark.llm.dedup import simhash_near_dups
+
+    return simhash_near_dups(
+        payload_simhash(media, chunk, stride, bits), bits, bands, max_hamming
+    )

@@ -844,3 +844,31 @@ def test_gap_fill_counts_dense_calendar(spark):
     assert got[("2024-01-01 03:00:00", "a")] == 1
     assert got[("2024-01-01 01:00:00", "b")] == 1
     assert sum(v for (_, k), v in got.items() if k == "b") == 1
+
+
+def test_payload_near_dups_byte_edits(spark):
+    """Blob near-dup: a small byte edit keeps the pair within the
+    Hamming budget, unrelated payloads never pair, empty blobs report
+    simhash 0 and do not near-match non-empty ones."""
+    import random
+
+    rnd = random.Random(5)
+    blob = bytes(rnd.randrange(32, 127) for _ in range(4000))
+    edited = blob[:1000] + b"X" + blob[1001:]  # 1-byte substitution
+    other = bytes(rnd.randrange(32, 127) for _ in range(4000))
+    media = spark.createDataFrame(
+        [(1, blob), (2, edited), (3, other), (4, b"")],
+        "doc_id long, payload binary",
+    )
+    sims = {
+        r["doc_id"]: r["simhash"]
+        for r in MM.payload_simhash(media).collect()
+    }
+    assert sims[4] == 0
+    assert sims[1] != sims[3]
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in MM.payload_near_dups(media).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(4 not in p and 3 not in p for p in pairs)
