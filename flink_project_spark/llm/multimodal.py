@@ -287,3 +287,137 @@ def payload_near_dups(
     return simhash_near_dups(
         payload_simhash(media, chunk, stride, bits), bits, bands, max_hamming
     )
+
+
+#: CDC rolling-hash parameters: polynomial base, window width, and the
+#: boundary mask (2^k - 1 => expected chunk ~2^k bytes between clamps).
+CDC_BASE = 1000003
+CDC_WINDOW = 16
+CDC_MASK_BITS = 9  # ~512-byte average chunks
+CDC_MIN_CHUNK = 128
+CDC_MAX_CHUNK = 2048
+
+
+def cdc_chunk_hashes(
+    media: DataFrame,
+    mask_bits: int = CDC_MASK_BITS,
+    min_chunk: int = CDC_MIN_CHUNK,
+    max_chunk: int = CDC_MAX_CHUNK,
+) -> DataFrame:
+    """Content-defined chunking of the binary payload (LBFS/backup-dedup
+    style): boundaries where a w-byte polynomial rolling hash hits
+    `hash & (2^mask_bits - 1) == 0`, clamped to [min_chunk, max_chunk].
+    Output: (doc_id, chunk_idx, chunk_len, chunk_md5).
+
+    WHY over `payload_simhash`'s fixed-stride chunks: boundaries derive
+    from CONTENT, so inserting/deleting bytes resynchronizes within one
+    window — all chunks outside the edit region keep their hashes (the
+    property that makes chunk-level dedup of mutated blobs work).
+    Downstream is ordinary relational work: exact chunk dedup is a
+    groupBy on chunk_md5; blob near-dup is chunk-set overlap via the
+    same exploded equi-join as text near-dup.
+
+    Implementation: a genuinely per-byte sequential computation that no
+    built-in Column expression expresses — so it runs as Arrow-batched
+    `mapInPandas` with the rolling hash VECTORIZED in numpy per blob
+    (np.convolve over the byte array; only the boundary clamp walks the
+    — typically few hundred — candidate boundaries in Python). Payload
+    bytes never shuffle: chunking happens on the scan task and only the
+    fixed-width chunk rows leave it.
+    """
+    if not (0 < min_chunk <= max_chunk):
+        raise ValueError("need 0 < min_chunk <= max_chunk")
+    mask = (1 << mask_bits) - 1
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("chunk_idx", T.IntegerType()),
+            T.StructField("chunk_len", T.IntegerType()),
+            T.StructField("chunk_md5", T.StringType()),
+        ]
+    )
+
+    def chunk(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # polynomial weights p^(w-1) .. p^0 folded into uint64 (mod 2^64
+        # arithmetic is exact and identical everywhere)
+        kernel = np.array(
+            [pow(CDC_BASE, CDC_WINDOW - 1 - j, 1 << 64) for j in range(CDC_WINDOW)],
+            dtype=np.uint64,
+        )
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload or b""), dtype=np.uint8)
+                n = len(b)
+                if n == 0:
+                    continue
+                if n >= CDC_WINDOW:
+                    with np.errstate(over="ignore"):
+                        h = np.convolve(
+                            b.astype(np.uint64), kernel, mode="valid"
+                        )
+                    # candidate boundary AFTER byte i+w-1 where the
+                    # window hash masks to zero
+                    cands = (np.nonzero((h & np.uint64(mask)) == 0)[0]
+                             + CDC_WINDOW)
+                else:
+                    cands = np.empty(0, dtype=np.int64)
+                # clamp walk: emit boundaries respecting min/max chunk
+                bounds = []
+                start = 0
+                ci = 0
+                for c in cands:
+                    if c - start < min_chunk:
+                        continue
+                    while c - start > max_chunk:
+                        bounds.append((start, start + max_chunk))
+                        start += max_chunk
+                    bounds.append((start, int(c)))
+                    start = int(c)
+                while n - start > max_chunk:
+                    bounds.append((start, start + max_chunk))
+                    start += max_chunk
+                if n - start > 0:
+                    bounds.append((start, n))
+                for ci, (s, e) in enumerate(bounds):
+                    rows.append(
+                        (
+                            doc_id,
+                            ci,
+                            e - s,
+                            hashlib.md5(b[s:e].tobytes()).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "chunk_idx", "chunk_len", "chunk_md5"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(chunk, schema)
+
+
+def blob_chunk_overlap(
+    chunks: DataFrame, min_shared: int = 2
+) -> DataFrame:
+    """Blob pairs sharing >= min_shared CDC chunk hashes — the
+    chunk-level dedup join over `cdc_chunk_hashes` output: robust to
+    byte insertions (unlike `payload_near_dups`' fixed-stride
+    signature) because shared content resynchronizes to identical
+    chunks. Same narrow exploded equi-join plan as the text near-dup
+    verify stage: rows in flight are (doc_a, doc_b, md5) fixed-width
+    triples, never payloads; a corpus-hot chunk (e.g. a common header)
+    fans out as hot keys — dedup the (doc_id, chunk_md5) pairs first
+    (done here) and cap/salt on the chunk key if a profile
+    (`operators.profiling.key_skew_profile`) shows pathological reuse.
+    """
+    c = chunks.select("doc_id", "chunk_md5").distinct()
+    a = c.select(F.col("doc_id").alias("doc_a"), "chunk_md5")
+    b = c.select(F.col("doc_id").alias("doc_b"), "chunk_md5")
+    return (
+        a.join(b, "chunk_md5")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+        .filter(F.col("shared_chunks") >= min_shared)
+    )

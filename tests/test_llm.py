@@ -872,3 +872,71 @@ def test_payload_near_dups_byte_edits(spark):
     }
     assert (1, 2) in pairs
     assert all(4 not in p and 3 not in p for p in pairs)
+
+
+def test_cdc_chunks_insertion_robust(spark):
+    """Content-defined chunking: deterministic across runs; covers the
+    blob exactly (lens sum to n, contiguous indices); chunk sizes
+    respect the clamps; and — the property fixed-stride chunking lacks
+    — a single-byte INSERTION preserves the vast majority of chunk
+    hashes."""
+    import random
+
+    rnd = random.Random(13)
+    blob = bytes(rnd.randrange(256) for _ in range(20000))
+    mutated = blob[:9000] + b"Z" + blob[9000:]
+    media = spark.createDataFrame(
+        [(1, blob), (2, mutated), (3, b"")],
+        "doc_id long, payload binary",
+    )
+    rows = MM.cdc_chunk_hashes(media).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc  # empty blob: no chunks
+    for d, rs in by_doc.items():
+        rs.sort(key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in rs] == list(range(len(rs)))
+        total = sum(r["chunk_len"] for r in rs)
+        assert total == (20000 if d == 1 else 20001)
+        # every chunk within clamps except possibly the final tail
+        for r in rs[:-1]:
+            assert MM.CDC_MIN_CHUNK <= r["chunk_len"] <= MM.CDC_MAX_CHUNK
+        assert rs[-1]["chunk_len"] <= MM.CDC_MAX_CHUNK
+    # determinism
+    again = {
+        (r["doc_id"], r["chunk_idx"], r["chunk_md5"])
+        for r in MM.cdc_chunk_hashes(media).collect()
+    }
+    assert again == {
+        (r["doc_id"], r["chunk_idx"], r["chunk_md5"]) for r in rows
+    }
+    # insertion robustness: >= 80% of the original chunk hashes survive
+    h1 = [r["chunk_md5"] for r in sorted(by_doc[1], key=lambda r: r["chunk_idx"])]
+    h2 = {r["chunk_md5"] for r in by_doc[2]}
+    survived = sum(1 for h in h1 if h in h2)
+    assert survived / len(h1) >= 0.8, (survived, len(h1))
+
+
+def test_blob_chunk_overlap_pairs_mutated_blobs(spark):
+    """CDC chunk-overlap pairing: an inserted-byte mutant pairs with
+    its original on many shared chunks; an unrelated blob pairs with
+    neither."""
+    import random
+
+    rnd = random.Random(29)
+    blob = bytes(rnd.randrange(256) for _ in range(20000))
+    mutated = blob[:5000] + b"QQ" + blob[5000:]
+    other = bytes(rnd.randrange(256) for _ in range(20000))
+    media = spark.createDataFrame(
+        [(1, blob), (2, mutated), (3, other)],
+        "doc_id long, payload binary",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared_chunks"]
+        for r in MM.blob_chunk_overlap(
+            MM.cdc_chunk_hashes(media), min_shared=3
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 10
+    assert all(3 not in p for p in pairs)
