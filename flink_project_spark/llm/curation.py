@@ -492,6 +492,7 @@ def token_budget_sample(
     by: str = "source",
     text_col: str = "text",
     salt: str = "budget",
+    n_buckets: int = 1,
 ) -> DataFrame:
     """Cap each `by` group at a TOKEN budget (not a document count —
     the knob corpus recipes actually specify): admit documents in
@@ -505,25 +506,58 @@ def token_budget_sample(
     md5 order) + filter — the token-denominated twin of
     `source_quota`'s count top-K. Output: the kept (doc_id, by,
     n_tokens, cum_tokens) rows.
+
+    `n_buckets` is the HOT-SOURCE escape hatch: with n_buckets = 1
+    (default, oracle-exact) each group is one window partition — a
+    single reducer serializes a dominant source at corpus scale. With
+    n_buckets > 1, docs hash-scatter into buckets that each admit
+    ~budget/n_buckets tokens (remainder spread one token-budget unit
+    at a time over the first buckets), windows run per (group, bucket)
+    — parallelism × n_buckets — and the union keeps per-group totals
+    within one crossing doc PER BUCKET of the exact budget. Same
+    trade-off as `source_quota(salted=True)`: exactness within
+    n_buckets crossing-docs, bounded skew.
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     from pyspark.sql.window import Window
 
     h = F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string")))
-    w = (
-        Window.partitionBy(by)
-        .orderBy(h.asc(), F.col("doc_id").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     sized = docs.select(
         "doc_id",
         by,
         F.size(TX.words(F.col(text_col))).cast("long").alias("n_tokens"),
     )
+    if n_buckets == 1:
+        w = (
+            Window.partitionBy(by)
+            .orderBy(h.asc(), F.col("doc_id").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .filter(F.col("cum_tokens") - F.col("n_tokens") < budget)
+            .select("doc_id", by, "n_tokens", "cum_tokens")
+        )
+    bucket = F.pmod(
+        v32(F.concat(F.lit(f"{salt}-bucket:"), F.col("doc_id").cast("string"))),
+        F.lit(n_buckets),
+    ).cast("int")
+    base, rem = divmod(budget, n_buckets)
+    bucket_budget = F.lit(base) + F.when(
+        F.col("_bk") < rem, F.lit(1)
+    ).otherwise(F.lit(0))
+    w = (
+        Window.partitionBy(by, "_bk")
+        .orderBy(h.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return (
-        sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget)
+        sized.withColumn("_bk", bucket)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < bucket_budget)
         .select("doc_id", by, "n_tokens", "cum_tokens")
     )
 

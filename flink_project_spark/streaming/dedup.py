@@ -215,3 +215,33 @@ def near_dup_foreach_batch(
         sink(survivors, batch_id)
 
     return _process
+
+
+def curation_foreach_batch(
+    store_dir: str,
+    sink,
+    gate=None,
+    **near_dup_kwargs,
+):
+    """Streaming-ingest curation: per micro-batch, apply ``gate`` (any
+    DataFrame -> DataFrame filter stage — a quality-score threshold, a
+    `text.heuristic_rules` keep-flag filter, a PII gate), then near-dup
+    admission against the horizon-bounded signature store;
+    ``sink(survivors_df, batch_id)`` receives each batch's curated
+    documents. `near_dup_kwargs` pass through to
+    `near_dup_foreach_batch` (horizon_seconds, bands, ...).
+
+    Composition contract (tested): the admitted set equals running the
+    same gate + `near_dup_dedup_batch` over the same arrivals in the
+    same order — gating upstream of admission also keeps REJECTED docs
+    out of the signature store, so a near-dup of junk is judged against
+    the curated corpus only, exactly as the batch funnel
+    (`llm.pipeline.curate_corpus`) orders its stages.
+    """
+    inner = near_dup_foreach_batch(store_dir, sink, **near_dup_kwargs)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        gated = gate(batch_df) if gate is not None else batch_df
+        inner(gated, batch_id)
+
+    return _process

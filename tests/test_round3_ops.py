@@ -684,3 +684,65 @@ def test_rolling_time_agg_matches_self_join(spark):
         | (F.abs(F.col("w_qsum") - F.col("r_qsum")) > 1)
     ).count()
     assert bad == 0
+
+
+def test_streaming_curation_gate_plus_admission(spark, tmp_path):
+    """curation_foreach_batch: the streamed admitted set equals gate +
+    sequential near-dup twin over the same arrivals — and a junk doc's
+    signature never enters the store (a later near-dup of junk is
+    judged only against the CURATED corpus)."""
+    from flink_project_spark.streaming.dedup import curation_foreach_batch
+
+    df, rows = _mk_near_dup_corpus(spark)
+    # junk: too short to pass the gate, arriving FIRST; plus a later
+    # near-dup of a kept doc (still removed) — junk's own near-dup
+    # (doc 102, same junk text) must ALSO be admitted-or-gated purely
+    # by the gate, not by matching junk's signature
+    junk = spark.createDataFrame(
+        [
+            (101, "2023-12-31 23:58:00", "tiny junk"),
+            (102, "2023-12-31 23:59:00", "tiny junk"),
+        ],
+        "doc_id long, ts_s string, text string",
+    ).select(
+        "doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "text"
+    )
+    full = df.union(junk)
+
+    def gate(batch):
+        from flink_project_spark.llm.text import words
+
+        return batch.filter(F.size(words(F.col("text"))) >= 10)
+
+    twin = _sequential_twin_survivors(spark, gate(full))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+
+    def sink(survivors, batch_id):
+        survivors.write.mode("append").parquet(out)
+
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).parquet(str(src))
+    q = (
+        stream.writeStream.foreachBatch(
+            curation_foreach_batch(store, sink, gate=gate, horizon_seconds=7200)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    slices = [
+        full.filter(F.col("doc_id") > 100),  # junk arrives first
+        full.filter(F.col("doc_id") <= 3),
+        full.filter((F.col("doc_id") > 3) & (F.col("doc_id") <= 100)),
+    ]
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == twin
+    assert 101 not in got and 102 not in got

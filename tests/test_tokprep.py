@@ -672,3 +672,39 @@ def test_token_budget_sample_caps_each_source(spark):
     }
     assert first_alt != first_default
     assert ("s0", 1) in first_alt and ("s0", 2) in first_default
+
+
+def test_token_budget_sample_bucketed_bounds(spark):
+    """n_buckets > 1 (the hot-source escape hatch): per-source kept
+    tokens stay within n_buckets crossing-docs of the exact budget,
+    every kept doc satisfies its bucket's rule, and the draw stays
+    deterministic."""
+    import random
+
+    rnd = random.Random(3)
+    rows = [
+        (i, "big", " ".join(f"t{j}" for j in range(rnd.randint(5, 15))))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    budget = 300
+    nb = 4
+    kept = CUR.token_budget_sample(docs, budget, n_buckets=nb).collect()
+    kept_b = CUR.token_budget_sample(docs, budget, n_buckets=1).collect()
+    tok = {r[0]: len(r[2].split()) for r in rows}
+    max_doc = max(tok.values())
+    total_bucketed = sum(r.n_tokens for r in kept)
+    total_exact = sum(r.n_tokens for r in kept_b)
+    # exact path: budget .. budget + one crossing doc
+    assert budget <= total_exact < budget + max_doc
+    # bucketed: within one crossing doc PER BUCKET, and at least the
+    # budget minus one undershoot per bucket (a bucket can stop short
+    # only if its stream ran dry — not here, big source)
+    assert budget <= total_bucketed < budget + nb * max_doc
+    # determinism
+    again = {r.doc_id for r in CUR.token_budget_sample(docs, budget, n_buckets=nb).collect()}
+    assert again == {r.doc_id for r in kept}
+    # n_buckets=1 path unchanged by the refactor
+    assert {r.doc_id for r in kept_b} == {
+        r.doc_id for r in CUR.token_budget_sample(docs, budget).collect()
+    }
