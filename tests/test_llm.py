@@ -940,3 +940,22 @@ def test_blob_chunk_overlap_pairs_mutated_blobs(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 10
     assert all(3 not in p for p in pairs)
+
+
+def test_incremental_dedup_precomputed_pairs_equivalence(spark, docs):
+    """Passing the precomputed union pair table (the production/store
+    path the contract query uses) yields exactly the inline-minhash
+    verdicts."""
+    new = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    union = base.unionByName(new)
+    pairs = DD.near_dup_pairs(union, log_overflow=False)
+    via_pairs = {
+        (r["doc_id"], r["verdict"])
+        for r in DD.incremental_dedup(new, base, pairs=pairs).collect()
+    }
+    inline = {
+        (r["doc_id"], r["verdict"])
+        for r in DD.incremental_dedup(new, base, log_overflow=False).collect()
+    }
+    assert via_pairs == inline and len(inline) > 0
