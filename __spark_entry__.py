@@ -1336,6 +1336,239 @@ def q_event_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped correlated-MIN subquery: for each qualifying
+    part, the EUROPE supplier(s) offering the minimum unit cost, over
+    the lineitem bridge (this schema carries no partsupp — unit cost =
+    extendedprice / quantity observed on shipped lines). The correlated
+    'cost = (SELECT min(cost) ...)' decorrelates into one per-(part,
+    supplier) aggregate, a per-part MIN over it, and an integer-exact
+    argmin join-back; both dimension lookups and the per-part MIN table
+    broadcast, so the only data-scaled work is one pruned lineitem scan
+    + one grouped aggregate. Unit cost is quantized to integer micros
+    BEFORE the min so the argmin boundary compare is exact across
+    engines (a double tie at the min is a coin flip otherwise).
+    Ref shape: TPC-H Q2 (min-cost supplier within a region)."""
+    t = FX.load_tables(spark, sf_dir)
+    parts = t["part"].filter(
+        (F.col("p_size").between(10, 25)) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    eur_supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"]
+                .join(
+                    F.broadcast(
+                        t["region"].filter(F.col("r_name") == "EUROPE")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+                .select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    unit_micros = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * 1000000 + F.lit(0.5)
+    ).cast("long")
+    offers = (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey", unit_micros.alias("um"))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(eur_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(F.min("um").alias("supp_min"))
+    )
+    part_min = offers.groupBy(F.col("p_partkey").alias("pk")).agg(
+        F.min("supp_min").alias("part_min")
+    )
+    return (
+        offers.join(
+            F.broadcast(part_min),
+            (F.col("p_partkey") == F.col("pk"))
+            & (F.col("supp_min") == F.col("part_min")),
+        )
+        .join(
+            F.broadcast(eur_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            (F.col("supp_min").cast("double") / F.lit(1000000.0)).alias(
+                "min_unit_cost"
+            ),
+        )
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped product-type profit: revenue from lineitems of
+    LIKE-matched parts, grouped by the SUPPLIER's nation and the order
+    year. The LIKE filter rides a broadcast part lookup that prunes
+    lineitem FIRST; supplier→nation is a second broadcast; the single
+    data-scaled join is lineitem |><| orders on orderkey (both sides
+    pre-projected to 2-3 columns). Profit in exact quantized micros.
+    Ref shape: TPC-H Q9 (product type profit measure)."""
+    t = FX.load_tables(spark, sf_dir)
+    parts = t["part"].filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey"
+    )
+    supp_nation = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].select(
+                    "n_nationkey", F.col("n_name").alias("supp_nation")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    profit_q = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+        + F.lit(0.5)
+    ).cast("decimal(30,0)")
+    li = (
+        t["lineitem"]
+        .select("l_orderkey", "l_partkey", "l_suppkey", profit_q.alias("pq"))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(supp_nation),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    return li.groupBy(
+        "supp_nation", F.year("o_orderdate").alias("o_year")
+    ).agg(
+        (F.sum("pq").cast("double") / F.lit(1000000.0)).alias("profit")
+    )
+
+
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped important stock: parts whose shipped value from
+    ASIA suppliers exceeds a fixed fraction (1/1000) of the total such
+    value. The scalar subquery becomes a 1-row aggregate broadcast
+    (cross join with a 1-row frame = broadcast nested loop over one
+    row); the HAVING compare is integer cross-multiplied
+    (value_cents * 1000 > total_cents) so the threshold boundary is
+    exact — a double fraction-of-total compare can flip rows at the
+    boundary between engines. One data-scaled grouped aggregate total.
+    Ref shape: TPC-H Q11 (important stock identification)."""
+    t = FX.load_tables(spark, sf_dir)
+    asia_supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"]
+                .join(
+                    F.broadcast(
+                        t["region"].filter(F.col("r_name") == "ASIA")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+                .select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+        "decimal(30,0)"
+    )
+    per_part = (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey", val_c.alias("vc"))
+        .join(
+            F.broadcast(asia_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum("vc").alias("val_cents"))
+    )
+    total = per_part.agg(F.sum("val_cents").alias("total_cents"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("val_cents") * 1000 > F.col("total_cents"))
+        .select(
+            "p_partkey",
+            (F.col("val_cents").cast("double") / F.lit(100.0)).alias(
+                "part_value"
+            ),
+        )
+    )
+
+
+def q_excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped nested-EXISTS chain: AMERICA suppliers who
+    shipped MORE than 1.5x the per-part mean supplier volume for some
+    LIKE-matched part. Q20's nested IN/scalar-subquery chain
+    decorrelates into one per-(supplier, part) quantity aggregate plus
+    per-part (total, supplier-count) stats joined back — the 'qty >
+    1.5 * avg' compare runs as 2*qty*n_supp > 3*total in exact int64,
+    never a double-vs-double race at the threshold. Part LIKE filter
+    and the nation/region lookups all broadcast; the distinct survivor
+    set is dimension-sized. Ref shape: TPC-H Q20 (potential part
+    promotion)."""
+    t = FX.load_tables(spark, sf_dir)
+    parts = t["part"].filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey"
+    )
+    amer_supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"]
+                .join(
+                    F.broadcast(
+                        t["region"].filter(F.col("r_name") == "AMERICA")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+                .select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    qty_c = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    offers = (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey", qty_c.alias("qc"))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qc").alias("qty_c"))
+    )
+    stats = offers.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty_c").alias("total_c"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    excess = (
+        offers.join(F.broadcast(stats), F.col("l_partkey") == F.col("pk"))
+        .filter(
+            F.col("qty_c") * F.col("n_supp") * 2 > F.col("total_c") * 3
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return excess.join(
+        F.broadcast(amer_supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "n_name")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scene_uv": q_scene_uv,
@@ -1451,6 +1684,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event_window_counts (same bucket rule; adds the bounded
         # calendar broadcast + zero-fill left join)
         "event_gap_fill": q_event_gap_fill,
+        # min_cost_supplier: correlated MIN decorrelated to argmin
+        # join-back (Q2 shape); integer-exact min-boundary compare
+        "min_cost_supplier": q_min_cost_supplier,
+        # product_profit: LIKE-pruned star join, one big-big join (Q9)
+        "product_profit": q_product_profit,
+        # important_part_value: scalar-subquery threshold as a 1-row
+        # broadcast + integer cross-multiplied HAVING (Q11 shape)
+        "important_part_value": q_important_part_value,
+        # excess_supply_suppliers: nested EXISTS chain decorrelated to
+        # per-(supp,part) agg + per-part stats join-back (Q20 shape)
+        "excess_supply_suppliers": q_excess_supply_suppliers,
     }
 
 
@@ -1624,6 +1868,101 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN keys k
         LEFT JOIN sparse s ON s.window_start = c.window_start
                           AND s.event_type = k.event_type
+        """,
+        # mirrors q_min_cost_supplier (TPC-H Q2 shape over the lineitem
+        # bridge — no partsupp in this schema; integer-micros argmin)
+        "min_cost_supplier": """
+        WITH parts AS (
+          SELECT p_partkey, p_name FROM part
+          WHERE p_size BETWEEN 10 AND 25 AND p_type = 'STANDARD'
+        ), eur_supp AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        ), offers AS (
+          SELECT p_partkey, p_name, l_suppkey,
+                 min(CAST(floor(l_extendedprice / l_quantity * 1000000
+                                + 0.5) AS BIGINT)) AS supp_min
+          FROM lineitem
+          JOIN parts ON l_partkey = p_partkey
+          WHERE l_suppkey IN (SELECT s_suppkey FROM eur_supp)
+          GROUP BY 1, 2, 3
+        ), pmin AS (
+          SELECT p_partkey AS pk, min(supp_min) AS part_min
+          FROM offers GROUP BY 1
+        )
+        SELECT o.p_partkey, o.p_name, e.s_name, e.n_name, e.s_acctbal,
+               CAST(o.supp_min AS DOUBLE) / 1000000.0 AS min_unit_cost
+        FROM offers o
+        JOIN pmin m ON o.p_partkey = m.pk AND o.supp_min = m.part_min
+        JOIN eur_supp e ON o.l_suppkey = e.s_suppkey
+        """,
+        # mirrors q_product_profit (TPC-H Q9 shape; supplier-nation x
+        # order-year profit for LIKE-matched parts)
+        "product_profit": """
+        SELECT n_name AS supp_nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / 1000000.0 AS profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+        """,
+        # mirrors q_important_part_value (TPC-H Q11 shape; integer
+        # cross-multiplied fraction-of-total threshold)
+        "important_part_value": """
+        WITH per_part AS (
+          SELECT l_partkey AS p_partkey,
+                 SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT))
+                   AS val_cents
+          FROM lineitem
+          WHERE l_suppkey IN (
+            SELECT s_suppkey FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA')
+          GROUP BY 1
+        ), tot AS (
+          SELECT SUM(val_cents) AS total_cents FROM per_part
+        )
+        SELECT p_partkey,
+               CAST(val_cents AS DOUBLE) / 100.0 AS part_value
+        FROM per_part, tot
+        WHERE val_cents * 1000 > total_cents
+        """,
+        # mirrors q_excess_supply_suppliers (TPC-H Q20 shape; 1.5x the
+        # per-part mean as exact 2*qty*n > 3*total int compare)
+        "excess_supply_suppliers": """
+        WITH offers AS (
+          SELECT l_partkey, l_suppkey,
+                 SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                   AS qty_c
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE '%bolt%')
+          GROUP BY 1, 2
+        ), stats AS (
+          SELECT l_partkey AS pk, SUM(qty_c) AS total_c,
+                 count(*) AS n_supp
+          FROM offers GROUP BY 1
+        ), excess AS (
+          SELECT DISTINCT o.l_suppkey
+          FROM offers o JOIN stats s ON o.l_partkey = s.pk
+          WHERE o.qty_c * s.n_supp * 2 > s.total_c * 3
+        )
+        SELECT s_suppkey, s_name, n_name
+        FROM excess
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA'
         """,
         "event_window_counts": """
         SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,

@@ -83,6 +83,9 @@ NESTED_LOOP_OK = {
     # construction, same rationale as doc_rarity/doc_mixture_plan
     "doc_curriculum_order",
     "event_key_skew",
+    # important_part_value: the fraction-of-total threshold is a
+    # 1-row total aggregate attached by broadcast (Q11 shape)
+    "important_part_value",
     # idle_customer_balance: the avg-positive-balance threshold is a
     # 1-row aggregate attached by broadcast before the anti join
     "idle_customer_balance",
@@ -301,3 +304,50 @@ def test_q22_anti_join_on_filtered_orders(spark):
     assert any(
         "GreaterThanOrEqual(o_orderdate" in p for p in pushed
     ), pushed
+
+
+def test_q2_argmin_broadcasts_min_table_single_lineitem_scan(spark):
+    """min_cost_supplier: the correlated MIN decorrelates into an
+    argmin join-back where the per-part MIN table attaches as a
+    BROADCAST (dimension-sized), the part/supplier lookups broadcast,
+    and lineitem is scanned at most twice (offer build; no third scan
+    from a re-derived subquery), with no cartesian product."""
+    plan = _plan(spark, "min_cost_supplier")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("lineitem.parquet") <= 2, plan
+
+
+def test_q9_one_data_scaled_join(spark):
+    """product_profit: part LIKE filter and supplier→nation must ride
+    broadcasts; the ONLY shuffle join is lineitem |><| orders (at most
+    one SortMergeJoin/ShuffledHashJoin in the plan)."""
+    plan = _plan(spark, "product_profit")
+    shuffled = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert shuffled <= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_threshold_is_one_row_broadcast(spark):
+    """important_part_value: the fraction-of-total threshold must
+    attach as a 1-row broadcast nested loop (the only acceptable
+    'cartesian' — one row × per-part table), and lineitem is scanned
+    at most twice (per-part build + total re-derivation)."""
+    plan = _plan(spark, "important_part_value")
+    assert (
+        "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    ), plan
+    assert plan.count("lineitem.parquet") <= 2, plan
+
+
+def test_q20_stats_join_back_is_broadcast(spark):
+    """excess_supply_suppliers: the per-part stats table joins back by
+    broadcast (dimension-sized), the survivor set is distinct-reduced
+    BEFORE the supplier-name join, and no lineitem self-join exists
+    (single lineitem scan feeds both the offers and stats sides via
+    reuse or at most two scans)."""
+    plan = _plan(spark, "excess_supply_suppliers")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("lineitem.parquet") <= 2, plan
