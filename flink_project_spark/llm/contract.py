@@ -60,9 +60,9 @@ _NEARDUP_AUDIT: dict[tuple[str, str], DataFrame] = {}
 
 def evict_session(app_id: str | None = None) -> None:
     """Drop the contract layer's applicationId-keyed side state (audit
-    plans, trained k-means models) for one session — or all sessions
-    with None. Called by flink_project_spark.cache.clear()."""
-    for table in (_NEARDUP_AUDIT, _KMEANS_MODELS):
+    plans, trained k-means models, PQ codebooks) for one session — or
+    all sessions with None. Called by flink_project_spark.cache.clear()."""
+    for table in (_NEARDUP_AUDIT, _KMEANS_MODELS, _PQ_BOOKS):
         for k in list(table):
             if app_id is None or k[0] == app_id:
                 del table[k]
@@ -330,6 +330,33 @@ def q_emb_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_BOOKS: dict[tuple[str, str], list[list[list[float]]]] = {}
+
+
+def _pq_books(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_BOOKS:
+        _PQ_BOOKS[key] = SIM.pq_train(
+            _emb(spark, sf_dir), m=4, k=8, dim=EMB_DIM, iters=2
+        )
+    return _PQ_BOOKS[key]
+
+
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (m=4 subspaces, k=8 codewords):
+    the memory-bounded ANN path — the corpus side of the scoring join
+    carries 4 small ints per vector instead of 64 floats. Iterative
+    codebook training — no SQL oracle; the driver records the weaker
+    rows-only check, and pytest pins ADC exactness on a codeword-
+    aligned corpus plus recall vs the exact brute force
+    (test_pq_adc_exact_on_codeword_corpus, test_pq_topk_recall_*).
+    Codebooks are memoized per (session, sf) like the k-means model:
+    fit once, encode/search everywhere."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return SIM.pq_topk(emb, queries, _pq_books(spark, sf_dir), k=5)
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding token-window chunk plan (64-token chunks, stride 48) —
     per-source chunk statistics plus a chunk-level dedup signal
@@ -574,6 +601,7 @@ def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_stats": q_doc_pii_stats,
         "doc_stratified_sample": q_doc_stratified_sample,
         "emb_kmeans_cells": q_emb_kmeans_cells,
+        "emb_pq_topk": q_emb_pq_topk,
         # tokenization-prep stages (chunking / packing / rarity): placed
         # past the cap like the entries above — each is oracle-checked
         # by the pytest sweep; their plan shapes (explode-generate,

@@ -307,6 +307,7 @@ def kmeans_train(
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    seed_salt: str = "kmeans:",
 ) -> list[list[float]]:
     """Train an IVF coarse quantizer: `iters` Lloyd iterations, fully
     deterministic. Returns the centroid model (k x dim floats) — the
@@ -330,7 +331,7 @@ def kmeans_train(
     seed = (
         emb.select(
             F.col(vec_col).alias("v"),
-            F.md5(F.concat(F.lit("kmeans:"), F.col(id_col).cast("string"))).alias(
+            F.md5(F.concat(F.lit(seed_salt), F.col(id_col).cast("string"))).alias(
                 "h"
             ),
         )
@@ -464,3 +465,169 @@ def semantic_dedup(
         F.col("doc_id").alias(id_col)
     )
     return emb.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): memory-bounded ANN codes + ADC search
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: split each vector into `m` contiguous
+    subvectors of dim/m and run the SAME Lloyd loop as `kmeans_train`
+    independently per subspace (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search" — the public PQ
+    construction). Returns m x k x (dim/m) floats.
+
+    Why PQ at 100 TB: IVF prunes WHICH vectors are scored; PQ shrinks
+    WHAT is stored and shuffled per vector — m one-byte-ish codes
+    (m*log2(k) bits) instead of dim floats, a 32-64x row shrink that
+    lets the candidate-scoring join move codes instead of vectors.
+    Driver-side data is the model only (m*k*subdim floats per
+    iteration), never corpus rows; each subspace trains on a sliced
+    projection of one shared scan shape.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
+        )
+        books.append(
+            kmeans_train(
+                sliced, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
+                seed_salt=f"pq{s}:",
+            )
+        )
+    return books
+
+
+def pq_assign(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as `codes` (array<int>, length m): per
+    subspace, the nearest codeword by squared L2 — the same literal-
+    model argmin as `kmeans_assign`, applied to each slice. Pure
+    zero-shuffle projection; ties break to the lowest code.
+
+    Output: `emb`'s columns plus ``codes``. Storing (id, codes) is the
+    compressed index — at 100 TB this is the table that persists and
+    shuffles, not the float vectors."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    per_sub = []
+    for s in range(m):
+        sl = F.slice(F.col(vec_col), s * sub + 1, sub)
+        cand = []
+        for ci, cvec in enumerate(codebooks[s]):
+            carr = F.array(*[F.lit(float(v)) for v in cvec])
+            d2 = F.aggregate(
+                F.zip_with(
+                    sl,
+                    carr,
+                    lambda a, b: (a.cast("double") - b)
+                    * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            cand.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
+        per_sub.append(F.array_min(F.array(*cand))["cell"])
+    return emb.withColumn("codes", F.array(*per_sub))
+
+
+def _pq_lut(codebooks: list[list[list[float]]], vec_col: str):
+    """Per-query ADC lookup table: lut[s][j] = squared L2 between the
+    query's subspace-s slice and codeword j — an m x k array<double>
+    column computed ONCE per query row (queries are small and
+    broadcast), so scoring a corpus code costs m element_at lookups
+    instead of a dim-length float fold."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    rows = []
+    for s in range(m):
+        sl = F.slice(F.col(vec_col), s * sub + 1, sub)
+        cells = []
+        for cvec in codebooks[s]:
+            carr = F.array(*[F.lit(float(v)) for v in cvec])
+            cells.append(
+                F.aggregate(
+                    F.zip_with(
+                        sl,
+                        carr,
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        rows.append(F.array(*cells))
+    return F.array(*rows)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    corpus_codes_col: str | None = None,
+) -> DataFrame:
+    """ADC top-k: approximate squared-L2 distance = sum over subspaces
+    of the query's precomputed distance to the CORPUS CODEWORD (the
+    query side stays exact — 'asymmetric' — which roughly halves the
+    quantization error vs code-vs-code).
+
+    Plan shape: queries build their m x k LUT once, broadcast; the
+    corpus side streams (id, codes) rows — at most m ints wide — and
+    each pair costs m array lookups inside codegen. Pass
+    `corpus_codes_col` when the corpus is already encoded (the 100 TB
+    path: the stored compressed index is scanned, float vectors are
+    never read); with None the encoding projection runs inline.
+    Deterministic: ties break on (adc_dist ASC, neighbor_id).
+
+    Output: (query_id, neighbor_id, adc_dist, rank).
+    """
+    c = (
+        corpus.withColumnRenamed(corpus_codes_col, "codes")
+        if corpus_codes_col
+        else pq_assign(corpus, codebooks, vec_col)
+    ).select(F.col(id_col).alias("neighbor_id"), "codes")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _pq_lut(codebooks, vec_col).alias("lut"),
+    )
+    m = len(codebooks)
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at("lut", s + 1),
+            F.element_at("codes", s + 1).cast("int") + 1,
+        )
+        adc = term if adc is None else adc + term
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id", adc.alias("adc_dist"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

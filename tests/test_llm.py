@@ -959,3 +959,104 @@ def test_incremental_dedup_precomputed_pairs_equivalence(spark, docs):
         for r in DD.incremental_dedup(new, base, log_overflow=False).collect()
     }
     assert via_pairs == inline and len(inline) > 0
+
+
+def test_pq_adc_exact_on_codeword_corpus(spark):
+    """ADC is exact when every corpus vector IS a codeword combination:
+    the lookup-table distance then equals the true squared L2, so PQ
+    top-1 must return the brute-force nearest neighbor. Built by
+    training codebooks, snapping the corpus to its own reconstruction,
+    and searching the snapped corpus."""
+    import random
+
+    from flink_project_spark.llm import similarity as SIM
+
+    rnd = random.Random(7)
+    dim, n, m, kc = 8, 120, 4, 4
+    vecs = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    books = SIM.pq_train(emb, m=m, k=kc, dim=dim, iters=2)
+    sub = dim // m
+
+    # snap: reconstruct each vector from its codes (driver-side twin of
+    # pq_assign on 120 rows)
+    codes = {
+        r.vec_id: list(r.codes)
+        for r in SIM.pq_assign(emb, books).select("vec_id", "codes").collect()
+    }
+    snapped = [
+        (
+            i,
+            [
+                float(books[s][codes[i][s]][d])
+                for s in range(m)
+                for d in range(sub)
+            ],
+        )
+        for i, _ in vecs
+    ]
+    semb = spark.createDataFrame(
+        snapped, "vec_id long, embedding array<float>"
+    )
+    queries = semb.filter(F.col("vec_id") % 29 == 0)
+
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.pq_topk(semb, queries, books, k=1).collect()
+    }
+    # brute-force L2 twin in python over the snapped corpus
+    sn = dict(snapped)
+    want = set()
+    for qid in sn:
+        if qid % 29 != 0:
+            continue
+        best = min(
+            ((sum((a - b) ** 2 for a, b in zip(sn[i], sn[qid])), i)
+             for i in sn if i != qid),
+        )
+        want.add((qid, best[1]))
+    assert got == want
+
+
+def test_pq_topk_recall_and_precoded_corpus(spark):
+    """PQ ADC top-k recall vs exact L2 brute force is well above chance
+    on gaussian data, and a pre-encoded corpus (the stored compressed
+    index — the 100 TB path) returns IDENTICAL results to inline
+    encoding."""
+    import random
+
+    from flink_project_spark.llm import similarity as SIM
+
+    rnd = random.Random(13)
+    dim, n = 8, 300
+    vecs = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 37 == 0)
+    books = SIM.pq_train(emb, m=4, k=8, dim=dim, iters=2)
+
+    got = SIM.pq_topk(emb, queries, books, k=10)
+    pairs = {(r.query_id, r.neighbor_id) for r in got.collect()}
+
+    # exact L2 top-10 twin
+    v = dict(vecs)
+    hits = 0
+    total = 0
+    for qid in v:
+        if qid % 37 != 0:
+            continue
+        d = sorted(
+            (sum((a - b) ** 2 for a, b in zip(v[i], v[qid])), i)
+            for i in v if i != qid
+        )[:10]
+        want = {(qid, i) for _, i in d}
+        hits += len(want & pairs)
+        total += len(want)
+    assert hits / total > 0.4, hits / total  # m=4,k=8 codes, 10-NN
+
+    pre = SIM.pq_assign(emb, books).select("vec_id", "codes")
+    got2 = SIM.pq_topk(
+        pre, queries, books, k=10, corpus_codes_col="codes"
+    )
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in got2.collect()} == {
+        (r.query_id, r.neighbor_id, r.rank) for r in got.collect()
+    }
