@@ -301,6 +301,17 @@ def q_doc_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-interleaved serving order: deterministic round-robin
+    across sources so consecutive training rows come from different
+    sources — the anti-correlated batch layout, the complement of
+    curriculum_order's quality ordering. Both ranks come from the
+    distributed global_rank (never a one-task window; the per-source
+    rank is rank-minus-broadcast-offset, not a PARTITION BY window
+    that would put a whole source on one task)."""
+    return CUR.interleave_order(_docs(spark, sf_dir))
+
+
 # trained coarse-quantizer models, memoized like the persisted tables
 # (keyed on applicationId so a stopped session never leaks a model into
 # its id-reusing successor — same rule as cache.py)
@@ -623,6 +634,7 @@ def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # under a distributed exact global rank (NTILE-parity tested)
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "doc_curriculum_order": q_doc_curriculum_order,
+        "doc_interleave_order": q_doc_interleave_order,
         # span-level exact-substring dedup (past the cap; pytest-sweep-
         # oracled): dup_gram_spans reuses the winnow positional-gram
         # machinery the in-cap doc_fingerprint/doc_winnow driver-check,
@@ -1449,6 +1461,26 @@ WITH dec AS (
         FROM qual
         """
     )
+    # mirrors q_doc_interleave_order: the oracle MAY use the one-task
+    # PARTITION BY window (it doesn't need to scale); the engine's
+    # rank-minus-offset construction produces the identical ranks
+    d["doc_interleave_order"] = """
+        WITH b AS (
+          SELECT doc_id, source,
+                 md5('interleave:' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents
+        ), w AS (
+          SELECT doc_id, source, h,
+                 CAST(row_number() OVER (
+                      PARTITION BY source ORDER BY h, doc_id)
+                      AS BIGINT) AS source_rank
+          FROM b
+        )
+        SELECT doc_id, source, source_rank,
+               CAST(row_number() OVER (ORDER BY source_rank, h, doc_id)
+                    AS BIGINT) AS interleave_rank
+        FROM w
+        """
     # shared span pipeline for the ExactSubstr (k-gram, n=5) oracles:
     # positional 5-gram md5s (1-based; Spark is 0-based — only span
     # LENGTHS leave the CTE so the offset convention cancels), grams

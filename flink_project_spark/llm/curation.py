@@ -749,3 +749,62 @@ def sample_by_rate_column(
         v32(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))) % 100
     )
     return docs.filter(bucket < F.col(rate_col))
+
+
+def interleave_order(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "interleave",
+) -> DataFrame:
+    """Source-interleaved global serving order: round-robin across
+    groups so consecutive training rows come from DIFFERENT sources —
+    the anti-correlated batch layout (one web page followed by one code
+    file followed by one paper, ...), the complement of
+    `curriculum_order`'s quality ordering.
+
+    Rule: each doc gets a deterministic within-source rank (md5 order —
+    content-independent, stable across engines/runs), then the global
+    order sorts by (within-source rank, md5): all rank-1 docs from
+    every source first, then every rank-2 doc, and so on. With k
+    sources of equal size, positions i*k..i*k+k-1 hold one doc of each
+    source; skewed sizes degrade gracefully (exhausted sources drop
+    out of later rounds).
+
+    Scale: NO per-source window — with few, huge sources,
+    ``row_number() OVER (PARTITION BY source)`` puts an entire source
+    on one task. Instead the within-source rank derives from ONE
+    distributed `global_rank` over (source, h) minus a per-source
+    offset (the broadcast-joined min rank per source), and the final
+    order is a second `global_rank` — two range exchanges + two
+    dimension-sized broadcasts, nothing global on a single task.
+
+    Output: (id_col, group_col, source_rank, interleave_rank).
+    """
+    from flink_project_spark.operators.windows import global_rank
+
+    h = F.md5(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    base = docs.select(id_col, group_col).withColumn("_h", h)
+    by_src = global_rank(
+        base,
+        [F.col(group_col).asc(), F.col("_h").asc(), F.col(id_col).asc()],
+        rank_col="_gr",
+    )
+    first = by_src.groupBy(group_col).agg(F.min("_gr").alias("_g0"))
+    within = by_src.join(F.broadcast(first), group_col).withColumn(
+        "source_rank", F.col("_gr") - F.col("_g0") + 1
+    )
+    ordered = global_rank(
+        within.select(id_col, group_col, "_h", "source_rank"),
+        [
+            F.col("source_rank").asc(),
+            F.col("_h").asc(),
+            F.col(id_col).asc(),
+        ],
+        rank_col="interleave_rank",
+    )
+    return ordered.select(
+        id_col, group_col, "source_rank", "interleave_rank"
+    )

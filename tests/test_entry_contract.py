@@ -29,6 +29,9 @@ def test_every_query_has_oracle_or_is_flagged():
         # GK sketch is engine-specific; rank-bound-checked in
         # test_length_profile_approx_within_rank_bound
         "doc_length_profile_approx",
+        # iterative PQ codebook training; ADC exactness + recall
+        # pinned in tests/test_llm.py (test_pq_*)
+        "emb_pq_topk",
     }, f"queries without oracle: {missing}"
 
 

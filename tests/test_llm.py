@@ -1060,3 +1060,44 @@ def test_pq_topk_recall_and_precoded_corpus(spark):
     assert {(r.query_id, r.neighbor_id, r.rank) for r in got2.collect()} == {
         (r.query_id, r.neighbor_id, r.rank) for r in got.collect()
     }
+
+
+def test_interleave_order_round_robin_and_window_twin(spark):
+    """interleave_order: (a) equals the naive single-window twin
+    (row_number per source, then a global row_number) — the
+    distributed rank-minus-offset construction changes the plan, not
+    the ranks; (b) each full round of k positions covers k distinct
+    sources while every source still has docs left (round-robin)."""
+    from pyspark.sql.window import Window
+
+    from flink_project_spark.llm import curation as CUR
+
+    rows = [(i, f"s{i % 3}") for i in range(40)] + [
+        (100 + i, "s_big") for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = CUR.interleave_order(docs).collect()
+
+    h = F.md5(F.concat(F.lit("interleave:"), F.col("doc_id").cast("string")))
+    tw = docs.withColumn("_h", h).withColumn(
+        "source_rank",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("_h", "doc_id")
+        ),
+    ).withColumn(
+        "interleave_rank",
+        F.row_number().over(
+            Window.orderBy("source_rank", "_h", "doc_id")
+        ),
+    )
+    want = {
+        (r.doc_id, r.source_rank, r.interleave_rank) for r in tw.collect()
+    }
+    assert {(r.doc_id, r.source_rank, r.interleave_rank) for r in got} == want
+
+    # round-robin: the first 4 rounds (all 4 sources still alive: s_big
+    # has 20, s0/s1/s2 have >=13) each cover 4 distinct sources
+    by_rank = sorted(got, key=lambda r: r.interleave_rank)
+    for round_i in range(4):
+        chunk = by_rank[round_i * 4:(round_i + 1) * 4]
+        assert len({r.source for r in chunk}) == 4, (round_i, chunk)
