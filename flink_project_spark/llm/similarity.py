@@ -276,7 +276,16 @@ def kmeans_assign(
     scan at any corpus size. Ties break to the lowest cell id.
 
     Output: `emb`'s columns plus ``cell`` (int).
+
+    An EMPTY model (training saw zero vectors — an empty corpus
+    partition/day) assigns nothing: the result is the empty frame with
+    the same schema, not an AnalysisException from an argmin over zero
+    candidates.
     """
+    if not centroids:
+        return emb.withColumn(
+            "cell", F.lit(None).cast("int")
+        ).filter(F.lit(False))
     cand = _centroid_dist_structs(centroids, vec_col)
     return emb.withColumn("cell", F.array_min(F.array(*cand))["cell"])
 
@@ -327,6 +336,10 @@ def kmeans_train(
     callers should persist `emb` across iterations. Composes with
     `ivf_topk`: write the corpus partitioned by the trained cell for
     partition-pruned search.
+
+    An empty corpus trains an EMPTY model (returned as []); `kmeans_
+    assign`/`pq_assign` treat that as assign-nothing rather than
+    erroring, so a pipeline over an empty partition stays a no-op.
     """
     seed = (
         emb.select(
@@ -340,6 +353,8 @@ def kmeans_train(
         .collect()
     )
     centroids = [[float(x) for x in r["v"]] for r in seed]
+    if not centroids:
+        return []
     for _ in range(iters):
         assigned = kmeans_assign(emb, centroids, vec_col)
         means = (
@@ -376,6 +391,12 @@ def kmeans_assign_probes(
     (0 = nearest)."""
     if probes < 1:
         raise ValueError(f"probes must be >= 1, got {probes}")
+    if not centroids:
+        return (
+            emb.withColumn("cell", F.lit(None).cast("int"))
+            .withColumn("probe_rank", F.lit(None).cast("int"))
+            .filter(F.lit(False))
+        )
     cand = _centroid_dist_structs(centroids, vec_col)
     ranked = F.slice(F.array_sort(F.array(*cand)), 1, probes)
     return emb.select(
@@ -525,7 +546,13 @@ def pq_assign(
 
     Output: `emb`'s columns plus ``codes``. Storing (id, codes) is the
     compressed index — at 100 TB this is the table that persists and
-    shuffles, not the float vectors."""
+    shuffles, not the float vectors. Empty codebooks (trained on an
+    empty corpus) encode nothing — the empty frame comes back with the
+    same schema."""
+    if not codebooks or any(not b for b in codebooks):
+        return emb.withColumn(
+            "codes", F.lit(None).cast("array<int>")
+        ).filter(F.lit(False))
     m = len(codebooks)
     sub = len(codebooks[0][0])
     per_sub = []
@@ -601,8 +628,19 @@ def pq_topk(
     never read); with None the encoding projection runs inline.
     Deterministic: ties break on (adc_dist ASC, neighbor_id).
 
-    Output: (query_id, neighbor_id, adc_dist, rank).
+    Output: (query_id, neighbor_id, adc_dist, rank). Empty codebooks
+    (an empty training corpus) return the empty result frame with this
+    schema — no candidates exist to score.
     """
+    if not codebooks or any(not b for b in codebooks):
+        idt = queries.schema[id_col].dataType
+        return (
+            queries.select(F.col(id_col).alias("query_id"))
+            .withColumn("neighbor_id", F.lit(None).cast(idt))
+            .withColumn("adc_dist", F.lit(None).cast("double"))
+            .withColumn("rank", F.lit(None).cast("int"))
+            .filter(F.lit(False))
+        )
     c = (
         corpus.withColumnRenamed(corpus_codes_col, "codes")
         if corpus_codes_col
