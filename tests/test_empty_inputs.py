@@ -60,3 +60,50 @@ def test_trainers_return_empty_models_and_assigns_noop(spark, empty_sf_dir):
     out = SIM.pq_topk(emb, emb, books, k=3)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "adc_dist", "rank"]
+
+
+@pytest.fixture(scope="module")
+def nulls_sf_dir(tmp_path_factory):
+    """sf0.001 plus a few rows with NULLed nullable fields (text, lang,
+    source, embedding, event payload columns) — the shape real corpora
+    have and the synthetic tables don't."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("sf_nulls")
+    nullcols = {
+        "documents": ["text", "lang", "source"],
+        "embeddings": ["embedding"],
+        "events": ["event_type", "value", "props"],
+    }
+    for p in glob.glob("/root/testdata/sf0.001/*.parquet"):
+        name = os.path.basename(p).replace(".parquet", "")
+        t = pq.read_table(p)
+        if name in nullcols:
+            extra = t.slice(0, 3).to_pylist()
+            for i, r in enumerate(extra):
+                for c in nullcols[name]:
+                    r[c] = None
+                for idc in ("doc_id", "vec_id", "event_id"):
+                    if idc in r and r[idc] is not None:
+                        r[idc] = 10_000_000 + i
+            t = pa.concat_tables(
+                [t, pa.Table.from_pylist(extra, schema=t.schema)]
+            )
+        pq.write_table(t, str(d / os.path.basename(p)))
+    return str(d)
+
+
+def test_every_query_survives_null_fields(spark, nulls_sf_dir):
+    """NULL text/lang/source/embedding/event-payload rows must flow
+    through every query (dropped, bucketed as null keys, or zero-stat
+    rows — any consistent treatment) without raising."""
+    import __spark_entry__ as E
+
+    fails = {}
+    for name, fn in E.queries().items():
+        try:
+            fn(spark, nulls_sf_dir).count()
+        except Exception as ex:  # noqa: BLE001 — collecting the sweep
+            fails[name] = f"{type(ex).__name__}: {str(ex)[:120]}"
+    assert not fails, fails
