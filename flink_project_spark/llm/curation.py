@@ -780,22 +780,34 @@ def interleave_order(
     dimension-sized broadcasts, nothing global on a single task.
 
     Output: (id_col, group_col, source_rank, interleave_rank).
+    NULL-group docs form their own round-robin lane (the offset join
+    is null-safe, matching SQL's PARTITION BY null-grouping); `id_col`
+    must be non-null (a null id nulls the md5 sort key, and engines
+    disagree on null ordering).
     """
+    from flink_project_spark.cache import persist_tracked
     from flink_project_spark.operators.windows import global_rank
 
     h = F.md5(
         F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
     )
     base = docs.select(id_col, group_col).withColumn("_h", h)
-    by_src = global_rank(
-        base,
-        [F.col(group_col).asc(), F.col("_h").asc(), F.col(id_col).asc()],
-        rank_col="_gr",
+    # both the per-source min aggregate and the offset join read this
+    # rank table — persist it or the range-exchange + window + offsets
+    # subplan runs twice
+    by_src = persist_tracked(
+        global_rank(
+            base,
+            [F.col(group_col).asc(), F.col("_h").asc(), F.col(id_col).asc()],
+            rank_col="_gr",
+        ),
+        label="interleave_by_src",
     )
     first = by_src.groupBy(group_col).agg(F.min("_gr").alias("_g0"))
-    within = by_src.join(F.broadcast(first), group_col).withColumn(
-        "source_rank", F.col("_gr") - F.col("_g0") + 1
-    )
+    within = by_src.join(
+        F.broadcast(first.withColumnRenamed(group_col, "_g")),
+        by_src[group_col].eqNullSafe(F.col("_g")),
+    ).withColumn("source_rank", F.col("_gr") - F.col("_g0") + 1)
     ordered = global_rank(
         within.select(id_col, group_col, "_h", "source_rank"),
         [

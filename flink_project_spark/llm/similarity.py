@@ -280,34 +280,50 @@ def kmeans_assign(
     An EMPTY model (training saw zero vectors — an empty corpus
     partition/day) assigns nothing: the result is the empty frame with
     the same schema, not an AnalysisException from an argmin over zero
-    candidates.
+    candidates. A NULL vector gets cell = NULL (unassignable, row
+    kept) rather than an arbitrary argmin over NULL distances.
     """
     if not centroids:
         return emb.withColumn(
             "cell", F.lit(None).cast("int")
         ).filter(F.lit(False))
     cand = _centroid_dist_structs(centroids, vec_col)
-    return emb.withColumn("cell", F.array_min(F.array(*cand))["cell"])
+    cell = F.when(
+        F.col(vec_col).isNotNull(), F.array_min(F.array(*cand))["cell"]
+    ).otherwise(F.lit(None).cast("int"))
+    return emb.withColumn("cell", cell)
 
 
-def _centroid_dist_structs(centroids: list[list[float]], vec_col: str) -> list:
+def _sq_l2(vec: Column, cvec: list[float]) -> Column:
+    """Squared L2 between a vector Column and a literal codeword — THE
+    single distance definition for every trainer/assign/LUT path
+    (kmeans, multi-probe, PQ encode, PQ ADC); a change here moves all
+    of them together, so encoding can never desynchronize from search."""
+    carr = F.array(*[F.lit(float(v)) for v in cvec])
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            carr,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroid_dist_structs(
+    centroids: list[list[float]], vec_col
+) -> list:
     """(d2, cell) struct expressions against the literal model — ONE
-    definition of the assignment distance, shared by the single- and
-    multi-probe assigns so they can never disagree."""
-    cand = []
-    for ci, cvec in enumerate(centroids):
-        carr = F.array(*[F.lit(float(v)) for v in cvec])
-        d2 = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                carr,
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        cand.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
-    return cand
+    definition of the assignment argmin candidates, shared by the
+    single- and multi-probe assigns and the PQ encoder so they can
+    never disagree. `vec_col` is a column name or a Column expression
+    (e.g. a subvector slice)."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return [
+        F.struct(_sq_l2(vec, cvec).alias("d2"), F.lit(ci).alias("cell"))
+        for ci, cvec in enumerate(centroids)
+    ]
 
 
 def kmeans_train(
@@ -340,7 +356,10 @@ def kmeans_train(
     An empty corpus trains an EMPTY model (returned as []); `kmeans_
     assign`/`pq_assign` treat that as assign-nothing rather than
     erroring, so a pipeline over an empty partition stays a no-op.
+    NULL vectors are excluded from training (seed draw and means) —
+    a corpus slice of only-null embeddings trains the empty model.
     """
+    emb = emb.filter(F.col(vec_col).isNotNull())
     seed = (
         emb.select(
             F.col(vec_col).alias("v"),
@@ -388,7 +407,9 @@ def kmeans_assign_probes(
     anything. All of `emb`'s columns ride through the generate.
 
     Output: `emb`'s columns plus ``cell`` and ``probe_rank``
-    (0 = nearest)."""
+    (0 = nearest). NULL vectors emit no probe rows (the generate
+    skips the NULL candidate array) — the multi-row analog of
+    `kmeans_assign`'s cell = NULL."""
     if probes < 1:
         raise ValueError(f"probes must be >= 1, got {probes}")
     if not centroids:
@@ -398,7 +419,10 @@ def kmeans_assign_probes(
             .filter(F.lit(False))
         )
     cand = _centroid_dist_structs(centroids, vec_col)
-    ranked = F.slice(F.array_sort(F.array(*cand)), 1, probes)
+    ranked = F.when(
+        F.col(vec_col).isNotNull(),
+        F.slice(F.array_sort(F.array(*cand)), 1, probes),
+    )
     return emb.select(
         "*", F.posexplode(ranked).alias("_p", "_pc")
     ).select(
@@ -513,24 +537,63 @@ def pq_train(
     (m*log2(k) bits) instead of dim floats, a 32-64x row shrink that
     lets the candidate-scoring join move codes instead of vectors.
     Driver-side data is the model only (m*k*subdim floats per
-    iteration), never corpus rows; each subspace trains on a sliced
-    projection of one shared scan shape.
+    iteration), never corpus rows.
+
+    The subspaces are independent Lloyd problems but NOT independent
+    scans: each iteration assigns ALL m subspaces in one projection and
+    mean-reduces them in ONE (subspace, cell, dim) grouped aggregate —
+    iters+m jobs over the corpus (m tiny seed draws + iters shared
+    scans), not m*(iters+1). Values are identical to per-subspace
+    training (the update rule never crosses subspaces). NULL vectors
+    are excluded; an empty/all-null corpus returns m empty codebooks
+    (`pq_assign`/`pq_topk` treat those as typed no-ops).
     """
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    books = []
+    base = emb.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    books: list[list[list[float]]] = []
     for s in range(m):
-        sliced = emb.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
-        )
-        books.append(
-            kmeans_train(
-                sliced, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
-                seed_salt=f"pq{s}:",
+        seed = (
+            base.select(
+                F.slice(F.col(vec_col), s * sub + 1, sub).alias("v"),
+                F.md5(
+                    F.concat(F.lit(f"pq{s}:"), F.col(id_col).cast("string"))
+                ).alias("h"),
             )
+            .orderBy("h")
+            .limit(k)
+            .collect()
         )
+        books.append([[float(x) for x in r["v"]] for r in seed])
+    if any(not b for b in books):
+        return [[] for _ in range(m)]
+    for _ in range(iters):
+        subrows = []
+        for s in range(m):
+            sl = F.slice(F.col(vec_col), s * sub + 1, sub)
+            cand = _centroid_dist_structs(books[s], sl)
+            cell_s = F.array_min(F.array(*cand))["cell"]
+            subrows.append(
+                F.struct(
+                    F.lit(s).alias("s"), cell_s.alias("cell"), sl.alias("v")
+                )
+            )
+        means = (
+            base.select(F.explode(F.array(*subrows)).alias("a"))
+            .select(
+                F.col("a.s").alias("s"),
+                F.col("a.cell").alias("cell"),
+                F.posexplode(F.col("a.v")).alias("dim", "val"),
+            )
+            .groupBy("s", "cell", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        new_books = [[list(c) for c in b] for b in books]  # empty cells keep
+        for r in means:
+            new_books[r["s"]][r["cell"]][r["dim"]] = r["m"]
+        books = new_books
     return books
 
 
@@ -548,7 +611,8 @@ def pq_assign(
     compressed index — at 100 TB this is the table that persists and
     shuffles, not the float vectors. Empty codebooks (trained on an
     empty corpus) encode nothing — the empty frame comes back with the
-    same schema."""
+    same schema; a NULL vector encodes to codes = NULL (row kept,
+    mirroring `kmeans_assign`)."""
     if not codebooks or any(not b for b in codebooks):
         return emb.withColumn(
             "codes", F.lit(None).cast("array<int>")
@@ -558,22 +622,12 @@ def pq_assign(
     per_sub = []
     for s in range(m):
         sl = F.slice(F.col(vec_col), s * sub + 1, sub)
-        cand = []
-        for ci, cvec in enumerate(codebooks[s]):
-            carr = F.array(*[F.lit(float(v)) for v in cvec])
-            d2 = F.aggregate(
-                F.zip_with(
-                    sl,
-                    carr,
-                    lambda a, b: (a.cast("double") - b)
-                    * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            cand.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
+        cand = _centroid_dist_structs(codebooks[s], sl)
         per_sub.append(F.array_min(F.array(*cand))["cell"])
-    return emb.withColumn("codes", F.array(*per_sub))
+    codes = F.when(
+        F.col(vec_col).isNotNull(), F.array(*per_sub)
+    ).otherwise(F.lit(None).cast("array<int>"))
+    return emb.withColumn("codes", codes)
 
 
 def _pq_lut(codebooks: list[list[list[float]]], vec_col: str):
@@ -587,22 +641,9 @@ def _pq_lut(codebooks: list[list[list[float]]], vec_col: str):
     rows = []
     for s in range(m):
         sl = F.slice(F.col(vec_col), s * sub + 1, sub)
-        cells = []
-        for cvec in codebooks[s]:
-            carr = F.array(*[F.lit(float(v)) for v in cvec])
-            cells.append(
-                F.aggregate(
-                    F.zip_with(
-                        sl,
-                        carr,
-                        lambda a, b: (a.cast("double") - b)
-                        * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
-        rows.append(F.array(*cells))
+        rows.append(
+            F.array(*[_sq_l2(sl, cvec) for cvec in codebooks[s]])
+        )
     return F.array(*rows)
 
 
@@ -658,9 +699,16 @@ def pq_topk(
             F.element_at("codes", s + 1).cast("int") + 1,
         )
         adc = term if adc is None else adc + term
-    scored = c.join(
-        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
-    ).select("query_id", "neighbor_id", adc.alias("adc_dist"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
+        # unscorable pairs (NULL-embedding query -> NULL LUT, NULL or
+        # out-of-range stored codes -> NULL element_at) must be
+        # EXCLUDED: Spark's asc is NULLS FIRST, so a single bad stored
+        # row would otherwise outrank every real neighbor for every
+        # query
+        .filter(F.col("adc_dist").isNotNull())
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id")
     )

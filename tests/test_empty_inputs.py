@@ -18,13 +18,15 @@ import os
 
 import pytest
 
+from tests.conftest import SF_SMOKE
+
 
 @pytest.fixture(scope="module")
 def empty_sf_dir(tmp_path_factory):
     import pyarrow.parquet as pq
 
     d = tmp_path_factory.mktemp("sf_empty")
-    for p in glob.glob("/root/testdata/sf0.001/*.parquet"):
+    for p in glob.glob(f"{SF_SMOKE}/*.parquet"):
         sch = pq.read_schema(p)
         pq.write_table(sch.empty_table(), str(d / os.path.basename(p)))
     return str(d)
@@ -76,7 +78,7 @@ def nulls_sf_dir(tmp_path_factory):
         "embeddings": ["embedding"],
         "events": ["event_type", "value", "props"],
     }
-    for p in glob.glob("/root/testdata/sf0.001/*.parquet"):
+    for p in glob.glob(f"{SF_SMOKE}/*.parquet"):
         name = os.path.basename(p).replace(".parquet", "")
         t = pq.read_table(p)
         if name in nullcols:

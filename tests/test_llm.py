@@ -1074,9 +1074,10 @@ def test_interleave_order_round_robin_and_window_twin(spark):
 
     rows = [(i, f"s{i % 3}") for i in range(40)] + [
         (100 + i, "s_big") for i in range(20)
-    ]
+    ] + [(200 + i, None) for i in range(5)]  # null source = its own lane
     docs = spark.createDataFrame(rows, "doc_id long, source string")
     got = CUR.interleave_order(docs).collect()
+    assert len(got) == len(rows)  # null-source docs are NOT dropped
 
     h = F.md5(F.concat(F.lit("interleave:"), F.col("doc_id").cast("string")))
     tw = docs.withColumn("_h", h).withColumn(
@@ -1095,9 +1096,39 @@ def test_interleave_order_round_robin_and_window_twin(spark):
     }
     assert {(r.doc_id, r.source_rank, r.interleave_rank) for r in got} == want
 
-    # round-robin: the first 4 rounds (all 4 sources still alive: s_big
-    # has 20, s0/s1/s2 have >=13) each cover 4 distinct sources
+    # round-robin: the first 4 rounds (all 5 lanes still alive: s_big
+    # has 20, s0/s1/s2 have >=13, null-lane has 5) each cover all 5
+    # lanes (null counts as a lane)
     by_rank = sorted(got, key=lambda r: r.interleave_rank)
     for round_i in range(4):
-        chunk = by_rank[round_i * 4:(round_i + 1) * 4]
-        assert len({r.source for r in chunk}) == 4, (round_i, chunk)
+        chunk = by_rank[round_i * 5:(round_i + 1) * 5]
+        assert len({r.source for r in chunk}) == 5, (round_i, chunk)
+
+
+def test_pq_null_vectors_excluded_from_results(spark):
+    """NULL embeddings must not poison ADC ranking: a NULL-code corpus
+    row would rank FIRST for every query under Spark's NULLS FIRST asc
+    if it weren't excluded; a NULL-embedding query has no LUT and must
+    return no rows; training ignores NULL vectors entirely."""
+    import random
+
+    from flink_project_spark.llm import similarity as SIM
+
+    rnd = random.Random(3)
+    dim = 8
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(60)]
+    rows += [(900, None), (901, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = SIM.pq_train(emb, m=2, k=4, dim=dim, iters=1)
+    assert all(len(b) == 4 for b in books)
+
+    queries = emb.filter(F.col("vec_id").isin(0, 900))
+    got = SIM.pq_topk(emb, queries, books, k=5).collect()
+    assert {r.query_id for r in got} == {0}        # null query: no rows
+    assert all(r.neighbor_id not in (900, 901) for r in got)
+    assert sorted(r.rank for r in got) == [1, 2, 3, 4, 5]
+    assert all(r.adc_dist is not None for r in got)
+
+    enc = SIM.pq_assign(emb, books)
+    null_codes = {r.vec_id for r in enc.collect() if r.codes is None}
+    assert null_codes == {900, 901}                # rows kept, codes NULL
