@@ -145,9 +145,12 @@ def sample_by_hash(
     incremental corpus builds resample consistently. The percentage is
     exact only in expectation; use `stratified_sample` for exact-N.
     """
-    if int(rate_pct) != rate_pct:
+    if isinstance(rate_pct, float) or int(rate_pct) != rate_pct:
+        # reject ALL floats, not just non-integral ones: 1.0 (a 0..1
+        # fraction meaning keep-everything) would otherwise coerce to
+        # 1 and silently keep ~1%
         raise ValueError(
-            f"rate_pct is a WHOLE percent 0..100, got {rate_pct} — a 0..1 "
+            f"rate_pct is a WHOLE percent 0..100, got {rate_pct!r} — a 0..1 "
             "fraction would silently keep ~1% (use mixture_plan's "
             "keep_rate_pct column)"
         )

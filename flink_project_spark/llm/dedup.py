@@ -797,16 +797,23 @@ def simhash_cross_matches(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    keep_ref_id: bool = False,
 ) -> DataFrame:
     """doc_ids from `new_sim` having ANY `ref_sim` signature within
     Hamming distance <= max_hamming — the cross-frame (new-vs-store)
     twin of `simhash_near_dups`' self-join, same pigeonhole guarantee
     (max_hamming < bands => at least one agreeing byte slice).
 
+    With ``keep_ref_id`` the result is the distinct (doc_id,
+    ref_doc_id) MATCH PAIRS instead of just the new-side ids — the
+    form a caller needs to apply an arrival-order rule against the
+    matched store row (streaming admission joins the stored (ts, id)
+    back on ref_doc_id).
+
     Scale: the join is per (band, slice) bucket — never new x ref; the
-    ref side carries only (simhash, band, slice), 3 longs per stored
-    signature. Used by the streaming ingest near-dup path, where
-    ref_sim is the bounded signature store.
+    ref side carries only (id, simhash, band, slice) — fixed-width
+    longs per stored signature. Used by the streaming ingest near-dup
+    path, where ref_sim is the bounded signature store.
     """
     if max_hamming >= bands:
         raise ValueError(
@@ -817,20 +824,24 @@ def simhash_cross_matches(
     a = simhash_banded(new_sim, bits, bands).select(
         "band", "slice", F.col("doc_id"), F.col("simhash").alias("sim_a")
     )
-    # the store side needs no identity — only (simhash, band, slice);
-    # a constant id satisfies simhash_banded's projection
-    b = simhash_banded(
-        ref_sim.select(F.lit(0).cast("long").alias("doc_id"), "simhash"),
-        bits,
-        bands,
-    ).select("band", "slice", F.col("simhash").alias("sim_b"))
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        a.join(b, ["band", "slice"])
-        .filter(hamming <= max_hamming)
-        .select("doc_id")
-        .distinct()
+    # without keep_ref_id the store side needs no identity — only
+    # (simhash, band, slice); a constant id satisfies the projection
+    ref_proj = (
+        ref_sim.select(F.col("doc_id"), "simhash")
+        if keep_ref_id
+        else ref_sim.select(F.lit(0).cast("long").alias("doc_id"), "simhash")
     )
+    b = simhash_banded(ref_proj, bits, bands).select(
+        "band",
+        "slice",
+        F.col("doc_id").alias("ref_doc_id"),
+        F.col("simhash").alias("sim_b"),
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    matched = a.join(b, ["band", "slice"]).filter(hamming <= max_hamming)
+    if keep_ref_id:
+        return matched.select("doc_id", "ref_doc_id").distinct()
+    return matched.select("doc_id").distinct()
 
 
 # ---------------------------------------------------------------------------

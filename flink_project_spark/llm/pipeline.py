@@ -176,9 +176,18 @@ def curate_corpus(
             plan = CUR.mixture_plan(
                 current, weights=mixture_weights, text_col=text_col
             )
-        plan = plan.select("source", "keep_rate_pct")
+        plan = plan.select(
+            F.col("source").alias("_mix_src"), "keep_rate_pct"
+        )
+        # null-safe: mixture_plan's groupBy put NULL-source docs in
+        # their own group with a keep rate — an equi-join here would
+        # silently drop them despite the plan claiming they were kept
         current = CUR.sample_by_rate_column(
-            current.join(F.broadcast(plan), "source"), "keep_rate_pct"
+            current.join(
+                F.broadcast(plan),
+                current["source"].eqNullSafe(F.col("_mix_src")),
+            ).drop("_mix_src"),
+            "keep_rate_pct",
         ).drop("keep_rate_pct")
         r.stages["mixture_sampled"] = current
 
@@ -189,7 +198,9 @@ def curate_corpus(
         r.stages["chunks"] = CUR.chunk_spans(
             labeled,
             chunk_tokens=chunk_tokens,
-            stride=chunk_stride or chunk_tokens,
+            # None means full stride; an explicit 0 must reach
+            # chunk_spans' validator, not silently become full stride
+            stride=chunk_tokens if chunk_stride is None else chunk_stride,
             text_col=text_col,
             carry_cols=("source", "split"),
         )

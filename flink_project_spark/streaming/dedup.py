@@ -57,7 +57,7 @@ def streaming_exact_dedup(
     orderable = [
         c
         for c, t in hashed.dtypes
-        if c not in ("content_md5", ts_col) and not t.startswith("map")
+        if c not in ("content_md5", ts_col) and "map" not in t
     ]
     w = Window.partitionBy("content_md5").orderBy(ts_col, *orderable)
     return (
@@ -65,6 +65,24 @@ def streaming_exact_dedup(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def _next_store_batch_id(store_dir: str) -> int:
+    """Sequential batch id for DIRECT (non-foreachBatch) callers: one
+    past the highest ``batch=N`` subdirectory. Local filesystem only —
+    callers on object stores pass ``batch_id`` explicitly (foreachBatch
+    always does)."""
+    import os
+
+    try:
+        existing = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(store_dir)
+            if d.startswith("batch=")
+        ]
+    except OSError:
+        return 0
+    return max(existing) + 1 if existing else 0
 
 
 def near_dup_dedup_batch(
@@ -77,30 +95,43 @@ def near_dup_dedup_batch(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """One micro-batch of streaming NEAR-dup dedup (SimHash banding).
 
-    Admission rule — deterministic and batch-boundary-independent: a
-    document survives iff NO earlier arrival (by (ts, id), across all
-    prior batches within the horizon AND earlier rows of this batch)
-    has a simhash within ``max_hamming``. "Earlier arrival" counts
-    dropped documents too: the signature store records EVERY arrival,
-    not just survivors, so re-slicing the same stream into different
+    Admission rule — deterministic, and batch-boundary-independent for
+    streams delivered in (ts, id) order: a document survives iff no
+    (ts, id)-EARLIER arrival within the horizon has a simhash within
+    ``max_hamming``. "Earlier arrival" counts dropped documents too:
+    the signature store records EVERY arrival with its (ts, id), and
+    the store match applies the same orientation rule as in-batch
+    pairs — so re-slicing an in-order stream into different
     micro-batches yields the identical admitted set (the property the
-    replay test pins). Like the batch `dedup_keep_canonical`
-    single-link rule, chains over-remove (B drops for A, C drops for
-    B): the compaction pass with mode="cc" is the principled
-    cross-horizon twin.
+    replay test pins). An OUT-OF-ORDER arrival (its (ts, id) precedes
+    an already-admitted doc) can only over-admit — both docs are kept;
+    the already-delivered doc is never retroactively dropped (no
+    retraction in a streaming sink) and the late doc is not penalized
+    for arriving late. NULL event times order LAST (they lose any pair
+    against a real timestamp, deterministically by id among
+    themselves) and are excluded from the store — a null-ts signature
+    can never age out of a time-bounded horizon. Like the batch
+    `dedup_keep_canonical` single-link rule, chains over-remove; the
+    compaction pass with mode="cc" is the principled cross-horizon
+    twin.
 
-    State: (simhash, ts) pairs — two longs per in-horizon arrival,
-    loaded per batch with an event-time cutoff filter. This module
-    keeps it as a parquet directory appended per batch; the cluster
-    analog is an hourly-partitioned store where horizon eviction is a
-    partition DROP, not a filter. Matching against the store is the
-    banded `simhash_cross_matches` equi-join — never batch x store.
+    State: (doc_id, simhash, ts) — three longs per in-horizon arrival,
+    written as ONE ``batch=<id>`` partition per micro-batch in
+    OVERWRITE mode, which is what makes foreachBatch replay idempotent:
+    a retried batch rewrites its own partition and EXCLUDES it from
+    matching, instead of appending a second copy and then matching its
+    own signatures (which would silently drop the whole batch). The
+    cluster analog is the same layout with horizon eviction as a
+    partition DROP. Matching against the store is the banded
+    `simhash_cross_matches` equi-join — never batch x store.
     """
     from pyspark.sql.utils import AnalysisException
 
+    from flink_project_spark.cache import persist_tracked
     from flink_project_spark.llm.dedup import (
         doc_simhash,
         simhash_cross_matches,
@@ -109,77 +140,140 @@ def near_dup_dedup_batch(
 
     if batch.isEmpty():
         return batch.limit(0)
+    if batch_id is None:
+        batch_id = _next_store_batch_id(store_dir)
     spark = batch.sparkSession
-    sim = doc_simhash(
-        batch.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
-        text_col=text_col,
-        bits=bits,
-    ).join(
-        batch.select(
-            F.col(id_col).alias("doc_id"), F.col(ts_col).alias("_ts")
+    sim = persist_tracked(
+        doc_simhash(
+            batch.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+            text_col=text_col,
+            bits=bits,
+        ).join(
+            batch.select(
+                F.col(id_col).alias("doc_id"), F.col(ts_col).alias("_ts")
+            ),
+            "doc_id",
         ),
-        "doc_id",
+        label=f"neardup_sim_b{batch_id}",
     )
-    sim = sim.persist()
     try:
-        ref = spark.read.parquet(store_dir)
-    except AnalysisException:
-        ref = None
-    if ref is not None:
-        cutoff = batch.agg(
-            F.max(F.col(ts_col)) - F.expr(f"INTERVAL {horizon_seconds} SECONDS")
-        ).collect()[0][0]
-        ref = ref.filter(F.col("_ts") >= F.lit(cutoff))
-        store_hits = simhash_cross_matches(
-            sim, ref, bits=bits, bands=bands, max_hamming=max_hamming
-        )
-    else:
+        try:
+            ref = spark.read.parquet(store_dir)
+        except AnalysisException:
+            ref = None
         store_hits = None
-    # in-batch: orient near-dup pairs by arrival order (ts, then id) —
-    # the later side of any pair is dropped
-    pairs = simhash_near_dups(
-        sim, bits=bits, bands=bands, max_hamming=max_hamming
-    )
-    ts_of = sim.select("doc_id", "_ts")
-    oriented = (
-        pairs.join(
-            ts_of.select(
-                F.col("doc_id").alias("doc_a"), F.col("_ts").alias("ts_a")
-            ),
-            "doc_a",
+        if ref is not None:
+            # replay safety: never match this batch's own (failed,
+            # half-written) prior attempt
+            if "batch" in ref.columns:
+                ref = ref.filter(F.col("batch") != F.lit(batch_id))
+            cutoff = batch.agg(
+                F.max(F.col(ts_col))
+                - F.expr(f"INTERVAL {horizon_seconds} SECONDS")
+            ).collect()[0][0]
+            if cutoff is not None:
+                ref = ref.filter(F.col("_ts") >= F.lit(cutoff))
+                hits = simhash_cross_matches(
+                    sim,
+                    ref.select("doc_id", "simhash"),
+                    bits=bits,
+                    bands=bands,
+                    max_hamming=max_hamming,
+                    keep_ref_id=True,
+                )
+                # orientation vs the matched STORE arrival: drop the
+                # new doc only if the stored one is (ts, id)-earlier —
+                # the cross-batch half of the in-batch pair rule
+                store_hits = (
+                    hits.join(
+                        sim.select("doc_id", F.col("_ts").alias("ts_new")),
+                        "doc_id",
+                    )
+                    .join(
+                        ref.select(
+                            F.col("doc_id").alias("ref_doc_id"),
+                            F.col("_ts").alias("ts_ref"),
+                        ),
+                        "ref_doc_id",
+                    )
+                    .filter(
+                        F.col("ts_new").isNull()  # null ts orders last
+                        | (F.col("ts_ref") < F.col("ts_new"))
+                        | (
+                            (F.col("ts_ref") == F.col("ts_new"))
+                            & (F.col("ref_doc_id") < F.col("doc_id"))
+                        )
+                    )
+                    .select("doc_id")
+                    .distinct()
+                )
+        # in-batch: orient near-dup pairs by arrival order (ts, then
+        # id) — the later side of any pair is dropped; NULL ts orders
+        # LAST (loses to any real timestamp, id-tie-broken among nulls)
+        pairs = simhash_near_dups(
+            sim, bits=bits, bands=bands, max_hamming=max_hamming
         )
-        .join(
-            ts_of.select(
-                F.col("doc_id").alias("doc_b"), F.col("_ts").alias("ts_b")
-            ),
-            "doc_b",
-        )
-        .select(
+        ts_of = sim.select("doc_id", "_ts")
+        a_earlier = (
             F.when(
+                F.col("ts_a").isNull() & F.col("ts_b").isNull(),
+                F.col("doc_a") < F.col("doc_b"),
+            )
+            .when(F.col("ts_a").isNull(), F.lit(False))
+            .when(F.col("ts_b").isNull(), F.lit(True))
+            .otherwise(
                 (F.col("ts_a") < F.col("ts_b"))
                 | (
                     (F.col("ts_a") == F.col("ts_b"))
                     & (F.col("doc_a") < F.col("doc_b"))
-                ),
-                F.col("doc_b"),
+                )
             )
-            .otherwise(F.col("doc_a"))
-            .alias("doc_id")
         )
-        .distinct()
-    )
-    losers = (
-        oriented if store_hits is None else oriented.union(store_hits).distinct()
-    )
-    survivors = batch.join(
-        losers.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
-    )
-    # record EVERY arrival's signature (see docstring) — two longs/row
-    sim.select(
-        "simhash", F.col("_ts").alias("_ts")
-    ).write.mode("append").parquet(store_dir)
-    sim.unpersist()
-    return survivors
+        oriented = (
+            pairs.join(
+                ts_of.select(
+                    F.col("doc_id").alias("doc_a"), F.col("_ts").alias("ts_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                ts_of.select(
+                    F.col("doc_id").alias("doc_b"), F.col("_ts").alias("ts_b")
+                ),
+                "doc_b",
+            )
+            .select(
+                F.when(a_earlier, F.col("doc_b"))
+                .otherwise(F.col("doc_a"))
+                .alias("doc_id")
+            )
+            .distinct()
+        )
+        losers = (
+            oriented
+            if store_hits is None
+            else oriented.union(store_hits).distinct()
+        )
+        survivors = persist_tracked(
+            batch.join(
+                losers.select(F.col("doc_id").alias(id_col)),
+                id_col,
+                "left_anti",
+            ),
+            label=f"neardup_survivors_b{batch_id}",
+        )
+        # materialize BEFORE the store write: the sink's later action
+        # must not re-plan against a store that now contains this
+        # batch's own signatures, and the expensive simhash subtree
+        # evaluates exactly once
+        survivors.count()
+        # record EVERY real-ts arrival's signature (see docstring)
+        sim.filter(F.col("_ts").isNotNull()).select(
+            "doc_id", "simhash", "_ts"
+        ).write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
+        return survivors
+    finally:
+        sim.unpersist()
 
 
 def near_dup_foreach_batch(
@@ -195,10 +289,12 @@ def near_dup_foreach_batch(
 ):
     """foreachBatch wiring for `near_dup_dedup_batch`: returns the
     (batch_df, batch_id) callable; ``sink(survivors_df, batch_id)``
-    receives each batch's admitted documents. Pair with a checkpointed
-    writeStream — the signature-store append is idempotent only per
-    batch file, so exactly-once delivery relies on the checkpoint
-    replaying whole batches (the standard foreachBatch contract)."""
+    receives each batch's admitted documents. The checkpoint's
+    batch_id keys the signature-store partition, so a REPLAYED batch
+    overwrites its own prior (possibly half-written) signatures and
+    never matches against them — replay is idempotent end to end as
+    long as the sink honors the standard foreachBatch contract
+    (idempotent per batch_id)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         survivors = near_dup_dedup_batch(
@@ -211,8 +307,15 @@ def near_dup_foreach_batch(
             bits=bits,
             bands=bands,
             max_hamming=max_hamming,
+            batch_id=batch_id,
         )
-        sink(survivors, batch_id)
+        try:
+            sink(survivors, batch_id)
+        finally:
+            # survivors is persisted (and pre-materialized) by
+            # near_dup_dedup_batch; release it once the sink has
+            # consumed it so a long-running stream stays memory-bounded
+            survivors.unpersist()
 
     return _process
 

@@ -178,3 +178,48 @@ def test_curate_corpus_span_strip_stage(spark):
     # default run has no such stage
     r2 = curate_corpus(docs, apply_mixture=False)
     assert "span_stripped" not in r2.stages
+
+
+def test_mixture_stage_keeps_null_source_docs(spark):
+    """mixture_plan groups NULL-source docs as their own source with a
+    keep rate; the pipeline's plan join must be null-safe — an
+    equi-join would silently drop every NULL-source doc while the plan
+    claims they were kept."""
+    from flink_project_spark.llm.pipeline import curate_corpus
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(30)), "en", "s0", 0)
+        for i in range(10)
+    ] + [
+        (100 + i, " ".join(f"n{i}_{j}" for j in range(30)), "en", None, 0)
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    r = curate_corpus(
+        docs,
+        quality_threshold=0.0,
+        apply_mixture=True,
+        chunk_tokens=None,
+    )
+    out = r.stages["mixture_sampled"]
+    # uniform weights + equal source sizes -> keep_rate 100 for both
+    # groups; every doc (incl. all NULL-source) must survive
+    srcs = {r2.source for r2 in out.select("source").distinct().collect()}
+    assert None in srcs, "NULL-source docs were dropped by the plan join"
+    assert out.count() == 20
+
+
+def test_sample_by_hash_rejects_float_rates(spark):
+    """1.0 (a keep-everything FRACTION) must raise, not silently keep
+    ~1%; same for 0.0 and 0.5."""
+    import pytest as _pytest
+
+    from flink_project_spark.llm import curation as CUR
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    for bad in (1.0, 0.0, 0.5):
+        with _pytest.raises(ValueError):
+            CUR.sample_by_hash(docs, bad)
+    assert CUR.sample_by_hash(docs, 100).count() == 1
