@@ -1867,7 +1867,7 @@ def oracle_sql() -> dict[str, str]:
         FROM cal c
         CROSS JOIN keys k
         LEFT JOIN sparse s ON s.window_start = c.window_start
-                          AND s.event_type = k.event_type
+                          AND s.event_type IS NOT DISTINCT FROM k.event_type
         """,
         # mirrors q_min_cost_supplier (TPC-H Q2 shape over the lineitem
         # bridge — no partsupp in this schema; integer-micros argmin)
@@ -2495,12 +2495,12 @@ def oracle_sql() -> dict[str, str]:
         # mirrors operators/windows.py::rolling_time_agg(3600)
         "user_rolling_value": """
         SELECT user_id, ts, value,
-               CAST(count(*) OVER w AS BIGINT) AS w_count,
+               CAST(count(value) OVER w AS BIGINT) AS w_count,
                CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS HUGEINT))
                     OVER w AS DOUBLE) / 1000000.0 AS w_sum,
                CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS HUGEINT))
                     OVER w AS DOUBLE) / 1000000.0
-                 / CAST(count(*) OVER w AS DOUBLE) AS w_mean
+                 / CAST(count(value) OVER w AS DOUBLE) AS w_mean
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)

@@ -177,6 +177,12 @@ def doc_signatures(
     signature; the near-dup pipeline itself uses the narrow
     `shingle_hashes` + `_sig_from_hashes` path and never materializes
     arrays into a join.
+
+    Zero-shingle documents (empty/whitespace-only text) are
+    DROPPED by design — a doc with no shingles has no MinHash
+    signature and can never be a near-dup candidate; callers needing
+    every doc back restore them with a left join (the contract
+    queries' oracles mirror the same rule).
     """
     from flink_project_spark.cache import persist_tracked
 
@@ -662,10 +668,9 @@ def simhash(text: Column, bits: int = 32) -> Column:
     sums = F.aggregate(
         hashes, zeros, lambda acc, h: F.zip_with(acc, bit_vec(h), lambda a, b: a + b)
     )
-    weights = F.array(*[F.lit(2**j).cast("long") for j in range(bits)])
     return F.aggregate(
         F.zip_with(
-            sums, weights, lambda s, wgt: F.when(s > 0, wgt).otherwise(F.lit(0).cast("long"))
+            sums, pow2, lambda s, wgt: F.when(s > 0, wgt).otherwise(F.lit(0).cast("long"))
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,

@@ -56,9 +56,11 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     per-modality code paths get exercised.
     """
     payload = F.encode(F.col(text_col), "UTF-8")
+    # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+    # doc_id would hit element_at index 0 (a runtime error)
     modality = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col("doc_id") % 3 + 1).cast("int"),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
     )
     return docs.select(
         "doc_id",
@@ -116,7 +118,10 @@ def _decode_payload(doc_id: int, modality: str, payload: bytes):
             "PIL/av/librosa decode in here"
         )
     w, h, n = _fake_dims(doc_id, modality)
-    return w, h, n, hashlib.md5(payload).hexdigest()
+    # NULL payload -> NULL checksum, mirroring the native path's
+    # md5(NULL); dims derive from doc_id and stay valid either way
+    ck = None if payload is None else hashlib.md5(payload).hexdigest()
+    return w, h, n, ck
 
 
 def decode_media(media: DataFrame) -> DataFrame:
@@ -166,7 +171,8 @@ def decode_media_udf(media: DataFrame) -> DataFrame:
                 pdf["doc_id"], pdf["meta"], pdf["payload"]
             ):
                 modality = meta["modality"]
-                w, h, n, ck = _decode_payload(int(doc_id), modality, bytes(payload))
+                pay = None if payload is None else bytes(payload)
+                w, h, n, ck = _decode_payload(int(doc_id), modality, pay)
                 rows.append((int(doc_id), modality, w, h, n, ck))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in DECODED_SCHEMA.fields]
@@ -374,6 +380,12 @@ def cdc_chunk_hashes(
                     while c - start > max_chunk:
                         bounds.append((start, start + max_chunk))
                         start += max_chunk
+                    # a forced max split may leave < min_chunk to the
+                    # content boundary — skip the candidate rather than
+                    # emit a sub-min mid-stream chunk (only the final
+                    # tail may be shorter than min_chunk)
+                    if c - start < min_chunk:
+                        continue
                     bounds.append((start, int(c)))
                     start = int(c)
                 while n - start > max_chunk:

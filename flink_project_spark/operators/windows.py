@@ -204,8 +204,13 @@ def multi_resolution_counts(
     entries = []
     for label, dur in resolutions.items():
         dur_us = _duration_seconds(dur) * 1_000_000
+        # the day alignment keys on the DURATION, not the label — a
+        # custom resolutions dict naming its 1-day entry anything else
+        # still gets the documented +8h day grid
         off_us = (
-            -day_offset_hours * 3600 * 1_000_000 if label == "1d" else 0
+            -day_offset_hours * 3600 * 1_000_000
+            if _duration_seconds(dur) == 86400
+            else 0
         )
         start = (us - off_us) - F.pmod(us - off_us, F.lit(dur_us)) + off_us
         entries.append(
@@ -307,8 +312,17 @@ def global_rank(
     composite key, equal-prefix rows may land in different range
     partitions but their total order (and hence rank) is still exact.
 
+    The row_number table is PERSISTED: the offsets branch and the main
+    branch both consume it, and the range partitioner's sampled
+    boundaries are not deterministic across independent executions —
+    without the pin, offsets computed from one partitioning could join
+    row numbers from another (exchange reuse usually prevents this,
+    but correctness must not hang on an optimizer toggle).
+
     Returns ``df`` with ``rank_col`` (BIGINT) appended.
     """
+    from flink_project_spark.cache import persist_tracked
+
     part = (
         df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
@@ -316,7 +330,9 @@ def global_rank(
     )
     d = part.withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    rn = d.withColumn("_rn", F.row_number().over(w))
+    rn = persist_tracked(
+        d.withColumn("_rn", F.row_number().over(w)), label="global_rank_rn"
+    )
     counts = rn.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     woff = (
         Window.orderBy("_pid")
@@ -354,7 +370,10 @@ def rolling_time_agg(
     bit-for-bit; the mean is one IEEE division on exact integers.
     Ties on the timestamp: a RANGE frame includes ALL rows at the
     boundary instants — deterministic by SQL definition, no tie-break
-    column needed.
+    column needed. NULL values follow SQL COUNT(value)/AVG semantics:
+    they are excluded from count, sum, AND mean (a count(*) here would
+    make the mean neither AVG nor a row mean); an all-NULL window
+    reports w_count 0 with NULL sum/mean.
     """
     sec = F.unix_timestamp(F.col(ts_col))
     q = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
@@ -363,7 +382,7 @@ def rolling_time_agg(
         .orderBy(sec)
         .rangeBetween(-(int(window_seconds)), 0)
     )
-    cnt = F.count(F.lit(1)).over(w)
+    cnt = F.count(F.col(value_col)).over(w)
     s = F.sum(q).over(w)
     return df.select(
         *keys,
@@ -416,8 +435,15 @@ def gap_fill_counts(
     )
     key_table = events.select(*keys).distinct()
     dense = key_table.crossJoin(F.broadcast(calendar))
-    return dense.join(sparse, ["window_start", *keys], "left").select(
-        "window_start",
-        *keys,
-        F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+    # null-safe key equality: a NULL key forms its own series (the
+    # distinct key table emits it), and its sparse counts must match
+    # the dense grid — plain `=` would zero-fill every NULL-key bucket
+    # while the events exist
+    cond = dense["window_start"] == sparse["window_start"]
+    for k in keys:
+        cond = cond & dense[k].eqNullSafe(sparse[k])
+    return dense.join(sparse, cond, "left").select(
+        dense["window_start"],
+        *[dense[k] for k in keys],
+        F.coalesce(sparse["cnt"], F.lit(0)).cast("long").alias("cnt"),
     )

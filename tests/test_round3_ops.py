@@ -831,3 +831,106 @@ def test_streaming_near_dup_null_ts_loses_and_not_stored(spark, tmp_path):
     stored = spark.read.parquet(store)
     assert stored.filter(F.col("_ts").isNull()).count() == 0
     assert stored.count() == 1
+
+
+def test_gap_fill_counts_null_key_series(spark):
+    """A NULL key forms its own series: its real counts must appear in
+    the dense grid (a non-null-safe join would zero-fill every
+    NULL-key bucket while the events exist)."""
+    from flink_project_spark.operators.windows import gap_fill_counts
+
+    ev = spark.createDataFrame(
+        [
+            ("2024-01-01 00:05:00", None),
+            ("2024-01-01 00:06:00", None),
+            ("2024-01-01 02:10:00", "click"),
+        ],
+        "ts_s string, event_type string",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+    out = gap_fill_counts(ev, "ts", "1 hour", ["event_type"])
+    got = {
+        (r.window_start.hour, r.event_type): r.cnt for r in out.collect()
+    }
+    # 3 calendar hours x 2 keys (null is a key) = 6 rows
+    assert len(got) == 6
+    assert got[(0, None)] == 2          # the fix: not zeroed
+    assert got[(2, "click")] == 1
+    assert got[(1, None)] == 0 and got[(0, "click")] == 0
+
+
+def test_rolling_time_agg_null_values_use_sql_count_semantics(spark):
+    """NULL values follow COUNT(value)/AVG: excluded from count, sum,
+    and mean — count(*) would make the mean neither AVG nor row-mean."""
+    from flink_project_spark.operators.windows import rolling_time_agg
+
+    df = spark.createDataFrame(
+        [
+            ("k", "2024-01-01 00:00:00", 2.0),
+            ("k", "2024-01-01 00:00:01", None),
+        ],
+        "k string, ts_s string, v double",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    got = {
+        r.ts.second: (r.w_count, r.w_sum, r.w_mean)
+        for r in rolling_time_agg(df, ["k"], "ts", "v", 600).collect()
+    }
+    assert got[0] == (1, 2.0, 2.0)
+    assert got[1] == (1, 2.0, 2.0)      # null row joins window, adds 0/skips
+
+
+def test_multi_resolution_day_alignment_keys_on_duration(spark):
+    """A custom resolutions dict naming its 1-day entry anything gets
+    the +8h day grid — the alignment keys on the duration, not the
+    '1d' label."""
+    from flink_project_spark.operators.windows import multi_resolution_counts
+
+    ev = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "c")], "ts_s string, event_type string"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+    custom = multi_resolution_counts(
+        ev, "ts", ["event_type"], resolutions={"day": "1 day"}
+    ).collect()
+    default = multi_resolution_counts(ev, "ts", ["event_type"]).collect()
+    d_custom = [r for r in custom if r.resolution == "day"][0]
+    d_default = [r for r in default if r.resolution == "1d"][0]
+    assert d_custom.window_start == d_default.window_start
+
+
+def test_cdc_chunks_respect_min_clamp_mid_stream(spark):
+    """Every chunk except the final tail lies in [min_chunk,
+    max_chunk]: a content boundary just past a forced max split must
+    be skipped, not emitted as a sub-min chunk."""
+    import random
+
+    from flink_project_spark.llm.multimodal import cdc_chunk_hashes
+
+    rnd = random.Random(11)
+    payload = bytes(rnd.randrange(256) for _ in range(20000))
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    rows = sorted(
+        cdc_chunk_hashes(df, mask_bits=5, min_chunk=64, max_chunk=256).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert rows
+    for r in rows[:-1]:
+        assert 64 <= r.chunk_len <= 256, (r.chunk_idx, r.chunk_len)
+    assert rows[-1].chunk_len <= 256
+    assert sum(r.chunk_len for r in rows) == 20000
+
+
+def test_decode_media_udf_null_payload_matches_native(spark):
+    """NULL payloads flow through BOTH decode paths identically:
+    dims from doc_id, checksum NULL."""
+    from flink_project_spark.llm import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, None, "s0"), (2, "hello world", "s0")],
+        "doc_id long, text string, source string",
+    )
+    media = MM.attach_payload(docs)
+    native = {tuple(r) for r in MM.decode_media(media).collect()}
+    udf = {tuple(r) for r in MM.decode_media_udf(media).collect()}
+    assert native == udf
+    by_id = {r[0]: r for r in native}
+    assert by_id[1][-1] is None      # checksum NULL for NULL payload
+    assert by_id[2][-1] is not None
