@@ -117,8 +117,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     sum_word_len = F.aggregate(
         F.transform(w, F.length), F.lit(0), lambda acc, x: acc + x
     )
-    en_sw = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
-    sw_hits = F.size(F.filter(w, lambda x: F.array_contains(en_sw, F.lower(x))))
+    sw_hits = stopword_hits(t, "en")
     n_symbols = F.size(regex_tokens(text_col)) - F.size(
         F.regexp_extract_all(t, F.lit("[a-zA-Z]+|[0-9]+"), F.lit(0))
     )

@@ -51,6 +51,28 @@ def _check_reserved(left: DataFrame, extra: tuple[str, ...] = ()) -> None:
         )
 
 
+def _right_payload_cols(
+    right: DataFrame,
+    on: list[str],
+    right_time: str,
+    right_cols: list[str] | None,
+) -> list[str]:
+    """Resolve (and validate) the right payload columns — shared by the
+    plain and bucketed forms so their payload contracts can't drift. A
+    payload column literally named ``t`` would collide with the
+    struct's internal matched-time field (AMBIGUOUS_REFERENCE deep in
+    the plan); reject it up front."""
+    rc = right_cols if right_cols is not None else [
+        c for c in right.columns if c not in set(on) | {right_time}
+    ]
+    if "t" in rc:
+        raise ValueError(
+            "right payload column 't' collides with the as-of join's "
+            "internal matched-time struct field; alias it first"
+        )
+    return rc
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -74,15 +96,17 @@ def asof_join(
     The merge uses working columns ``_t/_side/_rp/_m``; a left frame
     already carrying one of those names is rejected up front (clear
     error instead of an ambiguous-reference failure deep in the plan).
+    Right rows with a NULL ``right_time`` are EXCLUDED — "at or before"
+    is never true for an unknown time (an unfiltered NULL sorts first
+    and would attribute its payload to every left row with no real
+    earlier match).
     """
     _check_reserved(left)
-    rc = right_cols if right_cols is not None else [
-        c for c in right.columns if c not in set(on) | {right_time}
-    ]
+    rc = _right_payload_cols(right, on, right_time, right_cols)
     payload = F.struct(
         F.col(right_time).alias("t"), *[F.col(c).alias(c) for c in rc]
     )
-    r2 = right.select(
+    r2 = right.filter(F.col(right_time).isNotNull()).select(
         *on,
         F.col(right_time).alias("_t"),
         F.lit(1).alias("_side"),
@@ -188,15 +212,16 @@ def asof_join_bucketed(
     units) tunes task granularity exactly like salting tunes top-K.
     """
     _check_reserved(left, extra=("_b",))
-    rc = right_cols if right_cols is not None else [
-        c for c in right.columns if c not in set(on) | {right_time}
-    ]
+    rc = _right_payload_cols(right, on, right_time, right_cols)
     payload = F.struct(
         F.col(right_time).alias("t"), *[F.col(c).alias(c) for c in rc]
     )
     bucket = lambda t: F.floor(F.col(t) / F.lit(bucket_width))  # noqa: E731
 
-    r2 = right.select(
+    # NULL right_time excluded, same rule as asof_join — it would also
+    # land in a NULL _b bucket the carry join can never match,
+    # silently diverging from the plain form
+    r2 = right.filter(F.col(right_time).isNotNull()).select(
         *on,
         bucket(right_time).alias("_b"),
         F.col(right_time).alias("_t"),

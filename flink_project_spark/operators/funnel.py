@@ -76,32 +76,38 @@ def funnel_steps(
 ) -> DataFrame:
     """Funnel conversion summary: one row per step with the user count
     that reached it (in order) and the conversion percentage from step
-    1 (single IEEE division on exact counts). The summary window runs
-    over k rows — a constant-size frame, not a data-scaled one."""
+    1 (single IEEE division on exact counts).
+
+    ONE aggregation pass: count(t_i) skips NULLs, so all k step counts
+    come from a single scan of the funnel-times table (a per-step
+    filter+agg union would re-execute the k-join times plan k times);
+    the k-row summary then explodes from the 1-row count frame —
+    constant-size work, no window."""
     times = funnel_times(
         events, steps, user_col, type_col, ts_col, horizon_seconds
     )
-    per_step = None
-    for i, s in enumerate(steps, start=1):
-        c = times.filter(F.col(f"t{i}").isNotNull()).agg(
-            F.lit(i).alias("step"),
-            F.lit(s).alias("step_name"),
-            F.count(F.lit(1)).alias("users"),
-        )
-        per_step = c if per_step is None else per_step.unionAll(c)
-    w = Window.orderBy("step").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    counts = times.agg(
+        *[
+            F.count(F.col(f"t{i}")).alias(f"_c{i}")
+            for i in range(1, len(steps) + 1)
+        ]
     )
-    entry = F.first("users").over(w)
-    return per_step.select(
-        "step",
-        "step_name",
-        "users",
-        (
-            F.col("users").cast("double")
-            / F.greatest(entry, F.lit(1)).cast("double")
-            * 100.0
-        ).alias("conversion_pct"),
+    entry = F.greatest(F.col("_c1"), F.lit(1)).cast("double")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("step"),
+                F.lit(s).alias("step_name"),
+                F.col(f"_c{i}").alias("users"),
+                (
+                    F.col(f"_c{i}").cast("double") / entry * 100.0
+                ).alias("conversion_pct"),
+            )
+            for i, s in enumerate(steps, start=1)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("_r")).select(
+        "_r.step", "_r.step_name", "_r.users", "_r.conversion_pct"
     )
 
 

@@ -48,6 +48,13 @@ def range_join_bucketed(
         raise ValueError("bucket_width must be positive")
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how: {how!r} (inner|left)")
+    clash = {"_bucket"} & (set(facts.columns) | set(ranges.columns))
+    if clash:
+        raise ValueError(
+            "input column '_bucket' collides with the range join's "
+            "working column; rename it first (it would be silently "
+            "overwritten and dropped)"
+        )
     w = float(bucket_width)
     fb = facts.withColumn(
         "_bucket", F.floor(F.col(value_col) / F.lit(w)).cast("long")

@@ -60,6 +60,12 @@ def salted_join(
         )
     if salt < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
+    if _SALT in big.columns or _SALT in small.columns:
+        raise ValueError(
+            f"input column {_SALT!r} collides with the salted join's "
+            "working column; rename it first (it would be silently "
+            "overwritten and dropped)"
+        )
     rand = F.rand(seed) if seed is not None else F.rand()
     b = big.withColumn(_SALT, (rand * salt).cast("int"))
     s = small.withColumn(

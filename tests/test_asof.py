@@ -178,3 +178,41 @@ def test_bucketed_asof_carry_crosses_empty_buckets(spark):
         left, right, ["k"], "t", "t", bucket_width=10, suffix="_m"
     ).collect()[0]
     assert (r["t_m"], r["v_m"]) == (5, 7)
+
+
+def test_asof_null_right_time_never_matches(spark):
+    """'at or before' is never true for an unknown time: a NULL
+    right_time row must not match anything — in BOTH the plain and the
+    bucketed form (they previously diverged here)."""
+    from flink_project_spark.operators import asof as AS
+
+    left = spark.createDataFrame([("k", 5)], "k string, t long")
+    right = spark.createDataFrame(
+        [("k", None, "nulltime"), ("k", 50, "real")],
+        "k string, rt long, v string",
+    )
+    for fn, kw in (
+        (AS.asof_join, {}),
+        (AS.asof_join_bucketed, {"bucket_width": 10}),
+    ):
+        got = fn(left, right, on=["k"], left_time="t", right_time="rt",
+                 **kw).collect()
+        assert len(got) == 1
+        assert got[0]["rt_matched"] is None, (fn.__name__, got)
+        assert got[0]["v_matched"] is None, (fn.__name__, got)
+
+
+def test_asof_rejects_payload_column_named_t(spark):
+    """A right payload column literally named 't' collides with the
+    internal matched-time struct field — rejected up front instead of
+    an ambiguous-reference failure deep in the plan."""
+    import pytest as _pytest
+
+    from flink_project_spark.operators import asof as AS
+
+    left = spark.createDataFrame([("k", 5)], "k string, ts long")
+    right = spark.createDataFrame(
+        [("k", 1, 9)], "k string, ts long, t long"
+    )
+    with _pytest.raises(ValueError, match="'t' collides"):
+        AS.asof_join(left, right, on=["k"], left_time="ts", right_time="ts")

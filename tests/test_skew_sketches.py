@@ -100,3 +100,28 @@ def test_uv_sketch_partial_rollup_grain(spark):
     exact = 911
     for est in rows.values():
         assert abs(est - exact) / exact < 0.05
+
+
+def test_salted_join_rejects_working_column_collision(spark):
+    """An input already carrying __skew_salt would be silently
+    overwritten and dropped — rejected up front instead."""
+    import pytest as _pytest
+
+    from flink_project_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, 0)], "k long, __skew_salt int")
+    small = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError, match="__skew_salt"):
+        salted_join(big, small, ["k"])
+
+
+def test_range_join_rejects_bucket_column_collision(spark):
+    """Same guard for the range join's _bucket working column."""
+    import pytest as _pytest
+
+    from flink_project_spark.operators.rangejoin import range_join_bucketed
+
+    facts = spark.createDataFrame([(1, 5.0, "x")], "fid long, v double, _bucket string")
+    ranges = spark.createDataFrame([(1, 0.0, 10.0)], "rid long, lo double, hi double")
+    with _pytest.raises(ValueError, match="_bucket"):
+        range_join_bucketed(facts, ranges, "v", "lo", "hi", 10.0)
