@@ -2396,11 +2396,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(max(rn) AS BIGINT) AS n_keys,
                CAST(sum(cnt) AS BIGINT) AS n_rows,
                CAST(max(cnt) AS BIGINT) AS max_group,
-               CAST(max(CASE WHEN rn = CAST(ceil(0.5 * nk) AS BIGINT)
+               -- integer-exact ceil(q*n): (qm*n + 999999) // 1e6 with
+               -- q in micro-units, mirroring the engine (float ceil
+               -- inherits binary64 artifacts, e.g. ceil(0.1*230)=24)
+               CAST(max(CASE WHEN rn = (500000 * nk + 999999) // 1000000
                              THEN cnt END) AS BIGINT) AS p50_group,
-               CAST(max(CASE WHEN rn = CAST(ceil(0.9 * nk) AS BIGINT)
+               CAST(max(CASE WHEN rn = (900000 * nk + 999999) // 1000000
                              THEN cnt END) AS BIGINT) AS p90_group,
-               CAST(max(CASE WHEN rn = CAST(ceil(0.99 * nk) AS BIGINT)
+               CAST(max(CASE WHEN rn = (990000 * nk + 999999) // 1000000
                              THEN cnt END) AS BIGINT) AS p99_group,
                CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
                  * 100.0 AS top1_share_pct

@@ -144,7 +144,8 @@ FROM events
 # (OfflineDataSetUtils.java:89-94, ActionLogJobSecond.java:92-103).
 VALID_ACTIONS_SQL = """
 SELECT * FROM action_log
-WHERE context_exist = '1' AND user_id <> '' AND item_id <> ''
+WHERE context_exist = '1'
+  AND trim(user_id) <> '' AND trim(item_id) <> ''
 """
 
 FIXTURE_SQL = {

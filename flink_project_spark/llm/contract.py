@@ -1357,11 +1357,13 @@ WITH dec AS (
                CAST(SUM(n_words) AS BIGINT) AS total_words,
                CAST(MIN(n_words) AS BIGINT) AS min_words,
                CAST(MAX(n_words) AS BIGINT) AS max_words,
-               CAST(MAX(CASE WHEN rn = CAST(ceil(0.1 * n) AS BIGINT)
+               -- integer-exact ceil(q*n), micro-quantized q (engine's
+               -- rule — float ceil(0.1*230) is 24, the math says 23)
+               CAST(MAX(CASE WHEN rn = (100000 * n + 999999) // 1000000
                         THEN n_words END) AS BIGINT) AS p10,
-               CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+               CAST(MAX(CASE WHEN rn = (500000 * n + 999999) // 1000000
                         THEN n_words END) AS BIGINT) AS p50,
-               CAST(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+               CAST(MAX(CASE WHEN rn = (900000 * n + 999999) // 1000000
                         THEN n_words END) AS BIGINT) AS p90
         FROM r GROUP BY source
         """,

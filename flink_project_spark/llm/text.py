@@ -468,13 +468,15 @@ def length_profile(
         F.max("n_words").cast("long").alias("max_words"),
     ]
     for q in qs:
+        # integer-exact ceil(q*n): q quantized to micro-units so the
+        # rank never inherits a float artifact (0.1*230 is
+        # 23.000000000000004 in binary64 — float ceil picks rank 24,
+        # the documented rule says 23); both engines and the twins
+        # share this formula
+        qm = int(round(q * 1_000_000))
+        rank = F.expr(f"(({qm} * _n) + 999999) div 1000000")
         aggs.append(
-            F.max(
-                F.when(
-                    F.col("_rn") == F.ceil(F.lit(q) * F.col("_n")),
-                    F.col("n_words"),
-                )
-            )
+            F.max(F.when(F.col("_rn") == rank, F.col("n_words")))
             .cast("long")
             .alias(f"p{int(round(q * 100))}")
         )

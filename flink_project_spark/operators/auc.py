@@ -75,11 +75,17 @@ def auc(
     with_cneg = per_score.withColumn(
         "cneg", F.coalesce(F.sum("n_s").over(w), F.lit(0))
     )
+    # the rank-sum term accumulates in decimal(38,0): p_s * (2*cneg +
+    # n_s) is bounded by 2*P*N per group, which exceeds int64 once
+    # P*N > 4.6e18 (about 1e9 positives x 5e9 negatives — reachable at
+    # the 100 TB scale this module targets); a silent int64 wraparound
+    # would emit a garbage AUC with no error under non-ANSI mode
     grouped = with_cneg.groupBy(*keys).agg(
         F.sum("p_s").alias("positives"),
         F.sum("n_s").alias("negatives"),
         F.sum(
-            F.col("p_s") * (F.lit(2) * F.col("cneg") + F.col("n_s"))
+            F.col("p_s").cast("decimal(20,0)")
+            * (F.lit(2) * F.col("cneg") + F.col("n_s"))
         ).alias("num2"),
     )
     return grouped.select(
@@ -145,7 +151,12 @@ def uauc(
     return (
         scaled.groupBy(*keys)
         .agg(
-            F.sum(F.col("w") * F.col("auc_scaled")).alias("wsum"),
+            # decimal accumulation: w * auc_scaled is up to 1e9 * w, so
+            # the int64 sum wraps once a group's total weight passes
+            # ~9.2e9 impressions — routine at the target scale
+            F.sum(
+                (F.col("w") * F.col("auc_scaled")).cast("decimal(38,0)")
+            ).alias("wsum"),
             F.sum("w").alias("wtotal"),
             F.count(F.lit(1)).alias("users"),
         )

@@ -41,20 +41,24 @@ def key_skew_profile(
     ranked = global_rank(
         counts, [F.col("_cnt").asc(), F.col(key_col).asc()], rank_col="_rk"
     )
-    scalar = F.broadcast(counts.agg(F.count(F.lit(1)).alias("_nk")))
+    # n_keys = max rank: ranks are a dense 1..N total order, so the
+    # key count comes from the already-persisted rank table — a
+    # separate counts.agg() would re-scan and re-aggregate the full
+    # profiled input a second time
+    scalar = F.broadcast(ranked.agg(F.max("_rk").alias("_nk")))
     aggs = [
         F.max("_nk").cast("long").alias("n_keys"),
         F.sum("_cnt").cast("long").alias("n_rows"),
         F.max("_cnt").cast("long").alias("max_group"),
     ]
     for q in qs:
+        # integer-exact ceil(q*n) via micro-quantized q — shared rule
+        # with llm.text.length_profile (see its comment for the float
+        # artifact this avoids)
+        qm = int(round(q * 1_000_000))
+        rank = F.expr(f"(({qm} * _nk) + 999999) div 1000000")
         aggs.append(
-            F.max(
-                F.when(
-                    F.col("_rk") == F.ceil(F.lit(q) * F.col("_nk")),
-                    F.col("_cnt"),
-                )
-            )
+            F.max(F.when(F.col("_rk") == rank, F.col("_cnt")))
             .cast("long")
             .alias(f"p{int(round(q * 100))}_group")
         )

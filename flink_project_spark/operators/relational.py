@@ -34,12 +34,15 @@ def filter_valid_actions(action_log: DataFrame) -> DataFrame:
 
     Ref: OfflineDataSetUtils.java:89-94 (contextExist gate),
     ActionLogJobSecond.java:92-103 (blank-id drops). Runs before any
-    join/agg so Catalyst pushes it into the scan.
+    join/agg so Catalyst pushes it into the scan. "Blank" follows the
+    reference's isNotBlank for SPACE-padded ids (trim() removes spaces
+    in both Spark and DuckDB — the cross-engine-identical subset of
+    Java's Character.isWhitespace; exotic whitespace ids still pass).
     """
     return action_log.filter(
         (F.col("context_exist") == "1")
-        & (F.col("user_id") != "")
-        & (F.col("item_id") != "")
+        & (F.trim(F.col("user_id")) != "")
+        & (F.trim(F.col("item_id")) != "")
     )
 
 
@@ -245,14 +248,24 @@ def metric_pivot(action_log: DataFrame) -> DataFrame:
 
 
 def sentinel_fill(df: DataFrame, cols: list[str]) -> DataFrame:
-    """F5: reference-sentinel compatibility — replace nulls with the
-    reference's magic string (OfflineJob.java:166,178-182). Engine keeps
-    nulls internally; apply this only at reference-format sinks.
+    """F5: reference-sentinel compatibility — replace nulls in the
+    LISTED string columns with the reference's magic string
+    (OfflineJob.java:166,178-182). Engine keeps nulls internally; apply
+    this only at reference-format sinks. A listed column that is
+    missing or non-string is an error, not a silent no-op.
     """
+    types = dict(df.dtypes)
+    bad = [c for c in cols if types.get(c) != "string"]
+    if bad:
+        raise ValueError(
+            f"sentinel_fill columns {bad} are missing or non-string "
+            f"(types: {({c: types.get(c) for c in bad})})"
+        )
+    target = set(cols)
     return df.select(
         *[
             F.coalesce(F.col(c), F.lit(INVALID_SENTINEL)).alias(c)
-            if dict(df.dtypes)[c] == "string"
+            if c in target
             else F.col(c)
             for c in df.columns
         ]

@@ -85,15 +85,25 @@ def top_k_per_group_salted(
     partial top-Ks); the heavy sort never sees more than max(|group| /
     salt_buckets, k * salt_buckets) rows on one task.
 
-    The salt is a deterministic hash of the order columns, not a
-    random(), so re-planning/retries reproduce the same partials.
+    The salt mixes the input partition id into the hash: a hash of the
+    order columns ALONE collapses when a hot group's order values are
+    low-cardinality (ties all land in one bucket — exactly the
+    serialization this operator exists to prevent), while the partition
+    id spreads identical rows across buckets because a hot group's rows
+    span many input partitions. The RESULT is assignment-independent —
+    the global top-K is contained in the union of partial top-Ks for
+    ANY row-to-bucket assignment — so an AQE re-plan changing partition
+    ids cannot change the answer, only the spread.
     """
     from pyspark.sql import Window
 
     order = [
         F.col(c).asc() if ascending else F.col(c).desc() for c in order_cols
     ]
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), salt_buckets)
+    salt = F.pmod(
+        F.xxhash64(F.spark_partition_id(), *[F.col(c) for c in order_cols]),
+        salt_buckets,
+    )
     partial_w = Window.partitionBy(*group_cols, "_salt").orderBy(*order)
     final_w = Window.partitionBy(*group_cols).orderBy(*order)
     return (
@@ -114,8 +124,12 @@ def bucket_histogram(
     Ref: ItemIdCfVersion5.java:242-278 / PetalDataSetUtils.java:293-331 —
     the 'quDuan' neighbor-list-size histogram ("400+", "300+", ...). The
     when/otherwise chain stays in codegen; a single narrow shuffle of
-    (bucket, 1) pairs.
+    (bucket, 1) pairs. The fall-through label is "0+": values below the
+    smallest bucket (including negatives) land there — pass an explicit
+    low bound if negatives need their own bucket.
     """
+    if not buckets:
+        raise ValueError("buckets must be non-empty")
     buckets = sorted(buckets, reverse=True)
     expr = F.when(F.col(value_col) >= buckets[0], F.lit(f"{buckets[0]}+"))
     for b in buckets[1:]:

@@ -156,7 +156,10 @@ def tumbling_counts(
 
 
 def _duration_seconds(d: str) -> int:
-    n, unit = d.split()
+    """Seconds in a Spark interval string. Accepts everything
+    ``F.window`` does at whole-second granularity: compound strings
+    ('1 hour 30 minutes') and weeks — a parser narrower than the
+    engine's would reject durations the windows themselves accept."""
     mult = {
         "second": 1,
         "seconds": 1,
@@ -166,8 +169,18 @@ def _duration_seconds(d: str) -> int:
         "hours": 3600,
         "day": 86400,
         "days": 86400,
-    }[unit]
-    return int(n) * mult
+        "week": 604800,
+        "weeks": 604800,
+    }
+    toks = d.split()
+    if not toks or len(toks) % 2 != 0:
+        raise ValueError(f"cannot parse duration {d!r}")
+    total = 0
+    for n, unit in zip(toks[::2], toks[1::2]):
+        if unit not in mult:
+            raise ValueError(f"cannot parse duration {d!r}: unit {unit!r}")
+        total += int(n) * mult[unit]
+    return total
 
 
 def multi_resolution_counts(

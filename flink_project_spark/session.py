@@ -67,9 +67,6 @@ def get_spark(
         # fixtures.load_tables (runtime-settable, so it also applies when the
         # harness hands us its own session)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # deterministic double aggregation is NOT guaranteed by Spark; the
-        # engine uses decimal-cast sums where exact reproducibility matters
-        .config("spark.sql.shuffle.spill.compress", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

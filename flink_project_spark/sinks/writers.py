@@ -123,7 +123,11 @@ def write_training_shards(
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", int(max_records_per_file))
     w.partitionBy("shard").parquet(path)
-    back = df.sparkSession.read.parquet(path)
+    # read back with the EXPLICIT written schema: an all-empty write
+    # leaves only _SUCCESS behind, and schema inference on that raises
+    # instead of yielding the documented n_shards-row zero manifest
+    back_schema = df.withColumn("shard", shard).schema
+    back = df.sparkSession.read.schema(back_schema).parquet(path)
     aggs = [F.count(F.lit(1)).alias("rows")]
     if token_col is not None:
         aggs.append(F.sum(token_col).cast("long").alias("tokens"))
@@ -178,15 +182,24 @@ def compact_parquet(
     else:
         df = df.repartition(n)
     # stage-then-swap: Spark cannot overwrite a path it is reading
-    # from, so write the compacted copy next to it and rename over.
-    # (Local-FS rename here; on HDFS/S3 swap via the storage API's
-    # rename/commit — same two-step shape.)
+    # from, so write the compacted copy next to it and swap. The old
+    # data moves ASIDE before the new moves IN — a crash mid-swap
+    # leaves the dataset recoverable at `path + '._compact_old'`; a
+    # delete-then-move swap has a window where the ONLY copy sits in
+    # the tmp dir and readers of `path` fail. (Local-FS moves here; on
+    # HDFS/S3 swap via the storage API's rename/commit — same shape.)
     import shutil
 
     tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
     df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    shutil.move(path, old)
+    try:
+        shutil.move(tmp, path)
+    except Exception:
+        shutil.move(old, path)  # restore — the original is intact
+        raise
+    shutil.rmtree(old)
     return n
 
 
@@ -289,7 +302,12 @@ class FileKVStore:
 
     @staticmethod
     def _safe(key: str) -> str:
-        return urllib.parse.quote(key, safe="")
+        # quote() leaves '.' unescaped (unreserved), but the read
+        # accessors skip dot-prefixed names as in-flight temp files —
+        # a key/field starting with '.' would be written yet invisible;
+        # escape the leading dot (unquote() reverses it on read)
+        q = urllib.parse.quote(key, safe="")
+        return "%2E" + q[1:] if q.startswith(".") else q
 
     def _atomic_write(self, path: Path, content: str) -> None:
         tmp = path.with_name(f".{path.name}.{os.getpid()}.{threading.get_ident()}")
@@ -369,6 +387,12 @@ def write_kv_hash(
 
     foreachPartition = one client per partition (the reference opens one
     Jedis/HBase connection per subtask in RichFunction.open — same shape).
+
+    NULL handling: rows with a NULL key, field, or value are DROPPED
+    before the write (a str() of them would store the literal string
+    'None' — indistinguishable from a real payload, and every NULL key
+    would collapse onto one store key) — the same rule as
+    `foreach_batch_kv_upsert`.
     """
     factory = store_factory or (lambda: get_kv_store(store_name))
     cols = [key_col, field_col, value_col]
@@ -378,7 +402,11 @@ def write_kv_hash(
         for row in rows:
             client.hset(str(row[cols[0]]), str(row[cols[1]]), str(row[cols[2]]))
 
-    df.select(*cols).foreachPartition(_write)
+    df.select(*cols).filter(
+        F.col(key_col).isNotNull()
+        & F.col(field_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).foreachPartition(_write)
 
 
 def write_kv_lists(
@@ -399,7 +427,10 @@ def write_kv_lists(
     foreachPartition — only surviving rows leave the JVM.
     """
     pruned = (
-        df.filter(F.size(F.col(values_col)) >= min_len)
+        df.filter(
+            F.col(key_col).isNotNull()  # a NULL key would store 'None'
+            & (F.size(F.col(values_col)) >= min_len)
+        )
         .select(key_col, F.slice(F.col(values_col), 1, max_len).alias(values_col))
     )
 

@@ -81,7 +81,7 @@ def count_with_timeout(
             # the key's next event re-arms it.
             state.update((cnt, last))
             yield pd.DataFrame(
-                {"key": [key[0]], "cnt": [cnt], "last_seen_ms": [last]}
+                {"key": [str(key[0])], "cnt": [cnt], "last_seen_ms": [last]}
             )
             return
         cnt, last = state.get if state.exists else (0, 0)
@@ -161,7 +161,7 @@ def delta_alert(
         state.update((float(vals[-1]),))
         yield pd.DataFrame(
             {
-                "key": np.full(int(mask.sum()), key[0], dtype=object),
+                "key": np.full(int(mask.sum()), str(key[0]), dtype=object),
                 "event_ms": ts[mask],
                 "value": vals[mask],
                 "prev_value": prevs[mask],
@@ -204,6 +204,16 @@ def rising_value_warning(
     then jumps between arm/disarm/fire EVENTS with searchsorted — per
     batch Python work is O(events + warns), both tiny, instead of
     O(rows) iterrows.
+
+    Scope vs the reference: this twin is EVENT-time-driven — the
+    deadline check runs when a later element of the same key reveals
+    that event time passed, so a key that goes permanently silent
+    emits no warning, where the reference's processing-time onTimer
+    fires on wall clock regardless of further input. For silent-key
+    firing, inject periodic keep-alive rows upstream (the standard
+    Structured Streaming idiom for wall-clock-driven event-time
+    operators) or adapt `count_with_timeout`'s ProcessingTimeTimeout
+    shape.
     """
     out_schema = T.StructType(
         [
@@ -262,7 +272,7 @@ def rising_value_warning(
                     continue
                 if w >= n:
                     break  # timer survives the batch un-fired
-                rows.append((key[0], int(ts[w]), float(vals[w]), rise_start))
+                rows.append((str(key[0]), int(ts[w]), float(vals[w]), rise_start))
                 # onTimer cleared; element w itself now processes
                 rise_start = int(ts[w]) if rising[w] else -1
                 pos = w + 1

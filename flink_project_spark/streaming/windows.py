@@ -34,16 +34,22 @@ def tumbling_stream(
     duration: str,
     keys: list[str],
     watermark: str = "10 seconds",
+    value_col: str | None = "value",
 ) -> DataFrame:
     """T1/T2: tumbling event-time window + count/sum over a stream.
 
     Ref: WindowDemo.scala:14 (processing-time 10 s), EventTimeWindow.java:39-44
     (event-time 5 s reduce). Event-time is the only mode exposed — the
     reference's processing-time windows are a special case (ingest time
-    as event time).
+    as event time). ``value_col=None`` gives count-only windows for
+    streams with no numeric payload (the batch twin supports the same).
     """
     return tumbling_counts(
-        with_watermark(stream, ts_col, watermark), ts_col, duration, keys
+        with_watermark(stream, ts_col, watermark),
+        ts_col,
+        duration,
+        keys,
+        value_col=value_col,
     )
 
 
@@ -72,10 +78,20 @@ def multi_resolution_streams(
         "1h": "1 hour",
         "1d": "1 day",
     }
+    from flink_project_spark.operators.windows import _duration_seconds
+
     wm = with_watermark(stream, ts_col, watermark)
     out = {}
     for label, dur in resolutions.items():
-        start = f"-{day_offset_hours} hours" if label == "1d" else None
+        # day alignment keys on the DURATION, matching the batch twin
+        # multi_resolution_counts — a custom dict naming its 1-day
+        # entry anything else still gets the +8h grid, and a '1d'
+        # label on a non-day duration gets none
+        start = (
+            f"-{day_offset_hours} hours"
+            if _duration_seconds(dur) == 86400
+            else None
+        )
         win = (
             F.window(F.col(ts_col), dur, startTime=start)
             if start

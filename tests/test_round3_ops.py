@@ -129,7 +129,10 @@ def test_key_skew_profile_matches_brute_force(spark):
     assert row["n_rows"] == len(pdf)
     assert row["max_group"] == counts["cnt"].max()
     for q, col in ((0.5, "p50_group"), (0.9, "p90_group"), (0.99, "p99_group")):
-        assert row[col] == counts["cnt"].iloc[math.ceil(q * nk) - 1]
+        # integer-exact ceil(q*nk), same micro-quantized rule as the
+        # engine (float math.ceil inherits binary64 artifacts)
+        rank = (int(round(q * 1_000_000)) * nk + 999_999) // 1_000_000
+        assert row[col] == counts["cnt"].iloc[rank - 1]
     assert row["top1_share_pct"] == pytest.approx(
         counts["cnt"].max() / len(pdf) * 100.0
     )
@@ -934,3 +937,50 @@ def test_decode_media_udf_null_payload_matches_native(spark):
     by_id = {r[0]: r for r in native}
     assert by_id[1][-1] is None      # checksum NULL for NULL payload
     assert by_id[2][-1] is not None
+
+
+def test_duration_seconds_compound_and_weeks():
+    """The duration parser accepts everything F.window does at
+    whole-second granularity — compound strings and weeks."""
+    from flink_project_spark.operators.windows import _duration_seconds
+
+    assert _duration_seconds("1 hour 30 minutes") == 5400
+    assert _duration_seconds("1 week") == 604800
+    assert _duration_seconds("2 days 3 hours") == 2 * 86400 + 3 * 3600
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _duration_seconds("fortnight")
+
+
+def test_multi_resolution_streams_day_alignment_keys_on_duration(spark):
+    """The streaming twin keys the +8h day grid on the DURATION, like
+    the batch form — a custom dict naming its 1-day entry 'daily'
+    still gets the aligned grid (F.window is batch/stream-agnostic, so
+    the check runs on a static frame)."""
+    from flink_project_spark.streaming.windows import multi_resolution_streams
+
+    ev = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "c")], "ts_s string, event_type string"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+    custom = multi_resolution_streams(
+        ev, "ts", ["event_type"], resolutions={"daily": "1 day"}
+    )["daily"].collect()
+    default = multi_resolution_streams(ev, "ts", ["event_type"])[
+        "1d"
+    ].collect()
+    assert custom[0].window_start == default[0].window_start
+
+
+def test_tumbling_stream_count_only_inputs(spark):
+    """value_col=None flows through the stream wrapper — a stream with
+    no numeric payload gets count-only windows instead of an
+    unresolved-column failure."""
+    from flink_project_spark.streaming.windows import tumbling_stream
+
+    ev = spark.createDataFrame(
+        [("2024-01-01 00:01:00", "a")], "ts_s string, k string"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "k")
+    got = tumbling_stream(ev, "ts", "5 minutes", ["k"], value_col=None)
+    rows = got.collect()
+    assert rows and rows[0]["cnt"] == 1

@@ -362,3 +362,50 @@ def test_write_training_shards_manifest_and_determinism(spark, tmp_path):
     # shard filter prunes to one partition directory
     one = spark.read.parquet(out).filter(F.col("shard") == 2)
     assert one.count() == m[2]["rows"]
+
+
+def test_write_training_shards_empty_input_zero_manifest(spark, tmp_path):
+    """An all-empty corpus writes only _SUCCESS; the manifest must
+    still report n_shards rows of zeros (explicit-schema read-back),
+    not crash on schema inference."""
+    from flink_project_spark.sinks import writers as WR
+
+    df = spark.createDataFrame([], "doc_id long, text string, n_tok long")
+    m = WR.write_training_shards(
+        df, str(tmp_path / "shards"), n_shards=4, token_col="n_tok"
+    ).collect()
+    assert [r.shard for r in m] == [0, 1, 2, 3]
+    assert all(r.rows == 0 and r.tokens == 0 for r in m)
+
+
+def test_filekv_dot_prefixed_keys_round_trip(tmp_path):
+    """Keys/fields starting with '.' must round-trip: the leading dot
+    is escaped on write so the read accessors (which skip dot-prefixed
+    temp files) still see them."""
+    from flink_project_spark.sinks.writers import FileKVStore
+
+    kv = FileKVStore(str(tmp_path / "kv"))
+    kv.hset(".hidden", ".field", "v1")
+    kv.hset("plain", "f", "v2")
+    assert kv.hashes[".hidden"][".field"] == "v1"
+    assert kv.hashes["plain"]["f"] == "v2"
+    kv.replace_list(".dotkey", ["a", "b"], ttl_seconds=60)
+    assert kv.lists[".dotkey"] == ["a", "b"]
+    assert ".dotkey" in kv.ttls
+
+
+def test_write_kv_hash_drops_null_rows(spark, tmp_path):
+    """NULL key/field/value rows are dropped, never stored as the
+    literal string 'None'."""
+    from flink_project_spark.sinks.writers import FileKVStore, write_kv_hash
+
+    store_dir = str(tmp_path / "kv2")
+    df = spark.createDataFrame(
+        [("k1", "f1", "v1"), ("k1", "f2", None), (None, "f3", "v3")],
+        "k string, f string, v string",
+    )
+    write_kv_hash(
+        df, "k", "f", "v", store_factory=lambda: FileKVStore(store_dir)
+    )
+    kv = FileKVStore(store_dir)
+    assert kv.hashes == {"k1": {"f1": "v1"}}

@@ -308,7 +308,9 @@ def test_length_profile_matches_python_twin(spark):
         lens.sort()
         vals = [n for n, _ in lens]
         n = len(vals)
-        pick = lambda q: vals[math.ceil(q * n) - 1]  # noqa: E731
+        pick = lambda q: vals[  # noqa: E731 — engine's integer-exact rule
+            (int(round(q * 1_000_000)) * n + 999_999) // 1_000_000 - 1
+        ]
         exp[src] = (
             n,
             sum(vals),
@@ -377,7 +379,7 @@ def test_length_profile_approx_within_rank_bound(spark):
             assert got in vals, (r.source, q, got)
             lo = min(i for i, v in enumerate(vals) if v == got) + 1
             hi = max(i for i, v in enumerate(vals) if v == got) + 1
-            target = math.ceil(q * n)
+            target = (int(round(q * 1_000_000)) * n + 999_999) // 1_000_000
             assert lo - err <= target <= hi + err or abs(
                 min(abs(lo - target), abs(hi - target))
             ) <= err, (r.source, q, got, lo, hi, target)
