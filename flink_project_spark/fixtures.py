@@ -56,7 +56,13 @@ _DIALECT = {
 
 
 def render(sql: str, dialect: str) -> str:
-    """Render a dual-dialect SQL template for 'spark' or 'duckdb'."""
+    """Render a dual-dialect SQL template for 'spark' or 'duckdb'.
+
+    Unknown dialects are an error here, not a silent DuckDB fallback —
+    feeding duckdb-rendered tokens to spark.sql() fails far from the
+    typo (UNRESOLVED_ROUTINE deep in a fixture plan)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect {dialect!r} (spark|duckdb)")
     idx = 0 if dialect == "spark" else 1
     out = sql
     for token, variants in _DIALECT.items():
@@ -106,7 +112,8 @@ SELECT
   {PRINTF}('%.2f', value)                                    AS score,
   {PRINTF}('%.4f', value * 0.25)                             AS recall_score,
   {EPOCH_MS}(ts)                                             AS recall_time,
-  'model_' || CAST(event_id % 4 AS {STR})                    AS predict_model_id
+  CASE WHEN event_id % 13 = 1 THEN '-2'
+       ELSE 'model_' || CAST(event_id % 4 AS {STR}) END      AS predict_model_id
 FROM events
 WHERE event_id % 4 <> 0
 """

@@ -13,10 +13,16 @@ per-row hash draw). The return value keeps each stage's frame so a
 caller can land any intermediate (the cluster workflow: write each
 stage to parquet, point the next run at the furthest-landed stage).
 
-Laziness: nothing here triggers a job — stages are plans until the
-caller writes or counts them. `CurationResult.audit()` computes the
-per-stage row counts (one lightweight count job per stage; run it
-AFTER landing the final frame so the counts read cached/landed data).
+Laziness: with dedup_mode="single_link" nothing here triggers a job —
+stages are plans until the caller writes or counts them. The DEFAULT
+dedup_mode="cc" is the exception: connected components is iterative,
+so constructing the result runs the exact-dedup -> LSH candidate ->
+CC jobs eagerly at call time (the price of a converged component
+table; pick "single_link" to stay fully lazy at reduced chain
+correctness). `CurationResult.audit()` re-executes each stage's plan
+for its count — on a large corpus persist (or land and re-read) the
+stages you intend to audit first; only the near-dup band table and
+the CC checkpoint are shared across counts automatically.
 """
 
 from __future__ import annotations
@@ -59,7 +65,9 @@ class CurationResult:
         """Row count per stage — the yield funnel a corpus build
         reports — plus `lsh_dropped_buckets`/`lsh_dropped_members`
         from the near-dup stage's bucket-cap audit (0 when the cap
-        never bound)."""
+        never bound). Each count RE-EXECUTES that stage's plan (Spark
+        caches nothing across separate actions) — at scale, persist or
+        land the stages first and audit the landed frames."""
         out = {name: df.count() for name, df in self.stages.items()}
         dropped_buckets = dropped_members = 0
         for adf in self.lsh_audits:
@@ -155,10 +163,12 @@ def curate_corpus(
         )
         r.stages["span_stripped"] = near
 
-    quality = TX.quality_score(near, text_col).select("doc_id", "quality")
-    gated = near.join(quality, "doc_id").filter(
-        F.col("quality") >= F.lit(float(quality_threshold))
-    )
+    # quality is a PURE projection — attach it as a column; the old
+    # doc_id join-back re-executed near's whole dedup lineage on both
+    # join legs and shuffled the corpus just to append one double
+    gated = near.withColumn(
+        "quality", TX.quality_column(text_col)
+    ).filter(F.col("quality") >= F.lit(float(quality_threshold)))
     r.stages["quality_gate"] = gated
 
     current = gated
@@ -194,7 +204,7 @@ def curate_corpus(
     labeled = CUR.train_split(current, ratios=split_ratios)
     r.stages["split"] = labeled
 
-    if chunk_tokens:
+    if chunk_tokens is not None:  # explicit 0 must reach the validator
         r.stages["chunks"] = CUR.chunk_spans(
             labeled,
             chunk_tokens=chunk_tokens,

@@ -102,18 +102,13 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return d.select("doc_id", "lang", pred.alias("pred_lang"), best.alias("best_ratio"))
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document quality metrics + composite score.
-
-    Metrics follow the public C4/Gopher-style filters: length, mean word
-    length, stopword ratio, symbol ratio. The composite is a plain
-    weighted sum — single IEEE ops on exact integer inputs, so the
-    DuckDB oracle reproduces it bit-exactly.
-    """
+def _quality_parts(text_col: str = "text") -> dict[str, Column]:
+    """The quality metric expressions — ONE definition shared by the
+    metrics frame (`quality_score`) and the attach-to-rows column
+    (`quality_column`) so a filter-rule change can never desync them."""
     t = F.col(text_col)
     w = words(t)
     n_words = F.size(w)
-    n_chars = F.length(t)
     sum_word_len = F.aggregate(
         F.transform(w, F.length), F.lit(0), lambda acc, x: acc + x
     )
@@ -131,15 +126,39 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when(sw_ratio >= 0.01, F.lit(0.2)).otherwise(0.0)
         + F.when(sym_ratio <= 0.2, F.lit(0.1)).otherwise(0.0)
     )
+    return {
+        "n_words": n_words,
+        "n_chars": F.length(t),
+        "mean_word_len": mean_wl,
+        "stopword_ratio": sw_ratio,
+        "symbol_ratio": sym_ratio,
+        "quality": score,
+    }
+
+
+def quality_column(text_col: str = "text") -> Column:
+    """The composite quality score as a pure Column expression — for
+    attaching to full rows (``df.withColumn('quality', ...)``) without
+    the doc_id join-back that re-executes the input's lineage twice."""
+    return _quality_parts(text_col)["quality"]
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics + composite score.
+
+    Metrics follow the public C4/Gopher-style filters: length, mean word
+    length, stopword ratio, symbol ratio. The composite is a plain
+    weighted sum — single IEEE ops on exact integer inputs, so the
+    DuckDB oracle reproduces it bit-exactly.
+    """
+    p = _quality_parts(text_col)
     return docs.select(
         "doc_id",
         "source",
-        n_words.alias("n_words"),
-        n_chars.alias("n_chars"),
-        mean_wl.alias("mean_word_len"),
-        sw_ratio.alias("stopword_ratio"),
-        sym_ratio.alias("symbol_ratio"),
-        score.alias("quality"),
+        *[p[c].alias(c) for c in (
+            "n_words", "n_chars", "mean_word_len",
+            "stopword_ratio", "symbol_ratio", "quality",
+        )],
     )
 
 

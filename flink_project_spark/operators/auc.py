@@ -181,3 +181,23 @@ def label_dedup_anti_join(
     anti join directly.
     """
     return shows.join(clicks, on=keys, how="left_anti")
+
+
+def effective_score(
+    score_col: str = "score",
+    recall_score_col: str = "recall_score",
+    model_col: str = "predict_model_id",
+) -> "Column":
+    """The reference's recall-score fallback: rows whose model id is
+    the '-2' sentinel score by `recall_score` instead of `score`.
+
+    Ref: AucCalcVersion5.java:287-289 — the AUC input selection swaps
+    in recallScore when predictModelId == "-2" (a recall-only entry
+    with no ranking-model score). Pure column expression; apply before
+    `auc`/`uauc`:
+
+        df.withColumn("score", effective_score())
+    """
+    return F.when(
+        F.col(model_col) == "-2", F.col(recall_score_col)
+    ).otherwise(F.col(score_col))

@@ -68,19 +68,23 @@ def interval_join_stream(
     joined = lw.join(rw, reduce(lambda a, b: a & b, conds), how)
     keep_right = [c for c in right.columns if c not in set(on)]
     lcols = set(left.columns)
-    clash = [
-        f"{c}{suffix}" for c in keep_right if c in lcols and f"{c}{suffix}" in lcols
-    ]
-    if clash:
+    # validate the FULL output name list, not just suffixed-vs-left: a
+    # right column that already ends in the suffix (or any other name
+    # coincidence) would otherwise emit duplicate output columns
+    out_right = [f"{c}{suffix}" if c in lcols else c for c in keep_right]
+    out_names = list(left.columns) + out_right
+    dupes = sorted({n for n in out_names if out_names.count(n) > 1})
+    if dupes:
         raise ValueError(
-            f"suffixed right columns {clash} still collide with left "
-            f"columns; pass a different suffix"
+            f"output columns {dupes} would be duplicated after "
+            f"suffixing; rename the colliding columns or pass a "
+            f"different suffix"
         )
     return joined.select(
         *[F.col(f"l.{c}") for c in left.columns],
         *[
-            F.col(f"r.{c}").alias(f"{c}{suffix}" if c in lcols else c)
-            for c in keep_right
+            F.col(f"r.{c}").alias(o)
+            for c, o in zip(keep_right, out_right)
         ],
     )
 

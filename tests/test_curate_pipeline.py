@@ -223,3 +223,37 @@ def test_sample_by_hash_rejects_float_rates(spark):
         with _pytest.raises(ValueError):
             CUR.sample_by_hash(docs, bad)
     assert CUR.sample_by_hash(docs, 100).count() == 1
+
+
+def test_quality_gate_is_projection_not_joinback(spark):
+    """The quality gate must not re-execute the dedup lineage via a
+    doc_id self-join: the quality_gate stage's plan contains NO join
+    beyond those of its input stage."""
+    from flink_project_spark.llm.pipeline import curate_corpus
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(30)), "en", "s0", 0)
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    r = curate_corpus(docs, apply_mixture=False, chunk_tokens=None)
+    def njoins(df):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        return sum(p.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin",
+                                        "ShuffledHashJoin"))
+    assert njoins(r.stages["quality_gate"]) == njoins(r.stages["near_dedup"])
+
+
+def test_chunk_tokens_zero_reaches_validator(spark):
+    import pytest as _pytest
+
+    from flink_project_spark.llm.pipeline import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "s0", 0)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    with _pytest.raises(ValueError):
+        curate_corpus(docs, apply_mixture=False, chunk_tokens=0)

@@ -984,3 +984,53 @@ def test_tumbling_stream_count_only_inputs(spark):
     got = tumbling_stream(ev, "ts", "5 minutes", ["k"], value_col=None)
     rows = got.collect()
     assert rows and rows[0]["cnt"] == 1
+
+
+def test_interval_join_rejects_right_side_suffix_coincidence(spark):
+    """A right column that already ends in the suffix must be rejected
+    when suffixing another right column produces its name — the full
+    output name list is validated, not just suffixed-vs-left."""
+    import pytest as _pytest
+
+    from flink_project_spark.streaming.joins import interval_join_stream
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 00:01:00", 1.0)], "k string, lts_s string, x double"
+    ).select("k", F.col("lts_s").cast("timestamp").alias("lts"), "x")
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:30", 2.0, 3.0)],
+        "k string, rts_s string, x double, x_r double",
+    ).select(
+        "k", F.col("rts_s").cast("timestamp").alias("rts"), "x", "x_r"
+    )
+    with _pytest.raises(ValueError, match="duplicated"):
+        interval_join_stream(
+            left, right, ["k"], "lts", "rts", horizon="1 hour"
+        )
+
+
+def test_recall_log_fixture_covers_model_sentinel(spark):
+    """FIXTURES.md requires predict_model_id='-2' rows (the reference's
+    recall_score fallback path); effective_score swaps in recall_score
+    exactly on those rows."""
+    from flink_project_spark import fixtures as FX
+    from flink_project_spark.operators.auc import effective_score
+
+    rl = FX.fixture_df(spark, SF_SMOKE, "recall_log")
+    n2 = rl.filter(F.col("predict_model_id") == "-2").count()
+    assert n2 > 0
+    assert rl.filter(F.col("predict_model_id") == "model_0").count() == 0
+
+    eff = rl.withColumn("eff", effective_score()).collect()
+    for r in eff:
+        want = r.recall_score if r.predict_model_id == "-2" else r.score
+        assert r.eff == want
+
+
+def test_render_rejects_unknown_dialect():
+    import pytest as _pytest
+
+    from flink_project_spark import fixtures as FX
+
+    with _pytest.raises(ValueError, match="unknown dialect"):
+        FX.render("SELECT 1", "sparksql")
