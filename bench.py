@@ -139,27 +139,40 @@ def main() -> None:
     best = {k: min(p[k] for p in passes) for k in passes[0]}
 
     probe_end = [_probe() for _ in range(3)]
-    total = round(sum(best.values()) + cache_build, 4)
+    total = round(sum(best.values()) + cache_build, 2)
+    # The COMPACT total line prints FIRST on its own line so a bounded
+    # capture always gets a parseable primary artifact (round 3's single
+    # giant line outgrew the driver's tail buffer and parsed as null).
+    # Per-query detail follows on a second line; the compact line repeats
+    # LAST so a byte-based *tail* capture also lands on an intact copy.
+    compact = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": total,
+            "unit": "sec",
+            "cache_build_seconds": round(cache_build, 2),
+            "sf": sf,
+        }
+    )
+    print(compact, flush=True)
     print(
         json.dumps(
             {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "cache_build_seconds": cache_build,
-                "cache_build_passes": build_passes,
+                "detail": "bench_per_query",
+                "queries": {k: round(v, 2) for k, v in best.items()},
+                "cache_build_passes": [round(b, 2) for b in build_passes],
                 "bench_runs": runs,
                 "aggregation": "min_per_query",
-                "pass_totals": [round(sum(p.values()), 4) for p in passes],
+                "pass_totals": [round(sum(p.values()), 2) for p in passes],
                 "calibration_probe_seconds": {
-                    "start": probe_start,
-                    "end": probe_end,
+                    "start": [round(p, 2) for p in probe_start],
+                    "end": [round(p, 2) for p in probe_end],
                 },
-                "queries": best,
-                "sf": sf,
             }
-        )
+        ),
+        flush=True,
     )
+    print(compact, flush=True)
     spark.stop()
 
 

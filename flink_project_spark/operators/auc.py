@@ -151,11 +151,12 @@ def uauc(
     return (
         scaled.groupBy(*keys)
         .agg(
-            # decimal accumulation: w * auc_scaled is up to 1e9 * w, so
-            # the int64 sum wraps once a group's total weight passes
-            # ~9.2e9 impressions — routine at the target scale
+            # decimal accumulation end to end: auc_scaled is up to 1e9,
+            # so a single user with w > ~9.2e9 would wrap an int64
+            # PRODUCT before any cast — cast one operand first so both
+            # the multiply and the sum run in decimal
             F.sum(
-                (F.col("w") * F.col("auc_scaled")).cast("decimal(38,0)")
+                F.col("w").cast("decimal(20,0)") * F.col("auc_scaled")
             ).alias("wsum"),
             F.sum("w").alias("wtotal"),
             F.count(F.lit(1)).alias("users"),

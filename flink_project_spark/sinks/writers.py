@@ -192,6 +192,15 @@ def compact_parquet(
 
     tmp = path.rstrip("/") + "._compact_tmp"
     old = path.rstrip("/") + "._compact_old"
+    # A leftover '._compact_old' means a prior compaction crashed between
+    # the tmp->path move and its cleanup: `path` already holds the full
+    # compacted copy (the swap only removes `old` AFTER the move in), so
+    # the stale dir is a redundant pre-compaction copy — clear it. Failing
+    # to do so would make shutil.move(path, old) nest the LIVE dataset
+    # inside the stale dir, and the exception-path restore would then
+    # reinstate stale files with a nested copy at `path`.
+    if _os.path.exists(old):
+        shutil.rmtree(old)
     df.write.mode("overwrite").parquet(tmp)
     shutil.move(path, old)
     try:

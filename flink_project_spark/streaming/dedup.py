@@ -167,46 +167,68 @@ def near_dup_dedup_batch(
             # half-written) prior attempt
             if "batch" in ref.columns:
                 ref = ref.filter(F.col("batch") != F.lit(batch_id))
+            # legacy store compat: pre-r3 stores are flat (simhash, _ts)
+            # files without doc_id. Synthesize the signature VALUE as the
+            # identity (min _ts per distinct signature) so the banded
+            # match and ts join-back still work; ties against a legacy
+            # row resolve in the store's favor (it arrived in an earlier
+            # batch), since no id tie-break exists across id spaces.
+            legacy = "doc_id" not in ref.columns
+            if legacy:
+                ref = (
+                    ref.groupBy("simhash")
+                    .agg(F.min("_ts").alias("_ts"))
+                    .withColumn("doc_id", F.col("simhash"))
+                )
             cutoff = batch.agg(
                 F.max(F.col(ts_col))
                 - F.expr(f"INTERVAL {horizon_seconds} SECONDS")
             ).collect()[0][0]
             if cutoff is not None:
                 ref = ref.filter(F.col("_ts") >= F.lit(cutoff))
-                hits = simhash_cross_matches(
-                    sim,
-                    ref.select("doc_id", "simhash"),
-                    bits=bits,
-                    bands=bands,
-                    max_hamming=max_hamming,
-                    keep_ref_id=True,
+            # When cutoff is None every event time in the batch is NULL:
+            # null ts orders LAST, so each new doc loses any pair against
+            # a stored real-ts arrival regardless of horizon — matching
+            # must still run (skipping it would make admission depend on
+            # batch composition, breaking replay-slice independence).
+            hits = simhash_cross_matches(
+                sim,
+                ref.select("doc_id", "simhash"),
+                bits=bits,
+                bands=bands,
+                max_hamming=max_hamming,
+                keep_ref_id=True,
+            )
+            # orientation vs the matched STORE arrival: drop the
+            # new doc only if the stored one is (ts, id)-earlier —
+            # the cross-batch half of the in-batch pair rule
+            tie_rule = (
+                F.lit(True)  # legacy rows: store wins ties (see above)
+                if legacy
+                else (F.col("ref_doc_id") < F.col("doc_id"))
+            )
+            store_hits = (
+                hits.join(
+                    sim.select("doc_id", F.col("_ts").alias("ts_new")),
+                    "doc_id",
                 )
-                # orientation vs the matched STORE arrival: drop the
-                # new doc only if the stored one is (ts, id)-earlier —
-                # the cross-batch half of the in-batch pair rule
-                store_hits = (
-                    hits.join(
-                        sim.select("doc_id", F.col("_ts").alias("ts_new")),
-                        "doc_id",
-                    )
-                    .join(
-                        ref.select(
-                            F.col("doc_id").alias("ref_doc_id"),
-                            F.col("_ts").alias("ts_ref"),
-                        ),
-                        "ref_doc_id",
-                    )
-                    .filter(
-                        F.col("ts_new").isNull()  # null ts orders last
-                        | (F.col("ts_ref") < F.col("ts_new"))
-                        | (
-                            (F.col("ts_ref") == F.col("ts_new"))
-                            & (F.col("ref_doc_id") < F.col("doc_id"))
-                        )
-                    )
-                    .select("doc_id")
-                    .distinct()
+                .join(
+                    ref.select(
+                        F.col("doc_id").alias("ref_doc_id"),
+                        F.col("_ts").alias("ts_ref"),
+                    ),
+                    "ref_doc_id",
                 )
+                .filter(
+                    F.col("ts_new").isNull()  # null ts orders last
+                    | (F.col("ts_ref") < F.col("ts_new"))
+                    | (
+                        (F.col("ts_ref") == F.col("ts_new")) & tie_rule
+                    )
+                )
+                .select("doc_id")
+                .distinct()
+            )
         # in-batch: orient near-dup pairs by arrival order (ts, then
         # id) — the later side of any pair is dropped; NULL ts orders
         # LAST (loses to any real timestamp, id-tie-broken among nulls)

@@ -332,6 +332,66 @@ def test_streaming_near_dup_readmits_past_horizon(spark, tmp_path):
     assert {r["doc_id"] for r in b3.collect()} == {3}
 
 
+def test_streaming_near_dup_all_null_ts_batch_still_matches_store(
+    spark, tmp_path
+):
+    """A batch whose event times are ALL NULL must still match the
+    signature store: NULL ts orders last, so the new doc loses to any
+    stored real-ts arrival regardless of horizon. (Previously the
+    None cutoff skipped store matching entirely, making admission
+    depend on batch composition.)"""
+    from flink_project_spark.streaming.dedup import near_dup_dedup_batch
+
+    store = str(tmp_path / "store")
+    text = " ".join(f"t{i}" for i in range(25))
+
+    b1 = near_dup_dedup_batch(
+        spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", text)],
+            "doc_id long, ts_s string, text string",
+        ).select(
+            "doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "text"
+        ),
+        store,
+        horizon_seconds=600,
+    )
+    assert {r["doc_id"] for r in b1.collect()} == {1}
+    # all-null-ts batch containing an exact dup AND a fresh doc
+    nulls = spark.createDataFrame(
+        [(2, None, text), (3, None, "completely different words here")],
+        "doc_id long, ts_s string, text string",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "text")
+    b2 = near_dup_dedup_batch(nulls, store, horizon_seconds=600)
+    assert {r["doc_id"] for r in b2.collect()} == {3}
+
+
+def test_streaming_near_dup_legacy_idless_store(spark, tmp_path):
+    """A pre-r3 signature store (flat (simhash, _ts) files, no doc_id
+    or batch column) is still matched — ties resolve in the store's
+    favor — instead of failing with a missing-column error."""
+    from flink_project_spark.llm.dedup import doc_simhash
+    from flink_project_spark.streaming.dedup import near_dup_dedup_batch
+
+    store = str(tmp_path / "store")
+    text = " ".join(f"t{i}" for i in range(25))
+    seed = spark.createDataFrame(
+        [(99, text)], "doc_id long, text string"
+    )
+    # legacy layout: flat append of (simhash, _ts) only
+    doc_simhash(seed, text_col="text", bits=32).select(
+        "simhash",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("_ts"),
+    ).write.mode("overwrite").parquet(store)
+
+    batch = spark.createDataFrame(
+        [(2, "2024-01-01 00:05:00", text),
+         (3, "2024-01-01 00:05:00", "completely different words here")],
+        "doc_id long, ts_s string, text string",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "text")
+    got = near_dup_dedup_batch(batch, store, horizon_seconds=600)
+    assert {r["doc_id"] for r in got.collect()} == {3}
+
+
 def test_range_join_bucketed_matches_nested_loop(spark):
     """Bucketed decomposition == brute-force BETWEEN join, including
     boundary values (exactly lo, exactly hi), overlapping ranges,

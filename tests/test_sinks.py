@@ -324,6 +324,26 @@ def test_compact_parquet_reduces_file_count_and_keeps_rows(spark, tmp_path):
     assert spark.read.parquet(path).count() == 10000
 
 
+def test_compact_parquet_recovers_from_stale_old_dir(spark, tmp_path):
+    """A '._compact_old' left by a prior crash (after the tmp->path
+    move, before cleanup) is cleared before the swap — otherwise the
+    live dataset would be moved INSIDE the stale dir and the
+    exception-path restore would reinstate stale data."""
+    import os
+
+    from flink_project_spark.sinks.writers import compact_parquet
+
+    path = str(tmp_path / "frag")
+    spark.range(0, 1000).repartition(8).write.parquet(path)
+    # simulate the crash leftover: a stale pre-compaction copy
+    stale = path + "._compact_old"
+    spark.range(0, 10).write.parquet(stale)
+    compact_parquet(spark, path, target_file_mb=128)
+    assert not os.path.exists(stale)
+    assert not os.path.exists(path + "._compact_tmp")
+    assert spark.read.parquet(path).count() == 1000
+
+
 def test_write_training_shards_manifest_and_determinism(spark, tmp_path):
     """Shard assignment is the explicit md5 rule (stable across runs),
     the manifest counts the written files, maxRecordsPerFile bounds
