@@ -1569,7 +1569,87 @@ def q_excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name", "n_name")
 
 
+# Driver-cap rotation (round 4): the external driver's CORRECTNESS
+# check runs only the FIRST ~50 entries of queries(). Rounds 1-3
+# driver-checked the classic surface (everything up to word_counts in
+# the build order below); round 4 rotates the never-driver-checked
+# entries into the cap so they finally get official oracle rows,
+# keeping five representatives of already-proven families in-cap as
+# regression canaries. Every entry past the cap remains oracle-checked
+# by the pytest sweep each run (tests/test_entry_contract.py); the
+# four deferred near-twins are listed at the tail with their in-cap
+# counterparts noted. Rationale documented in BASELINE.md.
+_DRIVER_CAP_ROTATION = [
+    # proven-family canaries (driver-green in r1-r3)
+    "scene_uv",  # relational UV/groupBy family
+    "auc",  # rank/AUC family
+    "itemcf_cosine",  # item-CF family
+    "doc_minhash_neardups",  # dedup family
+    "event_window_counts",  # window/streaming-twin family
+    # --- never driver-checked before round 4 ---
+    # text/curation/dedup/ANN
+    "doc_pii_stats",
+    "doc_stratified_sample",
+    "doc_chunks",
+    "doc_pack_plan",
+    "doc_rarity",
+    "doc_length_profile",
+    "doc_mixture_plan",
+    "doc_decontaminate_overlap",
+    "doc_winnow",
+    "emb_semantic_dedup",
+    "doc_curriculum_order",
+    "doc_dup_spans",
+    "doc_incremental_dedup",
+    "doc_mixture_temperature",
+    "doc_heuristic_rules",
+    "media_near_dups",
+    # item-CF / events / windows
+    "itemcf_decay_gated",
+    "event_key_skew",
+    "order_price_bands",
+    "event_funnel",
+    "event_retention",
+    "user_rolling_value",
+    "event_gap_fill",
+    # TPC-H-shaped analytics
+    "shipping_priority",
+    "order_priority_rollup",
+    "regional_supplier_volume",
+    "small_quantity_revenue",
+    "nation_trade_volume",
+    "priority_return_profile",
+    "promo_revenue_share",
+    "idle_customer_balance",
+    "order_priority_check",
+    "returned_item_revenue",
+    "customer_order_distribution",
+    "part_supplier_diversity",
+    "large_volume_customers",
+    "disjunctive_part_revenue",
+    "waiting_suppliers",
+    "forecast_revenue_change",
+    "nation_market_share",
+    "top_supplier_revenue",
+    "min_cost_supplier",
+    "product_profit",
+    "important_part_value",
+    "excess_supply_suppliers",
+]
+# Deferred to past-cap (near-twins of an in-cap entry; pytest-oracle
+# checked every run): doc_pack_spans (twin of doc_pack_plan),
+# doc_dup_span_strip (strip stage of doc_dup_spans),
+# doc_interleave_order (family of doc_curriculum_order),
+# doc_token_budget_sample (sampling family of doc_stratified_sample).
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    all_q = _queries_build_order()
+    front = {n: all_q[n] for n in _DRIVER_CAP_ROTATION}
+    return {**front, **{n: f for n, f in all_q.items() if n not in front}}
+
+
+def _queries_build_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scene_uv": q_scene_uv,
         "action_counts": q_action_counts,

@@ -35,6 +35,19 @@ def test_every_query_has_oracle_or_is_flagged():
     }, f"queries without oracle: {missing}"
 
 
+def test_driver_cap_rotation_invariants():
+    """The driver's CORRECTNESS check caps at the first ~50 entries of
+    queries(): the rotation list must resolve completely, stay unique,
+    and every in-cap entry must carry a SQL oracle (a rows-only entry
+    would waste a cap slot on a weaker check)."""
+    names = list(E.queries())
+    assert len(names) == len(set(names))
+    cap = names[:50]
+    assert cap == E._DRIVER_CAP_ROTATION
+    oracles = set(E.oracle_sql())
+    assert all(n in oracles for n in cap)
+
+
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, duck, name):
     oracles = E.oracle_sql()
