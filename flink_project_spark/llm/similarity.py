@@ -187,23 +187,27 @@ def quantized_planes(n_planes: int, dim: int, salt: str = "plane") -> list[list[
 
 
 def signlsh_bucket(
-    q_col: Column, dim: int, n_planes: int = 8, salt: str = "plane"
+    q_col: str, dim: int, n_planes: int = 8, salt: str = "plane"
 ) -> Column:
     """Random-hyperplane bucket id: bit p = 1 iff dot(q, plane_p) > 0.
 
-    Takes the QUANTIZED vector column; plane weights are md5-derived
-    integer literals baked into the plan (and into the oracle SQL) —
-    see llm.hashing.plane_weights.
+    Takes the NAME of the quantized vector column; plane weights are
+    md5-derived integer literals baked into the plan (and into the
+    oracle SQL) — see llm.hashing.plane_weights. Assembled as SQL text
+    (one F.expr) rather than a per-literal Column tree — n_planes x dim
+    long literals through py4j cost ~0.3 s of driver time per plan;
+    see _sq_l2_sql.
     """
     planes = quantized_planes(n_planes, dim, salt)
-    bucket = F.lit(0).cast("long")
+    terms = []
     for p, wts in enumerate(planes):
-        warr = F.array(*[F.lit(w).cast("long") for w in wts])
-        dot = _dot(q_col, warr)
-        bucket = bucket + F.when(dot > 0, F.lit(2**p).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        warr = "array(" + ",".join(f"{int(w)}L" for w in wts) + ")"
+        dot = (
+            f"aggregate(zip_with(`{q_col}`, {warr}, (x, y) -> x * y), "
+            "0L, (acc, x) -> acc + x)"
         )
-    return bucket
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {2**p}L ELSE 0L END)")
+    return F.expr(" + ".join(terms))
 
 
 def embedding_near_dups(
@@ -230,7 +234,7 @@ def embedding_near_dups(
     b = persist_tracked(
         with_quantized(emb, vec_col).select(
             F.col(id_col), F.col("q"), F.col("nrm"),
-            signlsh_bucket(F.col("q"), dim, n_planes).alias("bucket"),
+            signlsh_bucket("q", dim, n_planes).alias("bucket"),
         ),
         label="emb_near_dups_buckets",
     )
@@ -287,43 +291,63 @@ def kmeans_assign(
         return emb.withColumn(
             "cell", F.lit(None).cast("int")
         ).filter(F.lit(False))
-    cand = _centroid_dist_structs(centroids, vec_col)
+    argmin = F.expr(
+        f"array_min({_dist_structs_sql(centroids, _vec_sql(vec_col))})"
+    )["cell"]
     cell = F.when(
-        F.col(vec_col).isNotNull(), F.array_min(F.array(*cand))["cell"]
+        F.col(vec_col).isNotNull(), argmin
     ).otherwise(F.lit(None).cast("int"))
     return emb.withColumn("cell", cell)
 
 
-def _sq_l2(vec: Column, cvec: list[float]) -> Column:
-    """Squared L2 between a vector Column and a literal codeword — THE
-    single distance definition for every trainer/assign/LUT path
+def _dlit(v: float) -> str:
+    """Exact double SQL literal: Python repr is the shortest string
+    that round-trips under correctly-rounded parsing, and Spark's
+    parser is correctly rounded too, so the JVM double is bit-identical
+    to the Python float (verified in tests) — same exactness contract
+    as passing the value through py4j with F.lit."""
+    return repr(float(v)) + "D"
+
+
+def _arr_sql(vals: list[float]) -> str:
+    return "array(" + ",".join(_dlit(v) for v in vals) + ")"
+
+
+def _sq_l2_sql(vec_sql: str, cvec: list[float]) -> str:
+    """Squared L2 between a vector (as SQL text) and a literal codeword
+    — THE single distance definition for every trainer/assign/LUT path
     (kmeans, multi-probe, PQ encode, PQ ADC); a change here moves all
-    of them together, so encoding can never desynchronize from search."""
-    carr = F.array(*[F.lit(float(v)) for v in cvec])
-    return F.aggregate(
-        F.zip_with(
-            vec,
-            carr,
-            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    of them together, so encoding can never desynchronize from search.
+
+    Emitted as SQL text, not a Column tree: a model-literal expression
+    (k x dim or m x k x subdim doubles) built per-value through the
+    Column API costs thousands of py4j round-trips PER QUERY PLAN —
+    ~1.2 s of pure driver time for an m=4, k=8, dim=64 LUT — while one
+    F.expr over the assembled text is a single call parsed JVM-side.
+    The parsed tree (and thus the generated code and every result bit)
+    is identical."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_arr_sql(cvec)}, (a, b) -> "
+        "(CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+        "0.0D, (acc, x) -> acc + x)"
     )
 
 
-def _centroid_dist_structs(
-    centroids: list[list[float]], vec_col
-) -> list:
-    """(d2, cell) struct expressions against the literal model — ONE
-    definition of the assignment argmin candidates, shared by the
+def _vec_sql(vec_col: str) -> str:
+    return f"`{vec_col}`"
+
+
+def _dist_structs_sql(centroids: list[list[float]], vec_sql: str) -> str:
+    """array-of-(d2, cell)-structs SQL text against the literal model —
+    ONE definition of the assignment argmin candidates, shared by the
     single- and multi-probe assigns and the PQ encoder so they can
-    never disagree. `vec_col` is a column name or a Column expression
-    (e.g. a subvector slice)."""
-    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    return [
-        F.struct(_sq_l2(vec, cvec).alias("d2"), F.lit(ci).alias("cell"))
+    never disagree. Wrap in array_min(...)['cell'] for the argmin or
+    slice(array_sort(...), 1, p) for multi-probe; struct comparison is
+    field-order lexicographic, so ties break to the lowest cell id."""
+    return "array(" + ",".join(
+        f"struct({_sq_l2_sql(vec_sql, cvec)} AS d2, {ci} AS cell)"
         for ci, cvec in enumerate(centroids)
-    ]
+    ) + ")"
 
 
 def kmeans_train(
@@ -418,10 +442,13 @@ def kmeans_assign_probes(
             .withColumn("probe_rank", F.lit(None).cast("int"))
             .filter(F.lit(False))
         )
-    cand = _centroid_dist_structs(centroids, vec_col)
     ranked = F.when(
         F.col(vec_col).isNotNull(),
-        F.slice(F.array_sort(F.array(*cand)), 1, probes),
+        F.expr(
+            "slice(array_sort("
+            f"{_dist_structs_sql(centroids, _vec_sql(vec_col))}), "
+            f"1, {int(probes)})"
+        ),
     )
     return emb.select(
         "*", F.posexplode(ranked).alias("_p", "_pc")
@@ -571,9 +598,11 @@ def pq_train(
     for _ in range(iters):
         subrows = []
         for s in range(m):
+            sl_sql = f"slice({_vec_sql(vec_col)}, {s * sub + 1}, {sub})"
             sl = F.slice(F.col(vec_col), s * sub + 1, sub)
-            cand = _centroid_dist_structs(books[s], sl)
-            cell_s = F.array_min(F.array(*cand))["cell"]
+            cell_s = F.expr(
+                f"array_min({_dist_structs_sql(books[s], sl_sql)})"
+            )["cell"]
             subrows.append(
                 F.struct(
                     F.lit(s).alias("s"), cell_s.alias("cell"), sl.alias("v")
@@ -619,13 +648,16 @@ def pq_assign(
         ).filter(F.lit(False))
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    per_sub = []
-    for s in range(m):
-        sl = F.slice(F.col(vec_col), s * sub + 1, sub)
-        cand = _centroid_dist_structs(codebooks[s], sl)
-        per_sub.append(F.array_min(F.array(*cand))["cell"])
+    per_sub = ",".join(
+        "array_min("
+        + _dist_structs_sql(
+            codebooks[s], f"slice({_vec_sql(vec_col)}, {s * sub + 1}, {sub})"
+        )
+        + ")['cell']"
+        for s in range(m)
+    )
     codes = F.when(
-        F.col(vec_col).isNotNull(), F.array(*per_sub)
+        F.col(vec_col).isNotNull(), F.expr(f"array({per_sub})")
     ).otherwise(F.lit(None).cast("array<int>"))
     return emb.withColumn("codes", codes)
 
@@ -638,13 +670,18 @@ def _pq_lut(codebooks: list[list[list[float]]], vec_col: str):
     instead of a dim-length float fold."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    rows = []
-    for s in range(m):
-        sl = F.slice(F.col(vec_col), s * sub + 1, sub)
-        rows.append(
-            F.array(*[_sq_l2(sl, cvec) for cvec in codebooks[s]])
+    rows = ",".join(
+        "array("
+        + ",".join(
+            _sq_l2_sql(
+                f"slice({_vec_sql(vec_col)}, {s * sub + 1}, {sub})", cvec
+            )
+            for cvec in codebooks[s]
         )
-    return F.array(*rows)
+        + ")"
+        for s in range(m)
+    )
+    return F.expr(f"array({rows})")
 
 
 def pq_topk(
@@ -691,7 +728,15 @@ def pq_topk(
         F.col(id_col).alias("query_id"),
         _pq_lut(codebooks, vec_col).alias("lut"),
     )
-    m = len(codebooks)
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id", _adc_expr(len(codebooks)))
+    return _adc_topk(scored, k)
+
+
+def _adc_expr(m: int) -> Column:
+    """ADC distance: sum over subspaces of lut[s][codes[s]] — the ONE
+    scoring expression for pq_topk and ivfpq_topk."""
     adc = None
     for s in range(m):
         term = F.element_at(
@@ -699,21 +744,105 @@ def pq_topk(
             F.element_at("codes", s + 1).cast("int") + 1,
         )
         adc = term if adc is None else adc + term
-    scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
-        # unscorable pairs (NULL-embedding query -> NULL LUT, NULL or
-        # out-of-range stored codes -> NULL element_at) must be
-        # EXCLUDED: Spark's asc is NULLS FIRST, so a single bad stored
-        # row would otherwise outrank every real neighbor for every
-        # query
-        .filter(F.col("adc_dist").isNotNull())
-    )
+    return adc.alias("adc_dist")
+
+
+def _adc_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared ADC ranking tail (deterministic ties: dist ASC, id ASC).
+
+    Unscorable pairs (NULL-embedding query -> NULL LUT, NULL or
+    out-of-range stored codes -> NULL element_at) must be EXCLUDED:
+    Spark's asc is NULLS FIRST, so a single bad stored row would
+    otherwise outrank every real neighbor for every query."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("adc_dist").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    probes: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    corpus_cell_col: str | None = None,
+    corpus_codes_col: str | None = None,
+) -> DataFrame:
+    """IVFADC (Jegou et al. 2011 §V): IVF coarse pruning IN FRONT of PQ
+    ADC scoring — each query probes its `probes` nearest coarse cells
+    and ADC-scores only the corpus codes stored in those cells, instead
+    of `pq_topk`'s all-corpus candidate scan.
+
+    This is THE serving composition at 100 TB: the corpus persists as
+    (cell, id, codes) — cell-partitioned parquet makes the cell
+    equi-join partition pruning, and each pruned row is m small ints,
+    never the float vectors. Candidate count drops by ~probes/k_cells
+    while ADC keeps the per-candidate cost at m array lookups. Recall
+    stacks the two approximations (cell pruning x code quantization);
+    `probes` is the recall knob, probes = n_cells recovers exactly
+    `pq_topk`'s ranking (tested).
+
+    Non-residual variant: codes quantize the RAW vectors (same
+    codebooks as `pq_topk`), so one stored code table serves both the
+    pruned and unpruned paths; classic IVFADC's residual encoding would
+    need per-cell codebook training against `centroids`.
+
+    Pass `corpus_cell_col`/`corpus_codes_col` when the corpus already
+    carries assignments (the stored-index path); with None both
+    projections run inline (zero-shuffle literal-model expressions).
+    The query LUT is built BEFORE the probe generate, so the m x k
+    distance folds run once per query, not once per probe. Empty
+    models return the typed empty result.
+    """
+    if (
+        not centroids
+        or not codebooks
+        or any(not b for b in codebooks)
+    ):
+        idt = queries.schema[id_col].dataType
+        return (
+            queries.select(F.col(id_col).alias("query_id"))
+            .withColumn("neighbor_id", F.lit(None).cast(idt))
+            .withColumn("adc_dist", F.lit(None).cast("double"))
+            .withColumn("rank", F.lit(None).cast("int"))
+            .filter(F.lit(False))
+        )
+    c = corpus
+    c = (
+        c.withColumnRenamed(corpus_cell_col, "cell")
+        if corpus_cell_col
+        else kmeans_assign(c, centroids, vec_col)
+    )
+    c = (
+        c.withColumnRenamed(corpus_codes_col, "codes")
+        if corpus_codes_col
+        else pq_assign(c, codebooks, vec_col)
+    )
+    c = c.select("cell", F.col(id_col).alias("neighbor_id"), "codes")
+    q = kmeans_assign_probes(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col),
+            _pq_lut(codebooks, vec_col).alias("lut"),
+        ),
+        centroids,
+        probes,
+        vec_col,
+    ).select("cell", "query_id", "lut")
+    # corpus vectors live in exactly one cell and a query's probed
+    # cells are distinct, so no candidate pair repeats — no dedup step
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _adc_expr(len(codebooks)))
+    )
+    return _adc_topk(scored, k)

@@ -31,7 +31,7 @@ def test_every_query_has_oracle_or_is_flagged():
         "doc_length_profile_approx",
         # iterative PQ codebook training; ADC exactness + recall
         # pinned in tests/test_llm.py (test_pq_*)
-        "emb_pq_topk",
+        "emb_ivfpq_topk",
     }, f"queries without oracle: {missing}"
 
 

@@ -1062,6 +1062,120 @@ def test_pq_topk_recall_and_precoded_corpus(spark):
     }
 
 
+def test_ivfpq_full_probe_equals_pq_topk_and_precoded(spark):
+    """IVFADC with probes = n_cells scores every candidate pq_topk
+    scores, so the rankings must be IDENTICAL (cell pruning removes
+    nothing when every cell is probed); and the fully-precomputed
+    stored-index path (cell + codes columns) matches inline
+    assignment exactly."""
+    import random
+
+    from flink_project_spark.llm import similarity as SIM
+
+    rnd = random.Random(17)
+    dim, n, n_cells = 8, 200, 4
+    vecs = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 41 == 0)
+    cents = SIM.kmeans_train(emb, k=n_cells, iters=2)
+    books = SIM.pq_train(emb, m=4, k=8, dim=dim, iters=2)
+
+    unpruned = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in SIM.pq_topk(emb, queries, books, k=8).collect()
+    }
+    full_probe = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in SIM.ivfpq_topk(
+            emb, queries, cents, books, k=8, probes=n_cells
+        ).collect()
+    }
+    assert full_probe == unpruned and len(unpruned) > 0
+
+    # stored-index path: (cell, id, codes) precomputed
+    stored = SIM.pq_assign(
+        SIM.kmeans_assign(emb, cents), books
+    ).select("vec_id", "cell", "codes")
+    got_pre = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in SIM.ivfpq_topk(
+            stored, queries, cents, books, k=8, probes=n_cells,
+            corpus_cell_col="cell", corpus_codes_col="codes",
+        ).collect()
+    }
+    assert got_pre == unpruned
+
+
+def test_ivfpq_pruned_recall_and_candidate_containment(spark):
+    """With probes < n_cells: (a) every returned neighbor REALLY lives
+    in one of its query's probed cells (the pruning contract), (b)
+    per-query results are a rank-consistent prefix of the candidates
+    pq_topk would rank within those cells, and (c) recall@k vs the
+    unpruned ADC ranking is well above chance on gaussian data."""
+    import random
+
+    from flink_project_spark.llm import similarity as SIM
+
+    rnd = random.Random(23)
+    dim, n, n_cells, probes = 8, 300, 6, 2
+    vecs = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 37 == 0)
+    cents = SIM.kmeans_train(emb, k=n_cells, iters=2)
+    books = SIM.pq_train(emb, m=4, k=8, dim=dim, iters=2)
+
+    got = SIM.ivfpq_topk(
+        emb, queries, cents, books, k=10, probes=probes
+    ).collect()
+    assert len(got) > 0
+
+    # (a) containment: neighbor's cell must be among the query's probes
+    cell_of = {
+        r.vec_id: r.cell
+        for r in SIM.kmeans_assign(emb, cents).select("vec_id", "cell").collect()
+    }
+    probed = {}
+    for r in SIM.kmeans_assign_probes(
+        queries, cents, probes
+    ).select("vec_id", "cell").collect():
+        probed.setdefault(r.vec_id, set()).add(r.cell)
+    for r in got:
+        assert cell_of[r.neighbor_id] in probed[r.query_id], r
+
+    # (b)+(c) vs the unpruned ADC ranking
+    unpruned = SIM.pq_topk(emb, queries, books, k=10).collect()
+    got_pairs = {(r.query_id, r.neighbor_id) for r in got}
+    un_pairs = {(r.query_id, r.neighbor_id) for r in unpruned}
+    assert len(got_pairs & un_pairs) / len(un_pairs) > 0.4
+
+    # (b) rank consistency: restricting the unpruned ranking to probed
+    # cells and re-ranking must reproduce the pruned result exactly
+    re_ranked = {}
+    by_q = {}
+    for r in sorted(
+        SIM.pq_topk(emb, queries, books, k=n).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    ):
+        if cell_of[r.neighbor_id] in probed[r.query_id]:
+            by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    for qid, ids in by_q.items():
+        for rank, nid in enumerate(ids[:10], start=1):
+            re_ranked[(qid, nid)] = rank
+    assert {(r.query_id, r.neighbor_id): r.rank for r in got} == re_ranked
+
+
+def test_ivfpq_empty_models_return_typed_empty(spark):
+    from flink_project_spark.llm import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [(1, [0.1] * 8)], "vec_id long, embedding array<float>"
+    )
+    for cents, books in [([], [[[0.0] * 2] * 4] * 4), ([[0.0] * 8], [[]] * 4)]:
+        out = SIM.ivfpq_topk(emb, emb, cents, books, k=3)
+        assert out.count() == 0
+        assert out.columns == ["query_id", "neighbor_id", "adc_dist", "rank"]
+
+
 def test_interleave_order_round_robin_and_window_twin(spark):
     """interleave_order: (a) equals the naive single-window twin
     (row_number per source, then a global row_number) — the

@@ -74,10 +74,6 @@ def test_cosine_count_joins_broadcast(spark):
 #: row by construction, i.e. a scalar attach, not an unbounded join.
 NESTED_LOOP_OK = {
     "emb_cosine_topk",
-    # emb_pq_topk: same shape as emb_cosine_topk — the small query set
-    # (with its ADC LUT) broadcasts against the corpus code stream; the
-    # != join condition is the intended score-all-candidates pattern
-    "emb_pq_topk",
     "doc_rarity",
     "doc_mixture_plan",
     # same scalar-attach pattern ×2 (normalizer row, then the C row)
