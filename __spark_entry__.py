@@ -1283,9 +1283,13 @@ def q_itemcf_decay_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scoped to one scene's users (the reference jobs run per-scene too):
     full gating semantics at 1/5 the pair volume — the operator-level
-    tests cover the unfiltered form."""
+    tests cover the unfiltered form. Capped at the same max_history=500
+    as the cosine chain's `user_item_history` (the oracle applies the
+    identical cap), so one mega-history user can't quadratically
+    dominate a task at corpus scale."""
     return CF.decay_pairs_gated(
-        _valid_actions(spark, sf_dir).filter(F.col("scene_id") == "scene_1")
+        _valid_actions(spark, sf_dir).filter(F.col("scene_id") == "scene_1"),
+        max_history=500,
     )
 
 
@@ -2305,9 +2309,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "itemcf_decay_gated": V("valid_actions")
         + f"""
-        , trip AS (
+        , trip0 AS (
           SELECT DISTINCT user_id, item_id, action_time FROM valid_actions
           WHERE scene_id = 'scene_1'
+        ), tcap AS (
+          SELECT user_id FROM trip0 GROUP BY user_id HAVING count(*) <= 500
+        ), trip AS (
+          SELECT t.* FROM trip0 t JOIN tcap c ON t.user_id = c.user_id
         ), gpos AS (
           SELECT user_id, item_id,
                  ROW_NUMBER() OVER (PARTITION BY user_id

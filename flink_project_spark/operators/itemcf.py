@@ -147,7 +147,7 @@ def decay_pairs_from_arrays(
     the LUT, so they equal the 1-based row_number form exactly.
     """
     lut_vals = decay_lut(n_distances, scale, max_d)
-    lut = F.array(*[F.lit(v).cast("long") for v in lut_vals])
+    lut = _lut_expr(lut_vals)
     max_d = len(lut_vals)
     ex1 = arrays.select(
         user_col, "items", F.posexplode("items").alias("i", "sa")
@@ -288,6 +288,14 @@ def decay_lut(
     return out
 
 
+def _lut_expr(lut_vals: list[int]):
+    """The LUT as ONE parsed SQL array literal — 165 F.lit().cast()
+    py4j round-trips cost ~0.3 s of driver time per plan (same
+    rationale as llm.similarity._sq_l2_sql); values are exact integer
+    literals either way."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in lut_vals) + ")")
+
+
 def _pair_frame(history: DataFrame, user_col: str, item_col: str) -> DataFrame:
     pos = _with_positions(history, user_col, item_col)
     a = pos.select(
@@ -334,7 +342,7 @@ def decay_pairs(
     implements the gate exactly.
     """
     lut_vals = decay_lut(n_distances, scale, max_d)
-    lut = F.array(*[F.lit(v).cast("long") for v in lut_vals])
+    lut = _lut_expr(lut_vals)
     max_d = len(lut_vals)
     d = F.abs(F.col("pos_a") - F.col("pos_b"))
     w_scaled = F.element_at(lut, F.least(d, F.lit(max_d)).cast("int"))
@@ -530,6 +538,7 @@ def decay_pairs_gated(
     n_distances: int = DECAY_N_DISTANCES,
     scale: int = DECAY_SCALE,
     max_d: int | None = None,
+    max_history: int | None = None,
 ) -> DataFrame:
     """A7 decay variant with the reference's per-user max-gated
     repeat-pair emission — exact parity for histories where one user
@@ -559,11 +568,21 @@ def decay_pairs_gated(
     distinct, array_sort = its sort-by-time order); pair expansion is a
     stacked posexplode (pos_a < pos_b) — no self-join, no position
     window; then the gate window on (user, item_a, item_b) and two
-    map-side combined aggregations. The per-user cap from
-    `user_item_history` does not apply here (the reference's Version5
-    pipeline has none on the triple-distinct path), so callers at
-    corpus scale should pre-cap histories the same way.
+    map-side combined aggregations.
+
+    ``max_history`` is the same skew guard as `user_item_history`'s:
+    a user whose DEDUPED triple history exceeds the cap is dropped
+    entirely (bot/crawler traffic, not organic signal) BEFORE the
+    O(n²) pair expansion — without it one 100k-visit user emits 5e9
+    pair rows into a single task at corpus scale. The reference's
+    Version5 pipeline has no cap on the triple-distinct path, so the
+    default None keeps exact parity; corpus-scale callers (and the
+    contract query) pass the same 500 as `user_item_history`.
     """
+    # ONE exchange builds the per-user sorted deduped history: a
+    # separate .distinct() before the groupBy would dedupe in codegen
+    # but costs a second shuffle — measured slower here, since stage
+    # waves, not row volume, dominate this operator locally
     arr = actions.select(user_col, item_col, time_col).groupBy(user_col).agg(
         F.array_sort(
             F.array_distinct(
@@ -576,22 +595,31 @@ def decay_pairs_gated(
             )
         ).alias("items")
     )
+    if max_history is not None:
+        arr = arr.filter(F.size("items") <= max_history)
     ex1 = arr.select(user_col, "items", F.posexplode("items").alias("i", "sa"))
+    # second generate emits only the LATER elements (slice from i+2,
+    # 1-based) instead of all n and filtering pos_a < pos_b afterwards —
+    # n(n-1)/2 generated rows instead of n², no filter pass
     ex2 = ex1.select(
         user_col,
         F.col("sa.it").alias("item_a"),
         F.col("i").alias("pos_a"),
-        F.posexplode("items").alias("pos_b", "sb"),
+        F.posexplode(
+            F.expr("slice(items, i + 2, size(items))")
+        ).alias("j", "sb"),
     )
-    pairs = ex2.filter(
-        (F.col("pos_a") < F.col("pos_b")) & (F.col("item_a") != F.col("sb.it"))
-    ).select(
-        user_col, "item_a", F.col("sb.it").alias("item_b"), "pos_a", "pos_b"
+    pairs = ex2.filter(F.col("item_a") != F.col("sb.it")).select(
+        user_col,
+        "item_a",
+        F.col("sb.it").alias("item_b"),
+        "pos_a",
+        (F.col("pos_a") + F.col("j") + 1).alias("pos_b"),
     )
     d = F.col("pos_b") - F.col("pos_a")
     clamped = F.greatest(d, F.lit(n_distances))
     lut_vals = decay_lut(n_distances, scale, max_d)
-    lut = F.array(*[F.lit(v).cast("long") for v in lut_vals])
+    lut = _lut_expr(lut_vals)
     max_d = len(lut_vals)
     w_scaled = F.element_at(lut, F.least(d, F.lit(max_d)).cast("int"))
     gate_w = (
@@ -609,29 +637,44 @@ def decay_pairs_gated(
         F.count(F.lit(1)).alias("emissions"),
         F.sum("w_scaled").alias("e_scaled"),
     )
-    # both emission directions via ONE generate instead of a union of
-    # two selects — a union would evaluate the gate-window subtree
-    # twice (ReuseExchange shares only the shuffle, not the sort +
-    # filter + aggregation above it)
-    directed = per_user.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("item_a"), F.col("item_b")),
-                F.struct(
-                    F.col("item_b").alias("item_a"),
-                    F.col("item_a").alias("item_b"),
-                ),
-            )
-        ).alias("p"),
-        "emissions",
-        "e_scaled",
-    ).select("p.item_a", "p.item_b", "emissions", "e_scaled")
-    return (
-        directed.groupBy("item_a", "item_b")
+    # The final (a, b) value sums BOTH orientations (the reference
+    # emits each score into both map slots), so it is symmetric:
+    # aggregate on the canonical (least, greatest) key FIRST — half
+    # the shuffle volume, better map-side combining — and emit the two
+    # directed rows from the aggregated result. A pre-aggregation
+    # explode (the previous shape) would shuffle every per-user pair
+    # twice; a union of two selects would evaluate the gate-window
+    # subtree twice (ReuseExchange shares only the shuffle, not the
+    # sort + filter + aggregation above it).
+    canonical = (
+        per_user.select(
+            F.least("item_a", "item_b").alias("lo"),
+            F.greatest("item_a", "item_b").alias("hi"),
+            "emissions",
+            "e_scaled",
+        )
+        .groupBy("lo", "hi")
         .agg(
             F.sum("emissions").alias("emissions"),
             F.sum("e_scaled").alias("decay_scaled"),
         )
+    )
+    return (
+        canonical.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("lo").alias("item_a"), F.col("hi").alias("item_b")
+                    ),
+                    F.struct(
+                        F.col("hi").alias("item_a"), F.col("lo").alias("item_b")
+                    ),
+                )
+            ).alias("p"),
+            "emissions",
+            "decay_scaled",
+        )
+        .select("p.item_a", "p.item_b", "emissions", "decay_scaled")
         .withColumn(
             "decay_score",
             F.col("decay_scaled").cast("double") / F.lit(float(scale)),

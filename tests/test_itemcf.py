@@ -210,6 +210,40 @@ def test_decay_gated_reduces_to_ungated_on_distinct_history(spark):
     assert gated == plain
 
 
+def test_decay_gated_max_history_cap(spark):
+    """(a) Under the cap the capped result is IDENTICAL to the uncapped
+    one (the guard is inert on organic histories); (b) a user whose
+    DEDUPED triple history exceeds the cap is dropped entirely — same
+    drop semantics as user_item_history — so a mega-history user
+    contributes no pairs."""
+    rows = [
+        ("u%d" % u, "item_%d" % i, 100 + i) for u in range(3) for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, item_id string, action_time long"
+    )
+
+    def as_map(res):
+        return {
+            (r["item_a"], r["item_b"]): (r["emissions"], r["decay_scaled"])
+            for r in res.collect()
+        }
+
+    assert as_map(CF.decay_pairs_gated(df, max_history=6)) == as_map(
+        CF.decay_pairs_gated(df)
+    )
+
+    # add a bot user with 8 distinct triples (incl. repeats of the same
+    # item at different times — the dedup counts TRIPLES, so it stays 8)
+    bot = [("bot", "item_%d" % (i % 4), 200 + i) for i in range(8)]
+    df2 = spark.createDataFrame(
+        rows + bot, "user_id string, item_id string, action_time long"
+    )
+    capped = as_map(CF.decay_pairs_gated(df2, max_history=7))
+    assert capped == as_map(CF.decay_pairs_gated(df))  # bot fully dropped
+    assert as_map(CF.decay_pairs_gated(df2)) != capped  # it did contribute
+
+
 def test_array_history_path_equals_row_path(spark):
     """The persisted-array pipeline (user_item_history_arrays ->
     history_from_arrays / decay_pairs_from_arrays) must reproduce the
