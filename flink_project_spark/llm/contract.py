@@ -175,8 +175,20 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quality(spark, sf_dir)
 
 
+def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted per-doc fingerprint table — shared by doc_fingerprint
+    and doc_decontaminate (fingerprints are per-doc, so the corpus /
+    holdout split commutes with fingerprinting: both sides are filters
+    of this one table instead of two shingle passes)."""
+    return CACHE.materialize(
+        spark,
+        f"fingerprints:{sf_dir}",
+        lambda: TX.fingerprint(_docs(spark, sf_dir)),
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.fingerprint(_docs(spark, sf_dir))
+    return _fingerprints(spark, sf_dir)
 
 
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,11 +241,16 @@ def q_doc_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination flags: corpus docs (doc_id % 7 != 0)
-    whose fingerprint collides with the held-out set (doc_id % 7 == 0)."""
-    docs = _docs(spark, sf_dir)
+    whose fingerprint collides with the held-out set (doc_id % 7 == 0).
+    Both sides are filters of the shared persisted fingerprint table
+    (fingerprints are per-doc, so the split commutes) — zero shingle
+    passes inside the query."""
+    fp = _fingerprints(spark, sf_dir)
     return CUR.decontaminate(
-        docs.filter(F.col("doc_id") % 7 != 0),
-        docs.filter(F.col("doc_id") % 7 == 0),
+        None,
+        None,
+        corpus_fp=fp.filter(F.col("doc_id") % 7 != 0),
+        benchmark_fp=fp.filter(F.col("doc_id") % 7 == 0),
     )
 
 
@@ -492,8 +509,15 @@ def q_media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled (alpha=0.5) mixture reweighting: per-source
-    keep rates toward sqrt(T_s)-proportional target shares."""
-    return CUR.mixture_temperature(_docs(spark, sf_dir))
+    keep rates toward sqrt(T_s)-proportional target shares. Token
+    totals come off the persisted quality table (identical `words`
+    tokenization, exact int64 sums) instead of re-tokenizing."""
+    return CUR.mixture_temperature(
+        _docs(spark, sf_dir),
+        tokens=_quality(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum("n_words").cast("long").alias("tokens")),
+    )
 
 
 def q_doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,6 +613,7 @@ def llm_shared_intermediates(
         "quality": _quality(spark, sf_dir),
         "doc_word_tf": _doc_word_tf(spark, sf_dir),
         "dupspans": _dup_spans(spark, sf_dir),
+        "fingerprints": _fingerprints(spark, sf_dir),
     }
     # NOT here: _pq_index (the ANN stored index). Its builder trains
     # the kmeans + PQ models (driver-iterative, ~8 s of fixed job

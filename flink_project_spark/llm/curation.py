@@ -282,9 +282,11 @@ def pack_plan(
 
 
 def decontaminate(
-    corpus: DataFrame,
-    benchmark: DataFrame,
+    corpus: DataFrame | None,
+    benchmark: DataFrame | None,
     text_col: str = "text",
+    corpus_fp: DataFrame | None = None,
+    benchmark_fp: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus documents whose fingerprint collides with the benchmark
     set: (doc_id, match_type) with match_type 'exact' (normalized
@@ -299,9 +301,32 @@ def decontaminate(
     equi-joins unioned — an `ON a.x = b.x OR a.y = b.y` join would be a
     nested loop. Production pipelines verify 'ngram' hits against the
     full near-dup pair table (llm.dedup) before dropping.
+
+    ``corpus_fp`` / ``benchmark_fp`` accept PRECOMPUTED fingerprint
+    tables (the `text.fingerprint` schema) — the pipeline path when a
+    shared fingerprint table is already persisted/landed; fingerprints
+    are per-doc, so a corpus/holdout split commutes with fingerprinting
+    and both sides can be filters of one table. With frames instead,
+    the fingerprints are computed inline (the benchmark side persisted,
+    so its shingle pass isn't evaluated once per broadcast).
     """
-    fp_c = TX.fingerprint(corpus, text_col)
-    fp_b = TX.fingerprint(benchmark, text_col)
+    from flink_project_spark.cache import persist_tracked
+
+    fp_c = (
+        corpus_fp
+        if corpus_fp is not None
+        else TX.fingerprint(corpus, text_col)
+    )
+    fp_b = (
+        benchmark_fp.select("content_md5", "min_shingle_md5")
+        if benchmark_fp is not None
+        else persist_tracked(
+            TX.fingerprint(benchmark, text_col).select(
+                "content_md5", "min_shingle_md5"
+            ),
+            label="decontaminate_benchmark_fp",
+        )
+    )
     b_exact = F.broadcast(
         fp_b.select("content_md5").distinct().withColumn("_e", F.lit(1))
     )
@@ -432,6 +457,7 @@ def mixture_temperature(
     docs: DataFrame,
     by: str = "source",
     text_col: str = "text",
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Temperature-scaled mixture reweighting at alpha = 0.5: target
     share w_s proportional to sqrt(T_s) — the standard smoothing that
@@ -447,32 +473,53 @@ def mixture_temperature(
     is an exact integer sum (order-independent — a raw double sum would
     depend on aggregation order and diverge between engines); every
     downstream value is a fixed sequence of IEEE ops on exact integers.
-    Same plan as `mixture_plan`: one map-side-combined groupBy + a
-    1-row scalar broadcast.
+
+    Plan: one map-side-combined groupBy(source), then BOTH cross-source
+    scalars (Σ_pwq normalizer, then C = min ratio) as unbounded windows
+    over the per-source aggregate — a single-partition window, which is
+    safe here BY CONSTRUCTION: the windowed frame is one row per
+    source (the operator's own output cardinality), never data-scaled.
+    The previous two sequential 1-row broadcast attaches computed the
+    same values in two extra jobs; the window form is one pass and the
+    IEEE op sequence per row is unchanged (integer window sum, then
+    the identical double expressions), so results are bit-equal.
+
+    ``tokens`` accepts a PRECOMPUTED per-`by` token-total frame
+    (columns: by, tokens as int64 — e.g. summing a persisted quality
+    table's n_words, which uses the identical `words` tokenization) so
+    a pipeline that already tokenized the corpus doesn't re-tokenize
+    it here; the integer sums are exact either way, so results are
+    bit-equal.
     """
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy()
+    if tokens is None:
+        tokens = (
+            docs.select(by, F.size(TX.words(F.col(text_col))).alias("_nt"))
+            .groupBy(by)
+            .agg(F.sum("_nt").cast("long").alias("tokens"))
+        )
     tok = (
-        docs.select(by, F.size(TX.words(F.col(text_col))).alias("_nt"))
-        .groupBy(by)
-        .agg(F.sum("_nt").cast("long").alias("tokens"))
+        tokens
         .withColumn(
             "_pwq",
             F.floor(F.sqrt(F.col("tokens").cast("double")) * 1000000).cast(
                 "long"
             ),
         )
+        .withColumn("_sum_pwq", F.sum("_pwq").over(w_all))
     )
     ratio = F.when(
         F.col("_pwq") > 0,
         F.col("tokens").cast("double")
         / (F.col("_pwq").cast("double") / F.col("_sum_pwq").cast("double")),
     )
-    scalar = F.broadcast(
-        tok.agg(F.sum("_pwq").cast("long").alias("_sum_pwq"))
+    scored = tok.withColumn("_ratio", ratio).withColumn(
+        "_c", F.min("_ratio").over(w_all)
     )
-    scored = tok.crossJoin(scalar).withColumn("_ratio", ratio)
-    cmin = F.broadcast(scored.agg(F.min("_ratio").alias("_c")))
     tw = F.col("_pwq").cast("double") / F.col("_sum_pwq").cast("double")
-    out = scored.crossJoin(cmin).select(
+    out = scored.select(
         by,
         "tokens",
         tw.alias("target_weight"),

@@ -419,7 +419,10 @@ def rarity_stats(
         "doc_id", F.col("word").alias("w"), F.col("tf").alias("k")
     )
     cnts = dw.groupBy("w").agg(F.sum("k").alias("cnt"))
-    total = cnts.agg(F.sum("cnt").alias("total_words"))
+    # total_words straight off the (persisted) tf table: summing cnt
+    # over `cnts` is the same exact int64 value but would re-evaluate
+    # the groupBy(w) subtree a second time just for this scalar
+    total = dw.agg(F.sum("k").alias("total_words"))
     per = (
         dw.join(cnts, "w")
         .groupBy("doc_id")
