@@ -503,8 +503,13 @@ def q_media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec in the loop. The oracle mirrors the byte chunks as text
     substrings: payload is UTF-8 of the fixture text and the corpus is
     ASCII, so byte and character offsets coincide; the ENGINE operates
-    on the binary column throughout."""
-    return MM.payload_near_dups(MM.attach_payload(_docs_media(spark, sf_dir)))
+    on the binary column throughout. Signatures come off the shared
+    persisted blob-simhash table (computed once, both join sides read
+    it)."""
+    return MM.payload_near_dups(
+        MM.attach_payload(_docs_media(spark, sf_dir)),
+        sim=_payload_simhash(spark, sf_dir),
+    )
 
 
 def q_doc_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,6 +579,20 @@ def _docs_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir)
 
 
+def _payload_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted blob-signature table — media_near_dups' banded
+    self-join consumes it on BOTH sides (the media twin of the text
+    `_simhash` table); without it the chunk+md5+bit-majority subtree
+    evaluates twice per query."""
+    return CACHE.materialize(
+        spark,
+        f"payload_simhash:{sf_dir}",
+        lambda: MM.payload_simhash(
+            MM.attach_payload(_docs_media(spark, sf_dir))
+        ),
+    )
+
+
 def q_media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.payload_stats(MM.attach_payload(_docs_media(spark, sf_dir)))
 
@@ -614,6 +633,7 @@ def llm_shared_intermediates(
         "doc_word_tf": _doc_word_tf(spark, sf_dir),
         "dupspans": _dup_spans(spark, sf_dir),
         "fingerprints": _fingerprints(spark, sf_dir),
+        "payload_simhash": _payload_simhash(spark, sf_dir),
     }
     # NOT here: _pq_index (the ANN stored index). Its builder trains
     # the kmeans + PQ models (driver-iterative, ~8 s of fixed job

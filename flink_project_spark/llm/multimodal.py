@@ -285,14 +285,21 @@ def payload_near_dups(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    sim: DataFrame | None = None,
 ) -> DataFrame:
     """Blob near-dup pairs: `payload_simhash` + the pigeonhole banded
-    self-join of `dedup.simhash_near_dups` (never blob x blob)."""
+    self-join of `dedup.simhash_near_dups` (never blob x blob).
+
+    ``sim`` accepts a PRECOMPUTED (doc_id, simhash) table (persisted or
+    landed) — the self-join consumes the signature frame on both sides,
+    so without it the chunk+md5+bit-majority subtree evaluates twice;
+    a pipeline computes signatures once and reuses them here, exactly
+    as the text path does with its shared simhash table."""
     from flink_project_spark.llm.dedup import simhash_near_dups
 
-    return simhash_near_dups(
-        payload_simhash(media, chunk, stride, bits), bits, bands, max_hamming
-    )
+    if sim is None:
+        sim = payload_simhash(media, chunk, stride, bits)
+    return simhash_near_dups(sim, bits, bands, max_hamming)
 
 
 #: CDC rolling-hash parameters: polynomial base, window width, and the

@@ -740,3 +740,128 @@ def test_interval_join_stream_rejects_same_ts_name(spark):
     df = spark.readStream.format("rate").load()
     with pytest.raises(ValueError, match="distinct names"):
         SJ.interval_join_stream(df, df, ["value"], "timestamp", "timestamp")
+
+
+def test_streaming_funnel_matches_batch_and_slicing(spark, tmp_path):
+    """The streamed funnel (3 micro-batches, events deliberately split
+    so later batches carry EARLIER timestamps — late arrivals) emits,
+    on its final batch, exactly the batch `funnel_times` over all
+    events; and every intermediate emission equals the batch operator
+    over the events delivered so far."""
+    from flink_project_spark.operators.funnel import funnel_times
+    from flink_project_spark.streaming.funnel import funnel_foreach_batch
+
+    steps = ["view", "click", "purchase"]
+    events = _events_batch(spark)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = str(tmp_path / "funnel_store")
+    emissions: dict[int, set] = {}
+
+    def sink(times, batch_id):
+        emissions[batch_id] = {
+            tuple(r) for r in times.select("user_id", "t1", "t2", "t3").collect()
+        }
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src))
+    q = (
+        stream.writeStream.foreachBatch(
+            funnel_foreach_batch(store, sink, steps)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # slice by user-id residue, NOT by time: each batch mixes early and
+    # late timestamps, so in-order delivery is never assumed
+    slices = [
+        events.filter(F.col("user_id") % 3 == k) for k in (0, 1, 2)
+    ]
+    seen = None
+    for k, s in enumerate(slices):
+        s.coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        seen = s if seen is None else seen.unionByName(s)
+        want = {
+            tuple(r)
+            for r in funnel_times(seen, steps)
+            .select("user_id", "t1", "t2", "t3")
+            .collect()
+        }
+        assert emissions[k] == want, f"batch {k} diverged"
+    q.stop()
+    assert len(emissions[2]) > 0
+    full = {
+        tuple(r)
+        for r in funnel_times(events, steps)
+        .select("user_id", "t1", "t2", "t3")
+        .collect()
+    }
+    assert emissions[2] == full
+
+
+def test_streaming_funnel_replay_idempotent(spark, tmp_path):
+    """Re-running a batch with the same batch_id overwrites its own
+    store partition instead of double-counting its events."""
+    from flink_project_spark.streaming.funnel import funnel_batch
+
+    store = str(tmp_path / "store")
+    b = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "view"),
+         (1, "2024-01-01 00:01:00", "click"),
+         (1, "2024-01-01 00:02:00", "purchase")],
+        "user_id long, ts_s string, event_type string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+    steps = ["view", "click", "purchase"]
+    first = funnel_batch(b, store, steps, batch_id=5).collect()
+    again = funnel_batch(b, store, steps, batch_id=5).collect()
+    assert first == again and len(first) == 1
+    assert first[0]["t3"] is not None
+
+
+def test_streaming_retention_matches_batch(spark, tmp_path):
+    """The streamed cohort-retention matrix equals the batch operator
+    over the delivered events at every micro-batch — including a
+    user-id-residue slicing that delivers a user's FIRST-period event
+    in a LATER batch (cohort re-anchoring)."""
+    from flink_project_spark.operators.funnel import cohort_retention
+    from flink_project_spark.streaming.funnel import retention_foreach_batch
+
+    events = _events_batch(spark)
+    src = tmp_path / "rsrc"
+    src.mkdir()
+    store = str(tmp_path / "ret_store")
+    emissions: dict[int, set] = {}
+
+    def sink(matrix, batch_id):
+        emissions[batch_id] = {
+            (r.cohort, r.period_offset, r.users) for r in matrix.collect()
+        }
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src))
+    q = (
+        stream.writeStream.foreachBatch(
+            retention_foreach_batch(store, sink, period="week")
+        )
+        .option("checkpointLocation", str(tmp_path / "rckpt"))
+        .start()
+    )
+    slices = [events.filter(F.col("event_id") % 2 == 1),
+              events.filter(F.col("event_id") % 2 == 0)]
+    seen = None
+    for k, s in enumerate(slices):
+        s.coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        seen = s if seen is None else seen.unionByName(s)
+        want = {
+            (r.cohort, r.period_offset, r.users)
+            for r in cohort_retention(seen, period="week").collect()
+        }
+        assert emissions[k] == want, f"batch {k} diverged"
+    q.stop()
+    assert len(emissions[1]) > 0
+    full = {
+        (r.cohort, r.period_offset, r.users)
+        for r in cohort_retention(events, period="week").collect()
+    }
+    assert emissions[1] == full
