@@ -506,10 +506,7 @@ def q_media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the binary column throughout. Signatures come off the shared
     persisted blob-simhash table (computed once, both join sides read
     it)."""
-    return MM.payload_near_dups(
-        MM.attach_payload(_docs_media(spark, sf_dir)),
-        sim=_payload_simhash(spark, sf_dir),
-    )
+    return MM.payload_near_dups(sim=_payload_simhash(spark, sf_dir))
 
 
 def q_doc_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -312,6 +312,10 @@ def decontaminate(
     """
     from flink_project_spark.cache import persist_tracked
 
+    if (corpus is None) == (corpus_fp is None):
+        raise ValueError("pass exactly one of corpus / corpus_fp")
+    if (benchmark is None) == (benchmark_fp is None):
+        raise ValueError("pass exactly one of benchmark / benchmark_fp")
     fp_c = (
         corpus_fp
         if corpus_fp is not None

@@ -279,7 +279,7 @@ def payload_simhash(
 
 
 def payload_near_dups(
-    media: DataFrame,
+    media: DataFrame | None = None,
     chunk: int = 64,
     stride: int = 32,
     bits: int = 32,
@@ -297,6 +297,8 @@ def payload_near_dups(
     as the text path does with its shared simhash table."""
     from flink_project_spark.llm.dedup import simhash_near_dups
 
+    if (media is None) == (sim is None):
+        raise ValueError("pass exactly one of media / sim")
     if sim is None:
         sim = payload_simhash(media, chunk, stride, bits)
     return simhash_near_dups(sim, bits, bands, max_hamming)

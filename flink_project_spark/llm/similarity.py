@@ -199,6 +199,8 @@ def signlsh_bucket(
     see _sq_l2_sql.
     """
     planes = quantized_planes(n_planes, dim, salt)
+    if not planes:  # n_planes=0: one global bucket (brute-force sweep)
+        return F.lit(0).cast("long")
     terms = []
     for p, wts in enumerate(planes):
         warr = "array(" + ",".join(f"{int(w)}L" for w in wts) + ")"

@@ -157,40 +157,44 @@ def near_dup_dedup_batch(
         label=f"neardup_sim_b{batch_id}",
     )
     try:
+        import glob as _glob
+        import os as _os
+
+        # The store can hold TWO layouts at once: batch=N partitions
+        # (current format) and flat root-level (simhash, _ts) files
+        # from a pre-r3 store. Spark's partition discovery over a mixed
+        # directory silently resolves to the partitioned files ONLY —
+        # the first post-upgrade batch write would make every legacy
+        # signature vanish from matching with no error — so the two
+        # layouts are read explicitly and matched separately.
         try:
-            ref = spark.read.parquet(store_dir)
+            discovered = spark.read.parquet(store_dir)
         except AnalysisException:
-            ref = None
-        store_hits = None
-        if ref is not None:
-            # replay safety: never match this batch's own (failed,
-            # half-written) prior attempt
-            if "batch" in ref.columns:
-                ref = ref.filter(F.col("batch") != F.lit(batch_id))
-            # legacy store compat: pre-r3 stores are flat (simhash, _ts)
-            # files without doc_id. Synthesize the signature VALUE as the
-            # identity (min _ts per distinct signature) so the banded
-            # match and ts join-back still work; ties against a legacy
-            # row resolve in the store's favor (it arrived in an earlier
-            # batch), since no id tie-break exists across id spaces.
-            legacy = "doc_id" not in ref.columns
-            if legacy:
-                ref = (
-                    ref.groupBy("simhash")
-                    .agg(F.min("_ts").alias("_ts"))
-                    .withColumn("doc_id", F.col("simhash"))
-                )
-            cutoff = batch.agg(
-                F.max(F.col(ts_col))
-                - F.expr(f"INTERVAL {horizon_seconds} SECONDS")
-            ).collect()[0][0]
-            if cutoff is not None:
-                ref = ref.filter(F.col("_ts") >= F.lit(cutoff))
-            # When cutoff is None every event time in the batch is NULL:
-            # null ts orders LAST, so each new doc loses any pair against
-            # a stored real-ts arrival regardless of horizon — matching
-            # must still run (skipping it would make admission depend on
-            # batch composition, breaking replay-slice independence).
+            discovered = None
+        modern = legacy_rows = None
+        if discovered is not None:
+            if "doc_id" in discovered.columns:
+                modern = discovered
+                root_files = _glob.glob(_os.path.join(store_dir, "*.parquet"))
+                if root_files:
+                    legacy_rows = spark.read.parquet(*root_files)
+            else:  # purely legacy store — no batch=N partition yet
+                legacy_rows = discovered
+        cutoff = batch.agg(
+            F.max(F.col(ts_col))
+            - F.expr(f"INTERVAL {horizon_seconds} SECONDS")
+        ).collect()[0][0]
+        # When cutoff is None every event time in the batch is NULL:
+        # null ts orders LAST, so each new doc loses any pair against
+        # a stored real-ts arrival regardless of horizon — matching
+        # must still run (skipping it would make admission depend on
+        # batch composition, breaking replay-slice independence).
+
+        def _match_side(ref, tie_rule):
+            """doc_ids of new docs losing to a stored arrival in `ref`
+            ((doc_id, simhash, _ts) rows): drop the new doc only if the
+            stored one is (ts, id)-earlier — the cross-batch half of
+            the in-batch pair rule."""
             hits = simhash_cross_matches(
                 sim,
                 ref.select("doc_id", "simhash"),
@@ -199,15 +203,7 @@ def near_dup_dedup_batch(
                 max_hamming=max_hamming,
                 keep_ref_id=True,
             )
-            # orientation vs the matched STORE arrival: drop the
-            # new doc only if the stored one is (ts, id)-earlier —
-            # the cross-batch half of the in-batch pair rule
-            tie_rule = (
-                F.lit(True)  # legacy rows: store wins ties (see above)
-                if legacy
-                else (F.col("ref_doc_id") < F.col("doc_id"))
-            )
-            store_hits = (
+            return (
                 hits.join(
                     sim.select("doc_id", F.col("_ts").alias("ts_new")),
                     "doc_id",
@@ -222,13 +218,48 @@ def near_dup_dedup_batch(
                 .filter(
                     F.col("ts_new").isNull()  # null ts orders last
                     | (F.col("ts_ref") < F.col("ts_new"))
-                    | (
-                        (F.col("ts_ref") == F.col("ts_new")) & tie_rule
-                    )
+                    | ((F.col("ts_ref") == F.col("ts_new")) & tie_rule)
                 )
                 .select("doc_id")
-                .distinct()
             )
+
+        hit_parts = []
+        if modern is not None:
+            # replay safety: never match this batch's own (failed,
+            # half-written) prior attempt
+            if "batch" in modern.columns:
+                modern = modern.filter(F.col("batch") != F.lit(batch_id))
+            if cutoff is not None:
+                modern = modern.filter(F.col("_ts") >= F.lit(cutoff))
+            hit_parts.append(
+                _match_side(modern, F.col("ref_doc_id") < F.col("doc_id"))
+            )
+        if legacy_rows is not None:
+            # legacy rows carry no doc_id: synthesize the signature
+            # VALUE as the identity so the banded match and ts
+            # join-back still work. The horizon filter runs BEFORE the
+            # per-signature min so an in-horizon re-arrival is not
+            # hidden behind an aged-out earlier arrival of the same
+            # signature. Ties resolve in the store's favor (the row
+            # arrived in an earlier batch; no id tie-break exists
+            # across id spaces), and legacy matching is a separate
+            # pass so a synthesized id can never collide with a real
+            # modern doc_id in the join-back.
+            lr = legacy_rows
+            if cutoff is not None:
+                lr = lr.filter(F.col("_ts") >= F.lit(cutoff))
+            lr = (
+                lr.groupBy("simhash")
+                .agg(F.min("_ts").alias("_ts"))
+                .withColumn("doc_id", F.col("simhash"))
+            )
+            hit_parts.append(_match_side(lr, F.lit(True)))
+        store_hits = None
+        if hit_parts:
+            store_hits = hit_parts[0]
+            for p in hit_parts[1:]:
+                store_hits = store_hits.union(p)
+            store_hits = store_hits.distinct()
         # in-batch: orient near-dup pairs by arrival order (ts, then
         # id) — the later side of any pair is dropped; NULL ts orders
         # LAST (loses to any real timestamp, id-tie-broken among nulls)

@@ -76,8 +76,6 @@ NESTED_LOOP_OK = {
     "emb_cosine_topk",
     "doc_rarity",
     "doc_mixture_plan",
-    # same scalar-attach pattern ×2 (normalizer row, then the C row)
-    "doc_mixture_temperature",
     # 1-row scalar broadcasts (corpus count / key count attach): the
     # nested loop's build side is a single aggregate row by
     # construction, same rationale as doc_rarity/doc_mixture_plan

@@ -368,14 +368,18 @@ def test_streaming_near_dup_all_null_ts_batch_still_matches_store(
 def test_streaming_near_dup_legacy_idless_store(spark, tmp_path):
     """A pre-r3 signature store (flat (simhash, _ts) files, no doc_id
     or batch column) is still matched — ties resolve in the store's
-    favor — instead of failing with a missing-column error."""
+    favor — instead of failing with a missing-column error; and the
+    legacy rows SURVIVE the upgrade: once a post-upgrade batch has
+    written its batch=N partition next to the flat files, partition
+    discovery alone would silently drop the root-level files, so a
+    later batch must still match them (the mixed-layout read)."""
     from flink_project_spark.llm.dedup import doc_simhash
     from flink_project_spark.streaming.dedup import near_dup_dedup_batch
 
     store = str(tmp_path / "store")
-    text = " ".join(f"t{i}" for i in range(25))
+    legacy_text = " ".join(f"t{i}" for i in range(25))
     seed = spark.createDataFrame(
-        [(99, text)], "doc_id long, text string"
+        [(99, legacy_text)], "doc_id long, text string"
     )
     # legacy layout: flat append of (simhash, _ts) only
     doc_simhash(seed, text_col="text", bits=32).select(
@@ -383,13 +387,61 @@ def test_streaming_near_dup_legacy_idless_store(spark, tmp_path):
         F.lit("2024-01-01 00:00:00").cast("timestamp").alias("_ts"),
     ).write.mode("overwrite").parquet(store)
 
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, ts_s string, text string"
+        ).select(
+            "doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "text"
+        )
+
+    # batch 1: an exact dup of the legacy text is dropped (pure-legacy
+    # read path), a fresh doc is admitted
+    got = near_dup_dedup_batch(
+        mk([(2, "2024-01-01 00:05:00", legacy_text),
+            (3, "2024-01-01 00:05:00", "completely different words here")]),
+        store,
+        horizon_seconds=600,
+    )
+    assert {r["doc_id"] for r in got.collect()} == {3}
+
+    # batch 2: the store is now MIXED (flat legacy files + the batch=N
+    # partition written above); a dup of the legacy text must STILL be
+    # dropped via the legacy rows
+    got2 = near_dup_dedup_batch(
+        mk([(4, "2024-01-01 00:07:00", legacy_text),
+            (5, "2024-01-01 00:07:00", "yet another unrelated document")]),
+        store,
+        horizon_seconds=600,
+    )
+    assert {r["doc_id"] for r in got2.collect()} == {5}
+
+
+def test_streaming_near_dup_legacy_in_horizon_rearrival(spark, tmp_path):
+    """A legacy signature that arrived BOTH long ago and recently must
+    match on its recent in-horizon arrival: the horizon filter applies
+    per-arrival, before the per-signature min — an aged-out first
+    arrival must not hide the re-arrival."""
+    from flink_project_spark.llm.dedup import doc_simhash
+    from flink_project_spark.streaming.dedup import near_dup_dedup_batch
+
+    store = str(tmp_path / "store")
+    text = " ".join(f"t{i}" for i in range(25))
+    sig = doc_simhash(
+        spark.createDataFrame([(99, text)], "doc_id long, text string"),
+        text_col="text",
+        bits=32,
+    ).select("simhash")
+    for ts in ("2024-01-01 00:00:00", "2024-01-01 09:55:00"):
+        sig.select(
+            "simhash", F.lit(ts).cast("timestamp").alias("_ts")
+        ).write.mode("append").parquet(store)
+
     batch = spark.createDataFrame(
-        [(2, "2024-01-01 00:05:00", text),
-         (3, "2024-01-01 00:05:00", "completely different words here")],
+        [(7, "2024-01-01 10:00:00", text)],
         "doc_id long, ts_s string, text string",
     ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "text")
     got = near_dup_dedup_batch(batch, store, horizon_seconds=600)
-    assert {r["doc_id"] for r in got.collect()} == {3}
+    assert got.count() == 0  # the 09:55 arrival is within the horizon
 
 
 def test_range_join_bucketed_matches_nested_loop(spark):
