@@ -852,6 +852,8 @@ def _plane_bucket_sql(n_planes: int) -> str:
     """bucket expr over a quantized list column qv — integer plane dots
     with literal weights, identical to similarity.signlsh_bucket."""
     planes = SIM.quantized_planes(n_planes, EMB_DIM)
+    if not planes:  # n_planes=0: one global bucket, same as the engine
+        return "CAST(0 AS BIGINT)"
     terms = []
     for p, wts in enumerate(planes):
         lit = "[" + ", ".join(str(w) for w in wts) + "]"

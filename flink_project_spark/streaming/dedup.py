@@ -129,8 +129,6 @@ def near_dup_dedup_batch(
     partition DROP. Matching against the store is the banded
     `simhash_cross_matches` equi-join — never batch x store.
     """
-    from pyspark.sql.utils import AnalysisException
-
     from flink_project_spark.cache import persist_tracked
     from flink_project_spark.llm.dedup import (
         doc_simhash,
@@ -157,38 +155,57 @@ def near_dup_dedup_batch(
         label=f"neardup_sim_b{batch_id}",
     )
     try:
-        import glob as _glob
-        import os as _os
-
         # The store can hold TWO layouts at once: batch=N partitions
         # (current format) and flat root-level (simhash, _ts) files
         # from a pre-r3 store. Spark's partition discovery over a mixed
         # directory silently resolves to the partitioned files ONLY —
         # the first post-upgrade batch write would make every legacy
         # signature vanish from matching with no error — so the two
-        # layouts are read explicitly and matched separately.
-        try:
-            discovered = spark.read.parquet(store_dir)
-        except AnalysisException:
-            discovered = None
+        # layouts are read explicitly and matched separately. Listing
+        # goes through the Hadoop FileSystem API (works for any scheme
+        # the store lives on — local, HDFS, s3a — unlike a local glob),
+        # and store EXISTENCE is checked explicitly instead of
+        # swallowing AnalysisException, so a real read failure (schema
+        # corruption, permissions) raises instead of silently admitting
+        # the whole batch. The dual read lasts only as long as the flat
+        # files exist: once every legacy arrival is past the horizon,
+        # operators should delete the root-level files (they can no
+        # longer match) and the store is single-layout again.
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(store_dir)
+        fs = jpath.getFileSystem(
+            spark._jsc.hadoopConfiguration()  # noqa: SLF001 — py4j FS
+        )
         modern = legacy_rows = None
-        if discovered is not None:
-            if "doc_id" in discovered.columns:
-                modern = discovered
-                root_files = _glob.glob(_os.path.join(store_dir, "*.parquet"))
-                if root_files:
-                    legacy_rows = spark.read.parquet(*root_files)
-            else:  # purely legacy store — no batch=N partition yet
-                legacy_rows = discovered
-        cutoff = batch.agg(
-            F.max(F.col(ts_col))
-            - F.expr(f"INTERVAL {horizon_seconds} SECONDS")
-        ).collect()[0][0]
-        # When cutoff is None every event time in the batch is NULL:
-        # null ts orders LAST, so each new doc loses any pair against
-        # a stored real-ts arrival regardless of horizon — matching
-        # must still run (skipping it would make admission depend on
-        # batch composition, breaking replay-slice independence).
+        if fs.exists(jpath):
+            root_files, has_batch_dirs = [], False
+            for st in fs.listStatus(jpath):
+                name = st.getPath().getName()
+                if st.isFile() and name.endswith(".parquet"):
+                    root_files.append(st.getPath().toString())
+                elif st.isDirectory() and name.startswith("batch="):
+                    has_batch_dirs = True
+            if has_batch_dirs:
+                modern = spark.read.parquet(store_dir)
+            if root_files:
+                legacy_rows = spark.read.parquet(*root_files)
+        cutoff = None
+        null_ts_docs = 0
+        if modern is not None or legacy_rows is not None:
+            cutoff, null_ts_docs = batch.agg(
+                F.max(F.col(ts_col))
+                - F.expr(f"INTERVAL {horizon_seconds} SECONDS"),
+                F.count_if(F.col(ts_col).isNull()),
+            ).collect()[0]
+        # Null-ts new docs lose to ANY stored real-ts arrival — no
+        # horizon applies to them (null orders last), so their matching
+        # must run against the UNFILTERED store; otherwise admission of
+        # a null-ts doc would depend on the cutoff its batchmates
+        # happen to set (batch-composition dependence). They match in a
+        # dedicated pass against the pre-cutoff frames (skipped when
+        # the batch has no null-ts docs); when cutoff is None the whole
+        # batch is null-ts and the main pass is already unfiltered.
+        sim_null = sim.filter(F.col("_ts").isNull())
 
         def _match_side(ref, tie_rule):
             """doc_ids of new docs losing to a stored arrival in `ref`
@@ -223,17 +240,32 @@ def near_dup_dedup_batch(
                 .select("doc_id")
             )
 
+        def _match_null_new(ref):
+            """Null-ts new docs vs the unfiltered store: the store
+            holds only real-ts arrivals, so ANY banded match drops the
+            new doc — no ts join-back needed."""
+            return simhash_cross_matches(
+                sim_null,
+                ref.select("doc_id", "simhash"),
+                bits=bits,
+                bands=bands,
+                max_hamming=max_hamming,
+            )
+
         hit_parts = []
         if modern is not None:
             # replay safety: never match this batch's own (failed,
             # half-written) prior attempt
             if "batch" in modern.columns:
                 modern = modern.filter(F.col("batch") != F.lit(batch_id))
+            m = modern
             if cutoff is not None:
-                modern = modern.filter(F.col("_ts") >= F.lit(cutoff))
+                m = m.filter(F.col("_ts") >= F.lit(cutoff))
             hit_parts.append(
-                _match_side(modern, F.col("ref_doc_id") < F.col("doc_id"))
+                _match_side(m, F.col("ref_doc_id") < F.col("doc_id"))
             )
+            if cutoff is not None and null_ts_docs:
+                hit_parts.append(_match_null_new(modern))
         if legacy_rows is not None:
             # legacy rows carry no doc_id: synthesize the signature
             # VALUE as the identity so the banded match and ts
@@ -254,6 +286,12 @@ def near_dup_dedup_batch(
                 .withColumn("doc_id", F.col("simhash"))
             )
             hit_parts.append(_match_side(lr, F.lit(True)))
+            if cutoff is not None and null_ts_docs:
+                hit_parts.append(
+                    _match_null_new(
+                        legacy_rows.withColumn("doc_id", F.col("simhash"))
+                    )
+                )
         store_hits = None
         if hit_parts:
             store_hits = hit_parts[0]

@@ -1246,3 +1246,23 @@ def test_pq_null_vectors_excluded_from_results(spark):
     enc = SIM.pq_assign(emb, books)
     null_codes = {r.vec_id for r in enc.collect() if r.codes is None}
     assert null_codes == {900, 901}                # rows kept, codes NULL
+
+
+def test_signlsh_zero_planes_single_bucket(spark):
+    """n_planes=0 degrades to ONE global bucket (exact all-pairs
+    comparison — the brute-force end of the recall sweep) instead of a
+    parse error; the oracle twin emits the matching constant."""
+    from flink_project_spark.llm import similarity as SIM
+    from flink_project_spark.llm.contract import _plane_bucket_sql
+
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 8), (3, [-1.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = SIM.embedding_near_dups(
+        emb, dim=8, threshold=0.99, n_planes=0
+    ).collect()
+    # with one bucket the exact pair (1,2) is found despite never
+    # colliding under any hyperplane split
+    assert {(r.vec_a, r.vec_b) for r in pairs} == {(1, 2)}
+    assert _plane_bucket_sql(0) == "CAST(0 AS BIGINT)"

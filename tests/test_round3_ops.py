@@ -404,16 +404,73 @@ def test_streaming_near_dup_legacy_idless_store(spark, tmp_path):
     )
     assert {r["doc_id"] for r in got.collect()} == {3}
 
-    # batch 2: the store is now MIXED (flat legacy files + the batch=N
-    # partition written above); a dup of the legacy text must STILL be
-    # dropped via the legacy rows
-    got2 = near_dup_dedup_batch(
-        mk([(4, "2024-01-01 00:07:00", legacy_text),
-            (5, "2024-01-01 00:07:00", "yet another unrelated document")]),
-        store,
+    # batch 2 on a SECOND store seeded the same way, whose first batch
+    # carries ONLY fresh docs: the store becomes MIXED (flat legacy
+    # files + a batch=N partition) with the legacy text present ONLY in
+    # the root files — so batch 2's drop can come from nothing but the
+    # legacy-file read (a batch-1 dup would mask a broken mixed-layout
+    # read behind the modern row it records)
+    store2 = str(tmp_path / "store2")
+    doc_simhash(seed, text_col="text", bits=32).select(
+        "simhash",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("_ts"),
+    ).write.mode("overwrite").parquet(store2)
+    got_b1 = near_dup_dedup_batch(
+        mk([(3, "2024-01-01 00:05:00", "completely different words here")]),
+        store2,
         horizon_seconds=600,
     )
-    assert {r["doc_id"] for r in got2.collect()} == {5}
+    assert {r["doc_id"] for r in got_b1.collect()} == {3}
+    got_b2 = near_dup_dedup_batch(
+        mk([(4, "2024-01-01 00:07:00", legacy_text),
+            (5, "2024-01-01 00:07:00", "yet another unrelated document")]),
+        store2,
+        horizon_seconds=600,
+    )
+    assert {r["doc_id"] for r in got_b2.collect()} == {5}
+
+
+def test_streaming_near_dup_null_ts_batchmate_independence(spark, tmp_path):
+    """A null-ts doc loses to ANY stored real-ts arrival regardless of
+    horizon — including when a real-ts batchmate sets a cutoff that
+    filters the old store row out of the horizon pass. Admission of the
+    null-ts doc must not depend on which docs it happens to share a
+    micro-batch with."""
+    from flink_project_spark.streaming.dedup import near_dup_dedup_batch
+
+    text = " ".join(f"t{i}" for i in range(25))
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, ts_s string, text string"
+        ).select(
+            "doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "text"
+        )
+
+    def run(store):
+        b1 = near_dup_dedup_batch(
+            mk([(1, "2024-01-01 00:00:00", text)]), store, horizon_seconds=600
+        )
+        assert {r["doc_id"] for r in b1.collect()} == {1}
+
+    # alone in its batch: cutoff is None, unfiltered match, dropped
+    s1 = str(tmp_path / "s1")
+    run(s1)
+    alone = near_dup_dedup_batch(
+        mk([(2, None, text)]), s1, horizon_seconds=600
+    )
+    assert alone.count() == 0
+    # co-batched with a real-ts doc 10 hours later (store row far out
+    # of horizon): the null-ts doc must STILL be dropped
+    s2 = str(tmp_path / "s2")
+    run(s2)
+    mixed = near_dup_dedup_batch(
+        mk([(2, None, text),
+            (3, "2024-01-01 10:00:00", "completely different words here")]),
+        s2,
+        horizon_seconds=600,
+    )
+    assert {r["doc_id"] for r in mixed.collect()} == {3}
 
 
 def test_streaming_near_dup_legacy_in_horizon_rearrival(spark, tmp_path):

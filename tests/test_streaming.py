@@ -865,3 +865,24 @@ def test_streaming_retention_matches_batch(spark, tmp_path):
         for r in cohort_retention(events, period="week").collect()
     }
     assert emissions[1] == full
+
+
+def test_streaming_funnel_empty_batch_preserves_state(spark, tmp_path):
+    """An empty micro-batch (a poll with no new files) re-emits the
+    unchanged funnel state instead of erroring or clearing it; an empty
+    FIRST retention batch yields the empty matrix, not an exception."""
+    from flink_project_spark.streaming.funnel import funnel_batch, retention_batch
+
+    steps = ["view", "click", "purchase"]
+    b = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "view")],
+        "user_id long, ts_s string, event_type string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+    store = str(tmp_path / "f")
+    first = funnel_batch(b, store, steps, batch_id=0).collect()
+    empty = b.filter(F.lit(False))
+    again = funnel_batch(empty, store, steps, batch_id=1).collect()
+    assert again == first and len(first) == 1
+    assert retention_batch(
+        empty, str(tmp_path / "r"), batch_id=0
+    ).collect() == []
