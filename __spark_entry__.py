@@ -1150,6 +1150,25 @@ def _history_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gated_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted triple-distinct history ARRAY table for the gated
+    decay query (scene_1 scope, its contract form) — distinct
+    semantics from `_history_arrays` (repeats of an item at different
+    times survive, matching ItemIdCfVersion5.java:143's triple
+    distinct), so it persists separately. One groupBy(user) exchange
+    builds it; the gated query's pair generate + gate window + both
+    aggregations then run off the persisted table."""
+    return CACHE.materialize(
+        spark,
+        f"itemcf_gated_arrays:{sf_dir}",
+        lambda: CF.gated_history_arrays(
+            _valid_actions(spark, sf_dir).filter(
+                F.col("scene_id") == "scene_1"
+            )
+        ),
+    )
+
+
 def _history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-form history — a pure explode over the persisted array table
     (no shuffle, no separate persist)."""
@@ -1286,10 +1305,13 @@ def q_itemcf_decay_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests cover the unfiltered form. Capped at the same max_history=500
     as the cosine chain's `user_item_history` (the oracle applies the
     identical cap), so one mega-history user can't quadratically
-    dominate a task at corpus scale."""
+    dominate a task at corpus scale. The triple-distinct array table is
+    the persisted `_gated_arrays` intermediate (built once in the
+    shared cache-build phase)."""
     return CF.decay_pairs_gated(
         _valid_actions(spark, sf_dir).filter(F.col("scene_id") == "scene_1"),
         max_history=500,
+        arrays=_gated_arrays(spark, sf_dir),
     )
 
 
@@ -1323,6 +1345,7 @@ def shared_intermediates(
         "valid_actions": _valid_actions(spark, sf_dir),
         "recall_log": _recall_log(spark, sf_dir),
         "itemcf_history_arrays": _history_arrays(spark, sf_dir),
+        "itemcf_gated_arrays": _gated_arrays(spark, sf_dir),
         "itemcf_pairs": _pair_scores(spark, sf_dir),
         "itemcf_cosine": _cosine(spark, sf_dir),
         "itemcf_lists": _neighbor_lists10(spark, sf_dir),

@@ -530,6 +530,34 @@ def whitelist_semi(
     return items.join(wl, on=item_col, how="left_semi")
 
 
+def gated_history_arrays(
+    actions: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    time_col: str = "action_time",
+) -> DataFrame:
+    """(user, items) with items = the time-sorted DEDUPED (t, item)
+    triple history — the shared intermediate of `decay_pairs_gated`
+    (triple-distinct semantics: repeats of an item at distinct times
+    stay, exact dup rows collapse — ItemIdCfVersion5.java:143's
+    distinct()). ONE exchange builds it; a separate .distinct() before
+    the groupBy would dedupe in codegen but costs a second shuffle —
+    measured slower locally, where stage waves, not row volume,
+    dominate."""
+    return actions.select(user_col, item_col, time_col).groupBy(user_col).agg(
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(
+                    F.struct(
+                        F.col(time_col).alias("t"),
+                        F.col(item_col).alias("it"),
+                    )
+                )
+            )
+        ).alias("items")
+    )
+
+
 def decay_pairs_gated(
     actions: DataFrame,
     user_col: str = "user_id",
@@ -539,6 +567,7 @@ def decay_pairs_gated(
     scale: int = DECAY_SCALE,
     max_d: int | None = None,
     max_history: int | None = None,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """A7 decay variant with the reference's per-user max-gated
     repeat-pair emission — exact parity for histories where one user
@@ -578,22 +607,17 @@ def decay_pairs_gated(
     Version5 pipeline has no cap on the triple-distinct path, so the
     default None keeps exact parity; corpus-scale callers (and the
     contract query) pass the same 500 as `user_item_history`.
+
+    ``arrays`` accepts a PRECOMPUTED `gated_history_arrays` table
+    (persisted or landed) so a pipeline reuses the one exchange that
+    builds it instead of rebuilding per run; the cap filter still
+    applies (a size() predicate — idempotent on an already-capped
+    table).
     """
-    # ONE exchange builds the per-user sorted deduped history: a
-    # separate .distinct() before the groupBy would dedupe in codegen
-    # but costs a second shuffle — measured slower here, since stage
-    # waves, not row volume, dominate this operator locally
-    arr = actions.select(user_col, item_col, time_col).groupBy(user_col).agg(
-        F.array_sort(
-            F.array_distinct(
-                F.collect_list(
-                    F.struct(
-                        F.col(time_col).alias("t"),
-                        F.col(item_col).alias("it"),
-                    )
-                )
-            )
-        ).alias("items")
+    arr = (
+        arrays
+        if arrays is not None
+        else gated_history_arrays(actions, user_col, item_col, time_col)
     )
     if max_history is not None:
         arr = arr.filter(F.size("items") <= max_history)
