@@ -32,6 +32,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_project_spark.cache import persist_tracked
 from flink_project_spark.llm import curation as CUR
 from flink_project_spark.llm import dedup as DD
 from flink_project_spark.llm import text as TX
@@ -153,7 +154,14 @@ def curate_corpus(
     near = DD.dedup_keep_canonical(deduped, pairs, mode=dedup_mode)
     r.stages["near_dedup"] = near
 
-    if strip_spans_n:
+    if strip_spans_n is not None:
+        # `is not None`, not truthiness: an explicit 0 must reach
+        # strip_dup_spans' validator and raise, exactly like
+        # chunk_tokens=0 below — not silently skip the stage.
+        # near feeds BOTH legs of the rebuild join (the gram scans
+        # inside strip_dup_spans and the text re-attach), so persist it
+        # or the whole exact+near dedup lineage executes twice.
+        near = persist_tracked(near, label="curate_near_dedup")
         stripped = DD.strip_dup_spans(near, n=strip_spans_n, text_col=text_col)
         near = near.drop(text_col).join(
             stripped.filter(F.col("kept_tokens") > 0).select(

@@ -65,6 +65,15 @@ def write_parquet(
     `sort_partitions` pins the output file count; default lets AQE
     size the range exchange by data volume (the right call at scale).
     """
+    if sort_partitions is not None and sort_partitions < 1:
+        raise ValueError(
+            f"sort_partitions must be >= 1, got {sort_partitions}"
+        )
+    if sort_partitions is not None and not sort_within:
+        # a pinned file count without a clustering key is a plain
+        # round-robin repartition — honoring it beats silently ignoring
+        # the caller's explicit request
+        df = df.repartition(sort_partitions)
     if sort_within:
         if sort_partitions:
             df = df.repartitionByRange(sort_partitions, *sort_within)
@@ -167,10 +176,26 @@ def compact_parquet(
     import os as _os
 
     total = 0
-    for root, _dirs, files in _os.walk(path):
+    part_dirs = set()
+    for root, dirs, files in _os.walk(path):
+        for d in dirs:
+            if "=" in d and not d.startswith("."):
+                part_dirs.add(d.split("=", 1)[0])
         for f in files:
             if f.endswith(".parquet"):
                 total += _os.path.getsize(_os.path.join(root, f))
+    if part_dirs:
+        # Rewriting a Hive-partitioned ROOT without partitionBy would
+        # silently flatten it: partition directories vanish, downstream
+        # partition pruning and dynamic partition overwrite both break.
+        # Fail loudly instead — compact per leaf partition (the
+        # documented pattern), which also bounds each rewrite's size.
+        raise ValueError(
+            f"{path} is a Hive-partitioned dataset root (partition "
+            f"columns {sorted(part_dirs)}); compacting it flat would "
+            "destroy the partition layout. Run compact_parquet on each "
+            "leaf partition directory instead."
+        )
     n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     if sort_within:
@@ -331,16 +356,19 @@ class FileKVStore:
     def replace_list(
         self, key: str, values: list[str], ttl_seconds: int | None = None
     ) -> None:
-        # DEL-then-RPUSH with optional TTL — MyJedisCluster.java:47-58
+        # DEL-then-RPUSH with optional TTL — MyJedisCluster.java:47-58.
+        # Redis DEL clears any TTL, and a recreate without EXPIRE has
+        # none — so a replace WITHOUT ttl_seconds must remove a stale
+        # TTL left by a previous TTL'd write, not let it linger.
         self._atomic_write(
             self.root / "lists" / (self._safe(key) + ".json"),
             json.dumps(list(values)),
         )
+        ttl_path = self.root / "ttls" / self._safe(key)
         if ttl_seconds is not None:
-            self._atomic_write(
-                self.root / "ttls" / self._safe(key),
-                str(time.time() + ttl_seconds),
-            )
+            self._atomic_write(ttl_path, str(time.time() + ttl_seconds))
+        else:
+            ttl_path.unlink(missing_ok=True)
 
     def put(self, rowkey: str, qualifier: str, value: str) -> None:
         # HBase-style cell write modeled as a hash field
@@ -435,12 +463,17 @@ def write_kv_lists(
     filter/truncate run as Catalyst expressions BEFORE the shuffle-free
     foreachPartition — only surviving rows leave the JVM.
     """
+    # NULL elements are removed BEFORE the min_len gate — str(None)
+    # would publish the literal 'None' as an item id (the same
+    # indistinguishable-payload hazard the hash path filters), and a
+    # list padded with NULLs must not pass the length floor on them
+    clean = F.filter(F.col(values_col), lambda v: v.isNotNull())
     pruned = (
         df.filter(
             F.col(key_col).isNotNull()  # a NULL key would store 'None'
-            & (F.size(F.col(values_col)) >= min_len)
+            & (F.size(clean) >= min_len)
         )
-        .select(key_col, F.slice(F.col(values_col), 1, max_len).alias(values_col))
+        .select(key_col, F.slice(clean, 1, max_len).alias(values_col))
     )
 
     def _write(rows: Iterable[Row]) -> None:
@@ -530,7 +563,10 @@ def write_es_documents(
     into `_flush` untouched.
     """
     doc_cols = doc_cols or [c for c in df.columns if c != id_col]
-    rows = df.select(
+    # NULL ids are dropped, not stringified: every NULL-id row would
+    # collapse onto the single '{index}/None' key, silently overwriting
+    # each other — the module's NULL-key rule (see write_kv_hash)
+    rows = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).cast("string").alias("_id"),
         F.to_json(F.struct(*doc_cols)).alias("_source"),
     )
@@ -573,13 +609,23 @@ def kafka_sink_frame(
     field from the record) — the exact inverse of `parse_kafka_json`,
     so produce -> consume round-trips losslessly. Keys cast through
     string so any key column type publishes deterministic bytes.
+
+    Per-row ROUTING columns pass through: when `topic` isn't given and
+    the frame already carries a `topic` column, it is forwarded as the
+    sink's routing column (and excluded from the default payload, like
+    `partition`/`headers`) instead of being folded into the JSON value
+    and lost — per-row topic routing is part of the sink contract this
+    builder exists to satisfy.
     """
-    value_cols = value_cols or list(df.columns)
+    routing = [c for c in ("topic", "partition", "headers") if c in df.columns]
+    value_cols = value_cols or [c for c in df.columns if c not in routing]
     cols = [F.to_json(F.struct(*value_cols)).cast("binary").alias("value")]
     if key_col:
         cols.insert(0, F.col(key_col).cast("string").cast("binary").alias("key"))
     if topic:
         cols.append(F.lit(topic).alias("topic"))
+        routing = [c for c in routing if c != "topic"]
+    cols.extend(F.col(c) for c in routing)
     return df.select(*cols)
 
 

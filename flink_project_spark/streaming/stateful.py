@@ -26,11 +26,21 @@ def _sorted_batch(
     pdfs: Iterable[pd.DataFrame], ts_col: str, value_col: str
 ) -> pd.DataFrame | None:
     """Concatenate a group's Arrow chunks and impose the deterministic
-    (ts, value) processing order. Returns None for an empty batch."""
+    (ts, value) processing order. Returns None for an empty batch.
+
+    Rows with a NULL timestamp or NULL value are EXCLUDED: a
+    time-ordered state transition has no defined position for them
+    (same convention as the as-of join's NULL-time exclusion), and
+    Arrow renders a NULL long column as float64 NaN, which would
+    otherwise crash the int64 conversion and kill the streaming query
+    on permanent retry-replay."""
     frames = [p for p in pdfs if len(p)]
     if not frames:
         return None
     pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
+    pdf = pdf[pdf[ts_col].notna() & pdf[value_col].notna()]
+    if not len(pdf):
+        return None
     return pdf.sort_values([ts_col, value_col], kind="mergesort")
 
 
@@ -88,7 +98,11 @@ def count_with_timeout(
         for pdf in pdfs:
             cnt += len(pdf)
             if "event_ms" in pdf.columns and len(pdf):
-                last = max(last, int(pdf["event_ms"].max()))
+                # NULL event times (NaN after Arrow) don't advance
+                # last_seen; an all-NULL chunk leaves it unchanged
+                mx = pdf["event_ms"].max()
+                if pd.notna(mx):
+                    last = max(last, int(mx))
         state.update((cnt, last))
         state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame({"key": [], "cnt": [], "last_seen_ms": []}).astype(
@@ -253,9 +267,8 @@ def rising_value_warning(
                     # next arming rise at/after pos (disarms are no-ops
                     # while unarmed; the arming element cannot fire its
                     # own just-set timer)
-                    r = rise_idx[np.searchsorted(rise_idx, pos)] if (
-                        np.searchsorted(rise_idx, pos) < len(rise_idx)
-                    ) else n
+                    ri = np.searchsorted(rise_idx, pos)
+                    r = rise_idx[ri] if ri < len(rise_idx) else n
                     if r >= n:
                         break
                     rise_start = int(ts[r])

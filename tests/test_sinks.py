@@ -143,6 +143,91 @@ def test_kafka_sink_frame_contract_and_roundtrip(spark):
     assert sorted(back.collect()) == sorted(df.collect())
 
 
+def test_es_documents_drop_null_ids(spark, tmp_path):
+    """NULL-id rows are DROPPED, not stringified: they would all
+    collapse onto the single '{index}/None' key and silently overwrite
+    each other."""
+    import shutil
+
+    from flink_project_spark.sinks import writers as WR
+
+    store = WR.get_kv_store("es_null_test")
+    shutil.rmtree(store.root, ignore_errors=True)
+    store = WR.get_kv_store("es_null_test")
+    df = spark.createDataFrame(
+        [(1, "alpha"), (None, "ghost1"), (None, "ghost2")],
+        "doc_id long, title string",
+    )
+    WR.write_es_documents(df, "docs", "doc_id", store_name="es_null_test")
+    assert set(store.hashes) == {"docs/1"}
+
+
+def test_kafka_sink_frame_per_row_topic_passthrough(spark):
+    """A frame already carrying per-row routing columns keeps them as
+    ROUTING (excluded from the default JSON payload) instead of folding
+    them into the value and losing per-row topic routing."""
+    df = spark.createDataFrame(
+        [("t_a", "u1", 5.0), ("t_b", "u2", 7.5)],
+        "topic string, user_id string, score double",
+    )
+    frame = WR.kafka_sink_frame(df, key_col="user_id")
+    assert dict(frame.dtypes) == {
+        "key": "binary", "value": "binary", "topic": "string"
+    }
+    rows = frame.collect()
+    assert {r.topic for r in rows} == {"t_a", "t_b"}
+    import json
+    payload = json.loads(bytes(rows[0].value).decode())
+    assert "topic" not in payload  # routing metadata, not record field
+    # explicit topic= still overrides a per-row column
+    over = WR.kafka_sink_frame(df, topic="fixed").select("topic").distinct()
+    assert [r.topic for r in over.collect()] == ["fixed"]
+
+
+def test_kv_lists_null_elements_and_ttl_clear(spark, tmp_path):
+    """NULL list elements never publish as the string 'None' (and don't
+    count toward min_len); a replace WITHOUT ttl clears a stale TTL
+    (Redis DEL-then-RPUSH semantics)."""
+    import shutil
+
+    from flink_project_spark.sinks import writers as WR
+
+    store = WR.get_kv_store("kvl_test")
+    shutil.rmtree(store.root, ignore_errors=True)
+    store = WR.get_kv_store("kvl_test")
+    df = spark.createDataFrame(
+        [("k1", ["a", None, "b", "c"]),      # 3 real entries: kept
+         ("k2", ["x", None, None, None])],   # 1 real entry: cut
+        "key string, vals array<string>",
+    )
+    WR.write_kv_lists(
+        df, "key", "vals", min_len=3, max_len=10, store_name="kvl_test"
+    )
+    assert store.lists == {"k1": ["a", "b", "c"]}
+
+    store.replace_list("k9", ["v"], ttl_seconds=3600)
+    assert "k9" in store.ttls
+    store.replace_list("k9", ["v2"])  # plain DEL+RPUSH: TTL cleared
+    assert "k9" not in store.ttls
+
+
+def test_compact_parquet_rejects_partitioned_root(spark, tmp_path):
+    """Compacting a Hive-partitioned dataset root would silently
+    flatten the partition layout — it must fail loudly instead."""
+    import pytest
+
+    from flink_project_spark.sinks.writers import compact_parquet
+
+    path = str(tmp_path / "part_ds")
+    spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], "v long, dt string"
+    ).write.partitionBy("dt").parquet(path)
+    with pytest.raises(ValueError, match="partitioned dataset root"):
+        compact_parquet(spark, path)
+    # a leaf partition compacts fine
+    assert compact_parquet(spark, path + "/dt=2024-01-01") == 1
+
+
 def test_write_kafka_validates_frame_and_wires_sink(spark, tmp_path):
     """K7/T14: write_kafka rejects malformed frames; a valid frame
     reaches Spark's kafka sink resolution (no broker in the sandbox, so

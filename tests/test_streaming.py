@@ -886,3 +886,37 @@ def test_streaming_funnel_empty_batch_preserves_state(spark, tmp_path):
     assert retention_batch(
         empty, str(tmp_path / "r"), batch_id=0
     ).collect() == []
+
+
+def test_stateful_operators_survive_null_rows(spark, tmp_path):
+    """A NULL event time or NULL value must not kill the streaming
+    query: Arrow renders NULL longs as NaN, and the int64 conversion in
+    the stateful scan loops would raise on it forever (retry-replay of
+    the same batch). NULL rows are excluded from the time-ordered state
+    transitions; real rows around them still alert."""
+    src = tmp_path / "null_src"
+    src.mkdir()
+    schema = "id string, event_ms long, temperature double"
+    data = [
+        ("a", 1000, 60.0), ("a", None, 99.0), ("a", 2000, 75.0),
+        ("a", 3000, None), ("a", 4000, 80.0), ("b", None, None),
+    ]
+    spark.createDataFrame(data, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    alerts = ST.delta_alert(stream, "id", "event_ms", "temperature", 10.0)
+    name = _run_to_memory(alerts, "append")
+    got = {
+        (r.key, r.event_ms) for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert got == {("a", 2000)}  # 60 -> 75 fires; NULL rows inert
+
+    # rise arms at 2000 (60 -> 75); the NULL rows in between are inert;
+    # the 4000 event crosses the 500 ms deadline and fires the warning
+    warn = ST.rising_value_warning(
+        stream, "id", "event_ms", "temperature", rise_ms=500
+    )
+    name2 = _run_to_memory(warn, "append")
+    rows = spark.sql(f"SELECT * FROM {name2}").collect()
+    assert {(r.key, r.warn_ms) for r in rows} == {("a", 4000)}
