@@ -1,0 +1,238 @@
+"""Hypothesis property tests: engine results vs independent pure-python
+twins on ADVERSARIALLY-GENERATED inputs (SURVEY §5's twin strategy,
+extended from seeded-random fixtures to shrinking property search).
+
+Example counts are deliberately small (each example runs Spark jobs);
+`derandomize=True` makes every CI run execute the identical example
+set, so a failure here is reproducible, not flaky.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# small pools keep pair/bucket collisions frequent (the interesting case)
+_ITEMS = ["A", "B", "C", "D"]
+_USERS = ["u1", "u2"]
+
+actions_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(_USERS),
+        st.sampled_from(_ITEMS),
+        st.integers(min_value=1, max_value=9),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@PROP
+@given(actions_strategy)
+def test_prop_decay_gated_matches_reference_loop(spark, rows):
+    """decay_pairs_gated == ItemIdCfVersion5's max-gated emission loop
+    (triple-distinct, sort by (ts, item), per-directed-pair max gate)
+    on arbitrary small histories with repeats and ts ties."""
+    import flink_project_spark.operators.itemcf as CF
+
+    n = 2
+    df = spark.createDataFrame(
+        rows, "user_id string, item_id string, action_time long"
+    )
+    got = {
+        (r["item_a"], r["item_b"]): (r["emissions"], r["decay_scaled"])
+        for r in CF.decay_pairs_gated(df, n_distances=n).collect()
+    }
+
+    def quant(s: float) -> int:
+        return int(math.floor(s * 1_000_000 + 0.5))
+
+    expected: dict[tuple, list[int]] = {}
+    by_user: dict[str, set] = {}
+    for u, it, ts in rows:
+        by_user.setdefault(u, set()).add((ts, it))  # triple distinct
+    for evs in by_user.values():
+        items = [it for _ts, it in sorted(evs)]
+        gate: dict[str, list[float]] = {}
+        for i in range(len(items) - 1):
+            for j in range(i + 1, len(items)):
+                a, b = items[i], items[j]
+                if a == b:
+                    continue
+                d = j - i
+                score = 1.0 if d <= n else math.exp((n - d) / (2 * n + 1))
+                key = f"{a}_{b}"
+                emits = []
+                if key in gate:
+                    arr = gate[key]
+                    if arr[0] < score:
+                        arr[0] = score
+                        emits.append((a, b))
+                    if arr[1] < score:
+                        arr[1] = score
+                        emits.append((b, a))
+                else:
+                    gate[key] = [score, score]
+                    emits = [(a, b), (b, a)]
+                for pair in emits:
+                    e = expected.setdefault(pair, [0, 0])
+                    e[0] += 1
+                    e[1] += quant(score)
+    assert got == {k: tuple(v) for k, v in expected.items()}
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from([1, 2]),  # user
+        st.sampled_from(["view", "click", "purchase", "other"]),
+        st.integers(min_value=0, max_value=12),  # seconds offset
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@PROP
+@given(events_strategy, st.sampled_from([None, 5]))
+def test_prop_funnel_matches_greedy_walk(spark, rows, horizon):
+    """funnel_times == the greedy earliest-qualifying-event walk on
+    arbitrary event sets, with and without the t1-anchored horizon —
+    including ts ties between steps (strict > chaining) and repeated
+    step events."""
+    from flink_project_spark.operators.funnel import funnel_times
+
+    steps = ["view", "click", "purchase"]
+    df = spark.createDataFrame(
+        [(u, t, s) for u, t, s in rows],
+        "user_id long, event_type string, s long",
+    ).select(
+        "user_id",
+        "event_type",
+        F.timestamp_seconds(F.col("s")).alias("ts"),
+    )
+    got = {
+        r["user_id"]: [r["t1"], r["t2"], r["t3"]]
+        for r in funnel_times(df, steps, horizon_seconds=horizon).collect()
+    }
+
+    by_user: dict[int, list] = {}
+    for u, typ, s in rows:
+        if typ in steps:
+            by_user.setdefault(u, []).append((s, typ))
+    expected = {}
+    for u, evs in by_user.items():
+        ts = [None] * len(steps)
+        for t, typ in sorted(evs):
+            i = steps.index(typ)
+            if i == 0:
+                if ts[0] is None:
+                    ts[0] = t
+            elif ts[i] is None and ts[i - 1] is not None and t > ts[i - 1]:
+                if horizon is None or (t - ts[0]) <= horizon:
+                    ts[i] = t
+        if ts[0] is not None:
+            expected[u] = ts
+    got_s = {
+        u: [None if t is None else int(t.timestamp()) for t in v]
+        for u, v in got.items()
+    }
+    assert got_s == expected
+
+
+sig_strategy = st.lists(
+    st.integers(min_value=0, max_value=2**16 - 1),
+    min_size=2,
+    max_size=12,
+)
+
+
+@PROP
+@given(sig_strategy, st.sampled_from([1, 3]))
+def test_prop_simhash_banding_is_exact(spark, sigs, max_hamming):
+    """Banded near-dup search == brute-force Hamming filter: the
+    pigeonhole guarantee (max_hamming < bands) means banding NEVER
+    misses a qualifying pair, and the exact post-filter kills every
+    false candidate — so the result is EXACTLY the brute-force set on
+    arbitrary signatures (incl. identical and near-identical ones)."""
+    from flink_project_spark.llm.dedup import simhash_near_dups
+
+    bits, bands = 32, 4
+    sim = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "doc_id long, simhash long"
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_dups(
+            sim, bits=bits, bands=bands, max_hamming=max_hamming
+        ).collect()
+    }
+    want = {
+        (a, b)
+        for a in range(len(sigs))
+        for b in range(a + 1, len(sigs))
+        if bin(sigs[a] ^ sigs[b]).count("1") <= max_hamming
+    }
+    assert got == want
+
+
+ranges_strategy = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=10),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=10),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+
+
+@PROP
+@given(ranges_strategy, st.booleans())
+def test_prop_range_join_matches_brute_force(spark, data, hi_inclusive):
+    """Bucketed range-join decomposition == the brute-force BETWEEN
+    join on arbitrary integer values and (lo, width) ranges, both
+    boundary inclusivities — including zero-width and overlapping
+    ranges and values sitting exactly on bucket edges."""
+    from flink_project_spark.operators.rangejoin import range_join_bucketed
+
+    vals, rs = data
+    facts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "fid long, v double"
+    )
+    ranges = spark.createDataFrame(
+        [(i, float(lo), float(lo + w)) for i, (lo, w) in enumerate(rs)],
+        "rid long, lo double, hi double",
+    )
+    got = {
+        (r.fid, r.rid)
+        for r in range_join_bucketed(
+            facts,
+            ranges,
+            value_col="v",
+            lo_col="lo",
+            hi_col="hi",
+            bucket_width=7.0,
+            hi_inclusive=hi_inclusive,
+        )
+        .select("fid", "rid")
+        .collect()
+    }
+    want = {
+        (fi, ri)
+        for fi, v in enumerate(vals)
+        for ri, (lo, w) in enumerate(rs)
+        if lo <= v and (v <= lo + w if hi_inclusive else v < lo + w)
+    }
+    assert got == want
