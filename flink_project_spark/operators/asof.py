@@ -73,6 +73,28 @@ def _right_payload_cols(
     return rc
 
 
+def _check_suffix_collisions(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    right_time: str,
+    right_cols: list[str] | None,
+    suffix: str,
+) -> None:
+    """The suffixed output names ({col}{suffix}) must not collide with
+    left columns — the same up-front guard interval_join_stream applies,
+    instead of an AMBIGUOUS_REFERENCE failure deep in the plan."""
+    rc = right_cols if right_cols is not None else [
+        c for c in right.columns if c not in set(on) | {right_time}
+    ]
+    clashes = {f"{c}{suffix}" for c in [right_time, *rc]} & set(left.columns)
+    if clashes:
+        raise ValueError(
+            f"suffixed output column(s) {sorted(clashes)} collide with "
+            f"left columns; pass a different suffix or rename them"
+        )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -99,14 +121,22 @@ def asof_join(
     Right rows with a NULL ``right_time`` are EXCLUDED — "at or before"
     is never true for an unknown time (an unfiltered NULL sorts first
     and would attribute its payload to every left row with no real
-    earlier match).
+    earlier match). Right rows with a NULL equality key are excluded
+    too: NULL never equals NULL in a join (the streaming interval-join
+    twin and any SQL oracle agree), but Window.partitionBy groups NULL
+    keys into one partition and would silently match them; a NULL-key
+    LEFT row still comes back, unmatched — left-join semantics.
     """
     _check_reserved(left)
+    _check_suffix_collisions(left, right, on, right_time, right_cols, suffix)
     rc = _right_payload_cols(right, on, right_time, right_cols)
     payload = F.struct(
         F.col(right_time).alias("t"), *[F.col(c).alias(c) for c in rc]
     )
-    r2 = right.filter(F.col(right_time).isNotNull()).select(
+    r_keyed = right.filter(F.col(right_time).isNotNull())
+    for k in on:
+        r_keyed = r_keyed.filter(F.col(k).isNotNull())
+    r2 = r_keyed.select(
         *on,
         F.col(right_time).alias("_t"),
         F.lit(1).alias("_side"),
@@ -211,7 +241,15 @@ def asof_join_bucketed(
     a hot key across time buckets — `bucket_width` (in `left_time`
     units) tunes task granularity exactly like salting tunes top-K.
     """
+    if bucket_width <= 0:
+        raise ValueError(
+            f"bucket_width must be > 0, got {bucket_width}: a negative "
+            "width inverts bucket order with time (the carry window "
+            "would pull FORWARD-looking payloads), zero yields NULL "
+            "buckets — both silently wrong"
+        )
     _check_reserved(left, extra=("_b",))
+    _check_suffix_collisions(left, right, on, right_time, right_cols, suffix)
     rc = _right_payload_cols(right, on, right_time, right_cols)
     payload = F.struct(
         F.col(right_time).alias("t"), *[F.col(c).alias(c) for c in rc]
@@ -220,8 +258,13 @@ def asof_join_bucketed(
 
     # NULL right_time excluded, same rule as asof_join — it would also
     # land in a NULL _b bucket the carry join can never match,
-    # silently diverging from the plain form
-    r2 = right.filter(F.col(right_time).isNotNull()).select(
+    # silently diverging from the plain form; NULL equality keys
+    # excluded from the right for the same reason as the plain form
+    # (NULL never equals NULL; a NULL-key left row returns unmatched)
+    r_keyed = right.filter(F.col(right_time).isNotNull())
+    for k in on:
+        r_keyed = r_keyed.filter(F.col(k).isNotNull())
+    r2 = r_keyed.select(
         *on,
         bucket(right_time).alias("_b"),
         F.col(right_time).alias("_t"),

@@ -25,7 +25,7 @@ per-user array ever materializes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -42,6 +42,14 @@ def funnel_times(
     breaks (later t's are NULL too — prefix semantics)."""
     if not steps:
         raise ValueError("steps must be non-empty")
+    reserved = {f"t{i}" for i in range(1, len(steps) + 1)} & set(
+        events.columns
+    )
+    if reserved:
+        raise ValueError(
+            f"events columns {sorted(reserved)} collide with the "
+            "funnel's computed step-time columns t1..tk; rename them"
+        )
     cur = (
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
@@ -57,7 +65,11 @@ def funnel_times(
             )
         nxt = (
             events.filter(F.col(type_col) == s)
-            .join(out.select(user_col, "t1", f"t{i - 1}"), user_col)
+            # dict.fromkeys dedups: at i=2 the anchor IS t1
+            .join(
+                out.select(*dict.fromkeys([user_col, "t1", f"t{i - 1}"])),
+                user_col,
+            )
             .filter(cond)
             .groupBy(user_col)
             .agg(F.min(ts_col).alias(f"t{i}"))
@@ -121,7 +133,8 @@ def cohort_retention(
     period, counted in every later period they return.
 
     (cohort, period_offset, users) with offset 0 = the cohort size.
-    `period` is any `date_trunc` unit. Two aggregations — first-period
+    `period` is day, week, or month (the units whose offset arithmetic
+    is implemented exactly below). Two aggregations — first-period
     per user (one exchange on the user key), then distinct
     (cohort, offset, user) counting (one exchange on the matrix key);
     the per-user first period rides the same user partitioning the

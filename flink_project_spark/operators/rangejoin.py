@@ -1,6 +1,7 @@
 """Bucketed range (inequality) join.
 
-``fact.value BETWEEN range.lo AND range.hi`` is the join Spark's
+``lo <= fact.value < hi`` (half-open by default; ``hi_inclusive=True``
+for the closed BETWEEN form) is the join Spark's
 planner can only execute as a broadcast nested loop — every fact row
 probes every range row, O(|facts| x |ranges|). This module implements
 the standard bucketed decomposition (the same trick the as-of join's

@@ -4,6 +4,7 @@ brute-force per-row scan on random data."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from flink_project_spark.operators.asof import asof_join, click_show_attribution
@@ -216,3 +217,56 @@ def test_asof_rejects_payload_column_named_t(spark):
     )
     with _pytest.raises(ValueError, match="'t' collides"):
         AS.asof_join(left, right, on=["k"], left_time="ts", right_time="ts")
+
+
+def test_asof_null_equality_keys_never_match(spark):
+    """NULL never equals NULL in a join: a NULL-key right row matches
+    nothing, and a NULL-key LEFT row comes back unmatched (left-join
+    semantics) — Window.partitionBy would otherwise silently pair them,
+    diverging from the streaming interval-join twin and any SQL oracle.
+    Both the plain and bucketed forms agree."""
+    from flink_project_spark.operators import asof as AS
+
+    left = spark.createDataFrame(
+        [(None, 10), ("k", 10)], "k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, 101), ("k", 5, 202)], "k string, rt long, v long"
+    )
+    for kw in ({}, {"bucket_width": 4}):
+        fn = AS.asof_join_bucketed if kw else AS.asof_join
+        got = {
+            r["k"]: (r["rt_matched"], r["v_matched"])
+            for r in fn(
+                left, right, on=["k"], left_time="ts", right_time="rt", **kw
+            ).collect()
+        }
+        assert got["k"] == (5, 202)
+        assert got[None] == (None, None), got
+
+
+def test_asof_validates_suffix_collisions_and_bucket_width(spark):
+    from flink_project_spark.operators import asof as AS
+
+    left = spark.createDataFrame(
+        [("k", 5, 1)], "k string, ts long, v_matched long"
+    )
+    right = spark.createDataFrame([("k", 1, 9)], "k string, rt long, v long")
+    with pytest.raises(ValueError, match="collide with left columns"):
+        AS.asof_join(left, right, on=["k"], left_time="ts", right_time="rt")
+    clean_left = left.drop("v_matched")
+    with pytest.raises(ValueError, match="bucket_width must be > 0"):
+        AS.asof_join_bucketed(
+            clean_left, right, on=["k"], left_time="ts", right_time="rt",
+            bucket_width=0,
+        )
+
+
+def test_funnel_rejects_reserved_step_columns(spark):
+    from flink_project_spark.operators.funnel import funnel_times
+
+    ev = spark.createDataFrame(
+        [(1, "view", 5, 9)], "user_id long, event_type string, ts long, t1 long"
+    )
+    with pytest.raises(ValueError, match="collide with the"):
+        funnel_times(ev, ["view", "click"])
