@@ -236,3 +236,142 @@ def test_prop_range_join_matches_brute_force(spark, data, hi_inclusive):
         if lo <= v and (v <= lo + w if hi_inclusive else v < lo + w)
     }
     assert got == want
+
+
+impressions_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2"]),          # key group
+        st.sampled_from(["u1", "u2", "u3"]),    # user
+        st.integers(min_value=0, max_value=4),  # score bucket (ties!)
+        st.integers(min_value=0, max_value=1),  # label
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@PROP
+@given(impressions_strategy)
+def test_prop_auc_and_uauc_match_python_twin(spark, rows):
+    """auc == the tie-corrected Mann-Whitney statistic and uauc == the
+    impression-weighted mean of per-user AUCs (auc quantized to 1e-9
+    int64 units, one-sided users excluded, zero-weight groups dropped)
+    on arbitrary small impression logs heavy with score ties."""
+    import flink_project_spark.operators.auc as A
+
+    df = spark.createDataFrame(
+        rows, "g string, user_id string, score int, label int"
+    )
+
+    def py_auc(recs):
+        pos = [s for s, lb in recs if lb == 1]
+        neg = [s for s, lb in recs if lb == 0]
+        if not pos or not neg:
+            return None
+        num2 = 0  # 2*sum over positives of (#neg below + 0.5*#neg tied)
+        for p in pos:
+            num2 += 2 * sum(1 for n in neg if n < p)
+            num2 += sum(1 for n in neg if n == p)
+        return num2 / (2.0 * len(pos) * len(neg))
+
+    by_g: dict[str, list] = {}
+    for g, u, s, lb in rows:
+        by_g.setdefault(g, []).append((u, s, lb))
+
+    got_auc = {
+        r["g"]: (r["positives"], r["negatives"], r["auc"])
+        for r in A.auc(df, ["g"]).collect()
+    }
+    for g, recs in by_g.items():
+        want = py_auc([(s, lb) for _u, s, lb in recs])
+        p = sum(lb for _u, _s, lb in recs)
+        n = len(recs) - p
+        assert got_auc[g][0] == p and got_auc[g][1] == n
+        if want is None:
+            assert got_auc[g][2] is None
+        else:
+            assert abs(got_auc[g][2] - want) < 1e-12, (g, got_auc[g], want)
+
+    got_uauc = {
+        r["g"]: (r["users"], r["uauc"]) for r in A.uauc(df, ["g"]).collect()
+    }
+    expected_uauc = {}
+    for g, recs in by_g.items():
+        by_u: dict[str, list] = {}
+        for u, s, lb in recs:
+            by_u.setdefault(u, []).append((s, lb))
+        terms = []
+        users = 0
+        for u, urecs in by_u.items():
+            a = py_auc(urecs)
+            if a is None:
+                continue  # one-sided users excluded
+            users += 1
+            w = len(urecs)  # weight = impression count
+            terms.append((w, math.floor(a * 1e9 + 0.5)))
+        wtotal = sum(w for w, _ in terms)
+        if wtotal:
+            expected_uauc[g] = (
+                users,
+                sum(w * q for w, q in terms) / (1e9 * wtotal),
+            )
+    assert set(got_uauc) == set(expected_uauc)
+    for g, (users, val) in expected_uauc.items():
+        assert got_uauc[g][0] == users
+        assert abs(got_uauc[g][1] - val) < 1e-12, (g, got_uauc[g], val)
+
+
+retention_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),    # user
+        st.integers(min_value=0, max_value=40),   # day offset from epoch-ish
+    ),
+    min_size=1,
+    max_size=18,
+)
+
+
+@PROP
+@given(retention_strategy, st.sampled_from(["day", "week", "month"]))
+def test_prop_cohort_retention_matches_python_twin(spark, rows, period):
+    """cohort_retention == the python first-period/offset twin for all
+    three period units on arbitrary (user, day) activity sets."""
+    import datetime as dt
+
+    from flink_project_spark.operators.funnel import cohort_retention
+
+    base = dt.datetime(2024, 1, 15, 12, 0, 0)
+    data = [(u, base + dt.timedelta(days=d)) for u, d in rows]
+    df = spark.createDataFrame(data, "user_id long, ts timestamp")
+    got = {
+        (str(r.cohort), r.period_offset): r.users
+        for r in cohort_retention(df, period=period).collect()
+    }
+
+    def trunc(t: dt.datetime) -> dt.date:
+        if period == "day":
+            return t.date()
+        if period == "week":
+            d = t.date()
+            return d - dt.timedelta(days=d.weekday())  # ISO Monday
+        return t.date().replace(day=1)
+
+    first: dict[int, dt.date] = {}
+    for u, t in data:
+        p = trunc(t)
+        if u not in first or p < first[u]:
+            first[u] = p
+    pairs = set()
+    for u, t in data:
+        p = trunc(t)
+        c = first[u]
+        if period == "month":
+            off = (p.year - c.year) * 12 + (p.month - c.month)
+        else:
+            days = 7 if period == "week" else 1
+            off = (p - c).days // days
+        pairs.add((u, c, off))
+    expected: dict[tuple, int] = {}
+    for _u, c, off in pairs:
+        expected[(str(c), off)] = expected.get((str(c), off), 0) + 1
+    assert got == expected
