@@ -1069,10 +1069,17 @@ WITH dec AS (
         FROM nw
         """,
         "doc_exact_dedup": """
+        -- NULL text matches NOTHING (each NULL-text doc is its own
+        -- single-member group), mirroring the engine's rule
         SELECT md5(text) AS content_md5,
                min(doc_id) AS canonical_doc_id,
                count(*) AS n_copies
-        FROM documents GROUP BY 1
+        FROM documents WHERE text IS NOT NULL GROUP BY 1
+        UNION ALL
+        SELECT CAST(NULL AS VARCHAR) AS content_md5,
+               doc_id AS canonical_doc_id,
+               CAST(1 AS BIGINT) AS n_copies
+        FROM documents WHERE text IS NULL
         """,
         "doc_minhash_neardups": _DWORDS
         + _DSH

@@ -635,9 +635,8 @@ def decontaminate_overlap(
     shingles (n_common / bench_shingles): a short benchmark item fully
     quoted inside a long page scores 1.0 regardless of the page's
     length — normalizing by the corpus doc would dilute exactly that
-    case to ~0. Zero-word docs are excluded on both sides (their only
-    'shingle' is the empty string, which would otherwise report
-    empty-vs-empty pairs as 100% contamination).
+    case to ~0. Zero-word docs emit no shingles (shingle_hashes drops
+    them), so empty-vs-empty pairs can never report as contamination.
 
     `min_overlap` must be > 0: zero-overlap pairs never materialize —
     the intersection count comes from a shingle equi-join, exactly like
@@ -654,9 +653,11 @@ def decontaminate_overlap(
         raise ValueError(f"min_overlap must be in (0, 1], got {min_overlap}")
     from flink_project_spark.llm import dedup as DD
 
-    nonempty = F.size(TX.words(F.col(text_col))) > 0
-    sc = DD.shingle_hashes(corpus.filter(nonempty), text_col, n)
-    sb = DD.shingle_hashes(benchmark.filter(nonempty), text_col, n).select(
+    # no pre-filter: shingle_hashes itself drops zero-word docs; a
+    # separate size(words(text)) > 0 filter would re-tokenize the whole
+    # corpus once just to re-apply the guarantee
+    sc = DD.shingle_hashes(corpus, text_col, n)
+    sb = DD.shingle_hashes(benchmark, text_col, n).select(
         F.col("doc_id").alias("bench_id"), "hx"
     )
     n_sh = sb.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_shingles"))

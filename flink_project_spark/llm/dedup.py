@@ -48,13 +48,29 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     One hash-aggregate shuffle on a 32-byte key — at 100 TB this is the
     cheapest possible exact dedup (the alternative, dropDuplicates on
     the full text, shuffles the documents themselves).
+
+    NULL-text docs match NOTHING — md5(NULL) is NULL and groupBy would
+    otherwise treat all NULL-text docs as mutual byte-identical copies
+    (dropping all but one doc that shares no bytes with the survivor);
+    each one comes back as its own single-member group, the same
+    NULL-matches-nothing rule `incremental_dedup`'s exact stage uses.
     """
+    hashed = docs.select(
+        "doc_id", F.md5(F.col(text_col)).alias("content_md5")
+    )
     return (
-        docs.select("doc_id", F.md5(F.col(text_col)).alias("content_md5"))
+        hashed.filter(F.col("content_md5").isNotNull())
         .groupBy("content_md5")
         .agg(
             F.min("doc_id").alias("canonical_doc_id"),
             F.count(F.lit(1)).alias("n_copies"),
+        )
+        .unionByName(
+            hashed.filter(F.col("content_md5").isNull()).select(
+                "content_md5",
+                F.col("doc_id").alias("canonical_doc_id"),
+                F.lit(1).cast("long").alias("n_copies"),
+            )
         )
     )
 
@@ -204,8 +220,25 @@ def doc_signatures(
 # ---------------------------------------------------------------------------
 
 
+def _check_banding(k: int, bands: int, rows: int) -> None:
+    """bands * rows must fit in the k-element signature: an
+    out-of-range F.slice returns an EMPTY array, so every overflowing
+    band would key every doc to '' — one corpus-wide degenerate bucket
+    per bad band, emitting up to max_bucket²/2 spurious candidates and
+    a phantom corpus-sized overflow report, all silently."""
+    if bands < 1 or rows < 1:
+        raise ValueError(f"bands and rows must be >= 1, got {bands}x{rows}")
+    if bands * rows > k:
+        raise ValueError(
+            f"bands*rows ({bands}*{rows}={bands * rows}) exceeds the "
+            f"signature length k={k}: the out-of-range bands would hash "
+            "every doc into one degenerate bucket"
+        )
+
+
 def _band_keys(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
-    """(doc_id, band, band_key) — one row per signature band."""
+    """(doc_id, band, band_key) — one row per signature band; callers
+    that know the signature length validate via `_check_banding`."""
     return sigs.select(
         "doc_id",
         F.posexplode(
@@ -400,6 +433,7 @@ def near_dup_pairs(
             "never materialize here; use exact_jaccard over lsh_pairs for "
             "jaccard-including-zeros"
         )
+    _check_banding(k, bands, rows)
     from flink_project_spark.cache import persist_tracked
 
     ex = persist_tracked(shingle_hashes(docs, text_col, n), "neardup_shingles")
@@ -421,7 +455,14 @@ def near_dup_pairs(
     bandt = persist_tracked(
         _ranked_band_keys(sigs, bands, rows), "neardup_bands"
     )
-    cand = _pairs_from_bands(bandt, max_bucket)
+    # the capped candidate table feeds TWO join subtrees (the shingle
+    # intersection and the signature enrichment) — persist it so the
+    # per-bucket self-join + distinct (the largest exchange before the
+    # verify join) executes once, not once per consumer; correctness/
+    # cost must not hang on ReuseExchange firing
+    cand = persist_tracked(
+        _pairs_from_bands(bandt, max_bucket), "neardup_cand"
+    )
     over_df = (
         bandt.filter(F.col("bucket_rank") > max_bucket)
         .groupBy("band", "band_key")
@@ -740,22 +781,7 @@ def simhash_near_dups(
             "pigeonhole guarantee needs at least one agreeing slice, else "
             "qualifying pairs are silently missed"
         )
-    width = bits // bands
-    mask = (1 << width) - 1
-    banded = sim.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), b * width).bitwiseAND(
-                        F.lit(mask)
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "slice"),
-    )
+    banded = simhash_banded(sim, bits, bands)  # the ONE band form
     a = banded.select(
         "band", "slice", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
     )
@@ -884,6 +910,8 @@ def _positional_grams(docs: DataFrame, n: int, text_col: str) -> DataFrame:
 def dup_span_islands(docs: DataFrame, n: int, text_col: str) -> DataFrame:
     """(doc_id, n_tok, span_start, span_end) — maximal contiguous runs
     of duplicated tokens (0-based, end inclusive, clamped to the doc)."""
+    if n < 1:  # n=0 would mark every corpus-repeated WORD a dup gram
+        raise ValueError(f"n must be >= 1, got {n}")
     grams = _positional_grams(docs, n, text_col)
     # a gram is duplicated iff its hash occurs more than once in the
     # corpus (cross-doc or a repeat within the same doc — the Lee '21
@@ -1018,6 +1046,8 @@ def strip_dup_spans(
     `spans`: optional precomputed `dup_span_islands` table shared with
     `dup_gram_spans` (same contract as there).
     """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
     if spans is None:
         spans = dup_span_islands(docs, n, text_col)
     dup_positions = spans.select(

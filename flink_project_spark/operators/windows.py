@@ -177,9 +177,15 @@ def _duration_seconds(d: str) -> int:
         raise ValueError(f"cannot parse duration {d!r}")
     total = 0
     for n, unit in zip(toks[::2], toks[1::2]):
-        if unit not in mult:
+        # Spark interval units are case-insensitive; match that
+        if unit.lower() not in mult:
             raise ValueError(f"cannot parse duration {d!r}: unit {unit!r}")
-        total += int(n) * mult[unit]
+        total += int(n) * mult[unit.lower()]
+    if total <= 0:
+        # F.window raises 'must be positive' up front for this; the
+        # pmod grid would instead divide by zero (NULL window_start for
+        # every row under non-ANSI — silently wrong)
+        raise ValueError(f"duration must be positive, got {d!r}")
     return total
 
 

@@ -1266,3 +1266,64 @@ def test_signlsh_zero_planes_single_bucket(spark):
     # colliding under any hyperplane split
     assert {(r.vec_a, r.vec_b) for r in pairs} == {(1, 2)}
     assert _plane_bucket_sql(0) == "CAST(0 AS BIGINT)"
+
+
+def test_exact_dedup_null_text_matches_nothing(spark):
+    """NULL-text docs are each their own single-member group — md5(NULL)
+    grouping would otherwise drop all but one doc that shares no bytes
+    with the survivor (incremental_dedup's exact stage already treats
+    NULL as matching nothing; the two rules now agree)."""
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.canonical_doc_id: (r.content_md5, r.n_copies)
+        for r in DD.exact_dedup_groups(df).collect()
+    }
+    assert got[1][1] == 2 and got[1][0] is not None
+    assert got[3] == (None, 1) and got[4] == (None, 1)
+
+
+def test_lsh_banding_validates_signature_length(spark):
+    """bands*rows > k would silently key every doc into one degenerate
+    ''-bucket per overflowing band — rejected up front."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="exceeds the"):
+        DD.near_dup_pairs(docs, k=8, bands=4, rows=4)
+    with pytest.raises(ValueError, match=">= 1"):
+        DD.near_dup_pairs(docs, k=16, bands=0, rows=4)
+
+
+def test_dup_span_n_validated_everywhere(spark):
+    """n=0 must raise in every span entry point (it would mark every
+    corpus-repeated single WORD a dup gram and emit inverted spans that
+    strip the token BEFORE each repeat)."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b")], "doc_id long, text string"
+    )
+    for fn in (DD.dup_gram_spans, DD.strip_dup_spans, DD.dup_span_islands):
+        with pytest.raises(ValueError, match="n must be >= 1"):
+            if fn is DD.dup_span_islands:
+                fn(docs, 0, "text")
+            else:
+                fn(docs, n=0)
+
+
+def test_multi_resolution_rejects_nonpositive_duration(spark):
+    from flink_project_spark.operators.windows import (
+        _duration_seconds,
+        multi_resolution_counts,
+    )
+
+    assert _duration_seconds("1 Hour 30 Minutes") == 5400  # case-insensitive
+    for bad in ("0 minutes", "-5 minutes"):
+        with pytest.raises(ValueError, match="positive"):
+            _duration_seconds(bad)
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "id long, ts_s string"
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    with pytest.raises(ValueError, match="positive"):
+        multi_resolution_counts(ev, "ts", ["id"], resolutions={"x": "0 minutes"})
