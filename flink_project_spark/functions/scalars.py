@@ -19,9 +19,14 @@ def json_get_int(col: Column | str, field: str) -> Column:
     get_json_object returns null on corrupt rows — the engine's analog of
     the reference's drop-malformed-lines behavior
     (OfflineDataSetUtils.java:72-81): filter on isNotNull downstream.
+    try_cast, not cast: under ANSI mode (Spark 4's default, including
+    the driver's vanilla session) a plain cast of a non-integer field
+    value ('xyz', '1.5') throws CAST_INVALID_INPUT and kills the scan
+    instead of dropping the row — the exact opposite of the documented
+    contract.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.get_json_object(c, f"$.{field}").cast("int")
+    return F.get_json_object(c, f"$.{field}").try_cast("int")
 
 
 def parse_json_schema(col: Column | str, schema: T.StructType) -> Column:
@@ -70,10 +75,25 @@ def reverse_rowkey(ts_ms: Column | str) -> Column:
 def sci_notation_to_long(col: Column | str) -> Column:
     """F7: '1.5673E9'-style string timestamp -> long, replicating the
     reference's (long) Double.parseDouble(...) two-step
-    (flink-process entries/ActionLog.java:41).
+    (flink-process entries/ActionLog.java:41) — INCLUDING Java's
+    narrowing-cast saturation: values past the long range clamp to
+    Long.MIN/MAX_VALUE and NaN becomes 0, keeping the row. Under ANSI
+    mode (Spark 4's default) a plain double->long cast would instead
+    throw CAST_OVERFLOW and kill a whole scan on one bad timestamp.
+    An unparseable string still yields NULL (Java would throw in
+    parseDouble; NULL-and-filter is this engine's documented
+    drop-malformed analog, see json_get_int).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast("double").cast("long")
+    d = c.try_cast("double")
+    long_max = 9223372036854775807
+    long_min = -9223372036854775808
+    return (
+        F.when(F.isnan(d), F.lit(0).cast("long"))
+        .when(d >= F.lit(float(long_max)), F.lit(long_max))
+        .when(d <= F.lit(float(long_min)), F.lit(long_min))
+        .otherwise(d.try_cast("long"))
+    )
 
 
 def ratio_floor(col: Column | str, eps: float = 1e-5) -> Column:

@@ -54,9 +54,11 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a_q: Column, b_q: Column) -> Column:
-    """Exact-deterministic cosine of two quantized vectors."""
-    return _dot(a_q, b_q).cast("double") / F.sqrt(
-        _dot(a_q, a_q).cast("double") * _dot(b_q, b_q).cast("double")
+    """Exact-deterministic cosine of two quantized vectors; NULL for a
+    zero-norm operand (see cosine_from_parts)."""
+    return F.try_divide(
+        _dot(a_q, b_q).cast("double"),
+        F.sqrt(_dot(a_q, a_q).cast("double") * _dot(b_q, b_q).cast("double")),
     )
 
 
@@ -67,9 +69,17 @@ def cosine_from_parts(dot: Column, nrm_a: Column, nrm_b: Column) -> Column:
     per joined pair cuts the dominant per-pair cost from 3 array folds
     to 1. The double arithmetic (cast each long, multiply, sqrt) is
     identical to `cosine`, so oracle bit-exactness is preserved.
+
+    try_divide, not /: a zero-norm vector (empty array, all-zero, or
+    all |x| < 5e-7 quantizing to zeros) has no defined cosine — under
+    ANSI mode (Spark 4's default, incl. vanilla driver sessions) a
+    plain division would throw DIVIDE_BY_ZERO and kill the whole
+    similarity job on one degenerate corpus vector. NULL scores are
+    then excluded from rankings by `_cosine_topk` / the near-dup
+    threshold filter (NULL >= t is never true).
     """
-    return dot.cast("double") / F.sqrt(
-        nrm_a.cast("double") * nrm_b.cast("double")
+    return F.try_divide(
+        dot.cast("double"), F.sqrt(nrm_a.cast("double") * nrm_b.cast("double"))
     )
 
 
@@ -79,8 +89,19 @@ def with_quantized(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     Idempotent: a frame already carrying q/nrm passes through untouched
     — that lets a caller quantize BEFORE a row-multiplying generate
     (multi-probe explode) so the two array folds run once per vector,
-    not once per emitted row."""
+    not once per emitted row. The pass-through verifies the TYPES
+    (q: array<bigint>, nrm: bigint): unrelated caller columns that
+    merely share those short names would otherwise silently feed the
+    dot products and return wrong neighbors with no error."""
     if {"q", "nrm"} <= set(emb.columns):
+        types = dict(emb.dtypes)
+        if types["q"] != "array<bigint>" or types["nrm"] != "bigint":
+            raise ValueError(
+                "frame carries columns named q/nrm that are not this "
+                f"module's quantized form (q: {types['q']}, nrm: "
+                f"{types['nrm']}); rename them — silently treating them "
+                "as quantized vectors would return wrong similarities"
+            )
         return emb
     q = quantize(F.col(vec_col))
     return emb.withColumn("q", q).withColumn("nrm", _dot(F.col("q"), F.col("q")))
@@ -90,12 +111,16 @@ def _cosine_topk(scored: DataFrame, k: int) -> DataFrame:
     """Shared scoring tail: per-query top-k window over cos_sim with
     the deterministic (score DESC, neighbor_id) tie-break — one
     definition for brute_force_topk and ivf_topk so their rankings can
-    never drift apart."""
+    never drift apart. Unscorable pairs (NULL embedding or zero-norm
+    vector -> NULL cos_sim) are EXCLUDED — the same rule as `_adc_topk`;
+    without it they'd fill trailing ranks as garbage neighbors whenever
+    a query has fewer than k real ones."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("cos_sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
@@ -738,10 +763,16 @@ def pq_topk(
 
 def _adc_expr(m: int) -> Column:
     """ADC distance: sum over subspaces of lut[s][codes[s]] — the ONE
-    scoring expression for pq_topk and ivfpq_topk."""
+    scoring expression for pq_topk and ivfpq_topk. try_element_at for
+    the CODE lookup: under ANSI mode a stored code outside the
+    codebook range (an index encoded with a larger k, or corruption)
+    would throw INVALID_ARRAY_INDEX for the whole scan; try_element_at
+    yields NULL and `_adc_topk` excludes the row, which is the
+    documented contract. The outer lut[s] accesses use literal
+    in-range indices, so plain element_at is safe there."""
     adc = None
     for s in range(m):
-        term = F.element_at(
+        term = F.try_element_at(
             F.element_at("lut", s + 1),
             F.element_at("codes", s + 1).cast("int") + 1,
         )

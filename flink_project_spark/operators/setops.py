@@ -16,6 +16,11 @@ from pyspark.sql import functions as F
 
 def union_all(*dfs: DataFrame) -> DataFrame:
     """O3: multi-input union by name (bag semantics, no dedup shuffle)."""
+    if not dfs:
+        raise ValueError(
+            "union_all needs at least one frame (a splatted discovery "
+            "list came back empty)"
+        )
     out = dfs[0]
     for df in dfs[1:]:
         out = out.unionByName(df)
@@ -58,6 +63,13 @@ def top_k_per_group(
     """
     from pyspark.sql import Window
 
+    if "rn" in df.columns:
+        # withColumn would silently OVERWRITE the caller's data and the
+        # trailing drop would remove the column entirely
+        raise ValueError(
+            "input column 'rn' collides with the operator's working "
+            "rank column; rename it first"
+        )
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return (
         df.withColumn("rn", F.row_number().over(w))
@@ -104,6 +116,12 @@ def top_k_per_group_salted(
         F.xxhash64(F.spark_partition_id(), *[F.col(c) for c in order_cols]),
         salt_buckets,
     )
+    clashes = {"_salt", "_prn", "_rn"} & set(df.columns)
+    if clashes:
+        raise ValueError(
+            f"input column(s) {sorted(clashes)} collide with the salted "
+            "operator's working columns; rename them first"
+        )
     partial_w = Window.partitionBy(*group_cols, "_salt").orderBy(*order)
     final_w = Window.partitionBy(*group_cols).orderBy(*order)
     return (

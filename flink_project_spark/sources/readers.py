@@ -181,8 +181,12 @@ def as_kafka_records(
     publish (ref: flink-base source/KafkaSource.scala:28-30) and exactly
     what the Kafka source would hand back, so the parse chain
     (`parse_kafka_json`) is exercised unchanged against file-replayed
-    data. Partition is a deterministic key hash, offset a per-partition
-    row_number — both reproducible.
+    data. Partition is a deterministic key hash — or, KEYLESS, a
+    deterministic hash over the row's payload columns, so records
+    spread across all `n_partitions` the way a keyless producer's
+    round-robin does (hashing the constant topic would land every row
+    in ONE partition and silently test a degenerate layout); offset is
+    a per-partition row_number — all reproducible.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -193,10 +197,12 @@ def as_kafka_records(
         if key_col
         else F.lit(None).cast("binary")
     )
-    part = F.pmod(
-        F.xxhash64(F.col(key_col) if key_col else F.lit(topic)),
-        F.lit(n_partitions),
-    ).cast("int")
+    part_src = (
+        F.xxhash64(F.col(key_col))
+        if key_col
+        else F.xxhash64(*[F.col(c) for c in payload])
+    )
+    part = F.pmod(part_src, F.lit(n_partitions)).cast("int")
     out = df.select(
         key.alias("key"),
         F.to_json(F.struct(*payload)).cast("binary").alias("value"),

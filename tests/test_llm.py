@@ -1327,3 +1327,65 @@ def test_multi_resolution_rejects_nonpositive_duration(spark):
     ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
     with pytest.raises(ValueError, match="positive"):
         multi_resolution_counts(ev, "ts", ["id"], resolutions={"x": "0 minutes"})
+
+
+def test_similarity_survives_degenerate_vectors(spark):
+    """A zero-norm, empty, or NULL embedding must neither crash the job
+    (ANSI DIVIDE_BY_ZERO — Spark 4 default, incl. the driver's vanilla
+    session) nor appear as a ranked neighbor with a NULL score."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, [0.0, 0.0]),   # zero norm
+            (3, [2.0, 1.0]),
+            (4, None),         # NULL embedding
+            (5, [1e-8, 1e-8]),  # quantizes to zeros
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.filter(F.col("vec_id") == 1)
+    got = SIM.brute_force_topk(emb, queries, k=5).collect()
+    assert {r.neighbor_id for r in got} == {3}
+    assert all(r.cos_sim is not None for r in got)
+    # the near-dup threshold path is NULL-safe too (NULL >= t is false)
+    pairs = SIM.embedding_near_dups(emb, dim=2, threshold=0.5).collect()
+    assert all(
+        r.vec_a not in (2, 4, 5) and r.vec_b not in (2, 4, 5) for r in pairs
+    )
+
+
+def test_adc_corrupt_stored_codes_excluded_not_fatal(spark):
+    """A stored code outside the codebook range (index corruption, or a
+    table encoded with a larger k) excludes that row instead of
+    throwing INVALID_ARRAY_INDEX for the whole scan under ANSI."""
+    import random
+
+    rnd = random.Random(5)
+    dim = 8
+    emb = spark.createDataFrame(
+        [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    books = SIM.pq_train(emb, m=2, k=4, dim=dim, iters=1)
+    pre = SIM.pq_assign(emb, books).select("vec_id", "codes")
+    corrupt = pre.withColumn(
+        "codes",
+        F.when(F.col("vec_id") == 7, F.array(F.lit(99), F.lit(0))).otherwise(
+            F.col("codes")
+        ),
+    )
+    queries = emb.filter(F.col("vec_id") == 0)
+    got = SIM.pq_topk(
+        corrupt, queries, books, k=50, corpus_codes_col="codes"
+    ).collect()
+    ids = {r.neighbor_id for r in got}
+    assert 7 not in ids and len(ids) == 28  # 30 - self - corrupt
+
+
+def test_with_quantized_rejects_foreign_q_nrm_columns(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0.9, 1.0)],
+        "vec_id long, embedding array<float>, q double, nrm double",
+    )
+    with pytest.raises(ValueError, match="not this"):
+        SIM.with_quantized(emb)

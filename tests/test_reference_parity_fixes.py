@@ -352,3 +352,30 @@ def test_batch_dedup_tolerates_map_columns(spark):
     )
     kept = streaming_exact_dedup(df).collect()
     assert len(kept) == 1 and kept[0].doc_id == 1
+
+
+def test_scalar_parsers_drop_bad_rows_under_ansi(spark):
+    """json_get_int and sci_notation_to_long keep their documented
+    drop-malformed/null-and-filter contracts under ANSI mode (Spark 4's
+    default): corrupt values yield NULL (or Java-style saturation for
+    out-of-range doubles), never a thrown cast error."""
+    import flink_project_spark.functions.scalars as SC
+
+    js = spark.createDataFrame(
+        [('{"a":"xyz"}',), ('{"a":"7"}',), ('{"a":1.5}',), ("not json",)],
+        "s string",
+    )
+    got = [r.v for r in js.select(SC.json_get_int("s", "a").alias("v")).collect()]
+    assert got == [None, 7, None, None]
+
+    sci = spark.createDataFrame(
+        [("1.5673E9",), ("2.0E300",), ("-3e300",), ("bogus",), ("NaN",)],
+        "s string",
+    )
+    got2 = [
+        r.v for r in sci.select(SC.sci_notation_to_long("s").alias("v")).collect()
+    ]
+    # Java (long) narrowing: saturate at Long.MIN/MAX, NaN -> 0
+    assert got2 == [
+        1567300000, 9223372036854775807, -9223372036854775808, None, 0
+    ]
