@@ -522,7 +522,12 @@ def mixture_temperature(
     scored = tok.withColumn("_ratio", ratio).withColumn(
         "_c", F.min("_ratio").over(w_all)
     )
-    tw = F.col("_pwq").cast("double") / F.col("_sum_pwq").cast("double")
+    # try_divide: an all-empty corpus (every source 0 tokens) has
+    # _sum_pwq = 0 — target_weight is undefined there (NULL), and under
+    # ANSI a plain division would throw instead
+    tw = F.try_divide(
+        F.col("_pwq").cast("double"), F.col("_sum_pwq").cast("double")
+    )
     out = scored.select(
         by,
         "tokens",
