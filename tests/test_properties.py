@@ -375,3 +375,99 @@ def test_prop_cohort_retention_matches_python_twin(spark, rows, period):
     for _u, c, off in pairs:
         expected[(str(c), off)] = expected.get((str(c), off), 0) + 1
     assert got == expected
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["red", "blue", "fox", "dog", "run", "sky"]),
+        min_size=0,
+        max_size=10,
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@PROP
+@given(docs_strategy)
+def test_prop_minhash_pipeline_soundness(spark, word_lists):
+    """near_dup_pairs is SOUND on arbitrary tiny corpora: every
+    returned pair's exact 3-gram Jaccard really is >= threshold and
+    matches the python set computation bit-for-bit (the LSH stage may
+    MISS pairs — recall < 1 by design — but the verify stage must never
+    pass a false one), and est_jaccard stays within [0, 1]."""
+    from flink_project_spark.llm.dedup import near_dup_pairs
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = near_dup_pairs(df, threshold=0.5, log_overflow=False).collect()
+
+    def shingles(ws):
+        if not ws:
+            return set()
+        if len(ws) < 3:
+            return {" ".join(ws)}
+        return {" ".join(ws[i: i + 3]) for i in range(len(ws) - 2)}
+
+    sh = {i: shingles(ws) for i, ws in enumerate(word_lists)}
+    for r in got:
+        a, b = sh[r.doc_a], sh[r.doc_b]
+        jac = len(a & b) / len(a | b)
+        assert abs(jac - r.jaccard) < 1e-12, (r, jac)
+        assert jac >= 0.5
+        assert 0.0 <= r.est_jaccard <= 1.0
+
+
+@PROP
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_prop_strip_dup_spans_matches_python_twin(spark, word_lists):
+    """strip_dup_spans == a python re-execution of the ExactSubstr rule
+    (n=2 positional grams; a gram is dup iff its text occurs >1 time in
+    the corpus incl. same-doc repeats; dup gram positions merge into
+    islands; island tokens are removed) on arbitrary tiny corpora over
+    a 3-word alphabet — maximal gram collisions and repeats."""
+    from flink_project_spark.llm.dedup import strip_dup_spans
+
+    n = 2
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.kept_tokens, r.clean_text)
+        for r in strip_dup_spans(df, n=n).collect()
+    }
+
+    # python twin of _positional_grams: docs with < n words emit their
+    # single truncated gram at pos 0; empty docs emit none
+    grams: dict[int, list] = {}
+    for i, ws in enumerate(word_lists):
+        if not ws:
+            grams[i] = []
+        elif len(ws) < n:
+            grams[i] = [(0, " ".join(ws))]
+        else:
+            grams[i] = [
+                (p, " ".join(ws[p: p + n])) for p in range(len(ws) - n + 1)
+            ]
+    counts: dict[str, int] = {}
+    for g in grams.values():
+        for _p, h in g:
+            counts[h] = counts.get(h, 0) + 1
+    expected = {}
+    for i, ws in enumerate(word_lists):
+        dup_pos = set()
+        for p, h in grams[i]:
+            if counts[h] > 1:
+                # gram span = [p, p+n-1] clamped to the doc
+                for x in range(p, min(p + n, len(ws)) if ws else 0):
+                    dup_pos.add(x)
+        kept = [w for x, w in enumerate(ws) if x not in dup_pos]
+        expected[i] = (len(ws), len(kept), " ".join(kept))
+    assert got == expected
