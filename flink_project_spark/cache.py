@@ -43,6 +43,23 @@ def _sid(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
+def _sid_or_none(spark: SparkSession) -> str | None:
+    """applicationId, or None when the session is already stopped
+    (sparkContext._jsc is None and the property raises) — clear() must
+    still run its registry/fixture cleanup in that case instead of
+    dying before releasing anything.
+
+    Known limitation (deliberate): keying on applicationId means
+    SIBLING sessions (spark.newSession()) share one registry scope —
+    this engine runs one session per process (bench, driver, tests);
+    a multi-tenant deployment would key on the session object like
+    fixtures.py does."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:
+        return None
+
+
 def materialize(
     spark: SparkSession, key: str, builder: Callable[[], DataFrame]
 ) -> DataFrame:
@@ -79,7 +96,25 @@ def clear(spark: SparkSession | None = None) -> int:
     fixture table/view memoization so a re-`materialize` starts from a
     clean plan.
     """
-    sid = None if spark is None else _sid(spark)
+    sid = None if spark is None else _sid_or_none(spark)
+    if spark is not None and sid is None:
+        # stopped session: its applicationId is gone, so its registry
+        # entries can't be matched by key — but they're all dead (their
+        # cached blocks died with the executors). Drop every entry
+        # whose DataFrame's session no longer answers, instead of
+        # raising before any cleanup.
+        n = 0
+        with _LOCK:
+            for k in list(_CACHE):
+                try:
+                    _CACHE[k].sparkSession.sparkContext.applicationId
+                except Exception:
+                    del _CACHE[k]
+                    n += 1
+        from flink_project_spark import fixtures as FX
+
+        FX.clear_tables(spark)
+        return n
     n = 0
     with _LOCK:
         for k in list(_CACHE):

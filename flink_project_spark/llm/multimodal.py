@@ -178,7 +178,13 @@ def decode_media_udf(media: DataFrame) -> DataFrame:
                 rows, columns=[f.name for f in DECODED_SCHEMA.fields]
             )
 
-    return media.mapInPandas(decode, DECODED_SCHEMA)
+    # prune BEFORE the Arrow boundary: decode reads only (doc_id,
+    # meta, payload) — shipping the rest of the frame (source, text)
+    # through Arrow serialization would tax the hottest byte-level
+    # stage for nothing (cdc_chunk_hashes applies the same rule)
+    return media.select("doc_id", "meta", "payload").mapInPandas(
+        decode, DECODED_SCHEMA
+    )
 
 
 def frame_sample(decoded: DataFrame, every: int = 30) -> DataFrame:
@@ -187,6 +193,8 @@ def frame_sample(decoded: DataFrame, every: int = 30) -> DataFrame:
     Only the sampled indices materialize — the explode is O(frames/every)
     rows, not O(frames).
     """
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
     return (
         decoded.filter(F.col("modality") == "video")
         .select(
@@ -355,8 +363,11 @@ def cdc_chunk_hashes(
     def chunk(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        # polynomial weights p^(w-1) .. p^0 folded into uint64 (mod 2^64
-        # arithmetic is exact and identical everywhere)
+        # np.convolve REVERSES the kernel, so with this descending
+        # p^(w-1)..p^0 array the effective window hash at position k is
+        # sum_j b[k+j] * p^j (ASCENDING powers, mod 2^64 — exact and
+        # identical everywhere). Any cross-engine twin must use that
+        # formula, not the array's literal order.
         kernel = np.array(
             [pow(CDC_BASE, CDC_WINDOW - 1 - j, 1 << 64) for j in range(CDC_WINDOW)],
             dtype=np.uint64,

@@ -113,8 +113,12 @@ def _quality_parts(text_col: str = "text") -> dict[str, Column]:
         F.transform(w, F.length), F.lit(0), lambda acc, x: acc + x
     )
     sw_hits = stopword_hits(t, "en")
-    n_symbols = F.size(regex_tokens(text_col)) - F.size(
-        F.regexp_extract_all(t, F.lit("[a-zA-Z]+|[0-9]+"), F.lit(0))
+    # count-identical to size(regex_tokens) - size(alnum runs): the
+    # TOKEN_REGEX symbol alternative is exactly this single-char class,
+    # so one extraction replaces two full-token array materializations
+    # on the per-document hot path
+    n_symbols = F.size(
+        F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9\\s]"), F.lit(0))
     )
     nw = F.greatest(n_words, F.lit(1)).cast("double")
     mean_wl = sum_word_len.cast("double") / nw
@@ -643,10 +647,9 @@ def heuristic_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ends_terminal = last_char.isin(".", "!", "?", '"')
     has_brace = t.contains("{")
     has_lorem = F.lower(t).contains("lorem ipsum")
-    sum_word_len = F.aggregate(
-        F.transform(w, F.length), F.lit(0), lambda acc, x: acc + x
-    )
-    mean_wl = sum_word_len.cast("double") / nw
+    # the ONE mean-word-length definition — a local copy could silently
+    # desync this rule gate from quality_score (and their oracles)
+    mean_wl = _quality_parts(text_col)["mean_word_len"]
     n_hash = F.size(F.regexp_extract_all(t, F.lit("#"), F.lit(0)))
     n_ellipsis = F.size(F.regexp_extract_all(t, F.lit("\\.\\.\\."), F.lit(0)))
     sym_ratio = (n_hash + n_ellipsis).cast("double") / nw

@@ -160,7 +160,11 @@ def windowed_uv(
         )
         return (
             dedup.groupBy("w", *keys)
-            .agg(F.count(F.lit(1)).alias("uv"))
+            # count(user_col), not count(1): a NULL user survives dedup
+            # as its own group row, but COUNT DISTINCT semantics (the
+            # approx path and the batch countDistinct twin) never count
+            # NULL as a user — the two modes must agree
+            .agg(F.count(F.col(user_col)).alias("uv"))
             .select(F.col("w.start").alias("window_start"), *keys, "uv")
         )
     return (

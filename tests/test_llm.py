@@ -1389,3 +1389,13 @@ def test_with_quantized_rejects_foreign_q_nrm_columns(spark):
     )
     with pytest.raises(ValueError, match="not this"):
         SIM.with_quantized(emb)
+
+
+def test_frame_sample_validates_every(spark):
+    decoded = spark.createDataFrame(
+        [(1, "video", 16, 16, 90, "c" * 32)],
+        "doc_id long, modality string, width int, height int, "
+        "n_frames int, checksum string",
+    )
+    with pytest.raises(ValueError, match="every must be >= 1"):
+        MM.frame_sample(decoded, every=0)

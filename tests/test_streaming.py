@@ -920,3 +920,32 @@ def test_stateful_operators_survive_null_rows(spark, tmp_path):
     name2 = _run_to_memory(warn, "append")
     rows = spark.sql(f"SELECT * FROM {name2}").collect()
     assert {(r.key, r.warn_ms) for r in rows} == {("a", 4000)}
+
+
+def test_windowed_uv_exact_ignores_null_users(spark, tmp_path):
+    """Exact mode must agree with COUNT DISTINCT semantics (the approx
+    path and the batch twin): a NULL user_id is not a user."""
+    src = tmp_path / "uvsrc"
+    src.mkdir()
+    schema = "ts timestamp, k string, user_id long"
+    rows = [("2024-01-01 00:01:00", "k", 1),
+            ("2024-01-01 00:02:00", "k", None),
+            ("2024-01-01 00:03:00", "k", 1)]
+    spark.createDataFrame(
+        [(t, k, u) for t, k, u in rows], "ts_s string, k string, user_id long"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "k", "user_id"
+    ).coalesce(1).write.parquet(str(src / "b"))
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    from flink_project_spark.streaming.windows import windowed_uv
+
+    got = {}
+    for exact in (False, True):
+        out = windowed_uv(
+            stream, "ts", "1 hour", ["k"], exact=exact,
+            watermark="10 minutes",
+        )
+        name = _run_to_memory(out, "complete")
+        rows_out = spark.sql(f"SELECT * FROM {name}").collect()
+        got[exact] = {(r.k, r.uv) for r in rows_out}
+    assert got[True] == {("k", 1)}
+    assert got[False] == {("k", 1)}
