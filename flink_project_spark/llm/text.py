@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flink_project_spark.operators.windows import exact_rank_expr
+
 # Public, tiny per-language stopword lists (heuristic language-ID; the
 # point is the *operator shape* — swap in fastText/CLD3 off-cluster).
 STOPWORDS: dict[str, list[str]] = {
@@ -494,13 +496,10 @@ def length_profile(
         F.max("n_words").cast("long").alias("max_words"),
     ]
     for q in qs:
-        # integer-exact ceil(q*n): q quantized to micro-units so the
-        # rank never inherits a float artifact (0.1*230 is
-        # 23.000000000000004 in binary64 — float ceil picks rank 24,
-        # the documented rule says 23); both engines and the twins
-        # share this formula
-        qm = int(round(q * 1_000_000))
-        rank = F.expr(f"(({qm} * _n) + 999999) div 1000000")
+        # THE shared exact-discrete rank rule (see
+        # operators.windows.exact_rank_expr for the float artifact it
+        # avoids); both engines and the twins share this formula
+        rank = exact_rank_expr(q, "_n")
         aggs.append(
             F.max(F.when(F.col("_rn") == rank, F.col("n_words")))
             .cast("long")

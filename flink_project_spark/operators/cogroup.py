@@ -56,12 +56,23 @@ def cogroup_counts(
     (ShuJuStatSecond.java:68-73): two partial-aggregated counts and one
     full-outer join — no Python, no per-key state, keys missing from a
     side count 0.
+
+    The join is NULL-SAFE (eqNullSafe + key coalesce): groupBy puts all
+    NULL-key rows of a side into ONE group, and `cogroup_apply`'s
+    pandas cogroup pairs the two sides' NULL groups together — a plain
+    equality join would emit two half-rows for a NULL key and the two
+    coGroup forms would disagree (the equivalence the test pins).
     """
     lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias(left_name))
     rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias(right_name))
-    return (
-        lc.join(rc, keys, "full_outer")
-        .fillna(0, [left_name, right_name])
+    cond = None
+    for k in keys:
+        c = lc[k].eqNullSafe(rc[k])
+        cond = c if cond is None else cond & c
+    return lc.join(rc, cond, "full_outer").select(
+        *[F.coalesce(lc[k], rc[k]).alias(k) for k in keys],
+        F.coalesce(F.col(left_name), F.lit(0)).alias(left_name),
+        F.coalesce(F.col(right_name), F.lit(0)).alias(right_name),
     )
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_project_spark.operators.windows import global_rank
+from flink_project_spark.operators.windows import exact_rank_expr, global_rank
 
 
 def key_skew_profile(
@@ -37,6 +37,12 @@ def key_skew_profile(
     single task. Output is a single row — safe to collect/broadcast
     into a planning step.
     """
+    clashes = {"_cnt", "_rk", "_nk"} & set(df.columns)
+    if clashes:
+        raise ValueError(
+            f"input column(s) {sorted(clashes)} collide with the "
+            "profiler's working columns; rename them first"
+        )
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_cnt"))
     ranked = global_rank(
         counts, [F.col("_cnt").asc(), F.col(key_col).asc()], rank_col="_rk"
@@ -46,29 +52,41 @@ def key_skew_profile(
     # separate counts.agg() would re-scan and re-aggregate the full
     # profiled input a second time
     scalar = F.broadcast(ranked.agg(F.max("_rk").alias("_nk")))
+    names = ["n_keys", "n_rows", "max_group"]
     aggs = [
         F.max("_nk").cast("long").alias("n_keys"),
         F.sum("_cnt").cast("long").alias("n_rows"),
         F.max("_cnt").cast("long").alias("max_group"),
     ]
     for q in qs:
-        # integer-exact ceil(q*n) via micro-quantized q — shared rule
-        # with llm.text.length_profile (see its comment for the float
-        # artifact this avoids)
-        qm = int(round(q * 1_000_000))
-        rank = F.expr(f"(({qm} * _nk) + 999999) div 1000000")
+        # THE shared exact-discrete rank rule (same helper as
+        # llm.text.length_profile)
+        rank = exact_rank_expr(q, "_nk")
+        name = f"p{int(round(q * 100))}_group"
+        names.append(name)
         aggs.append(
             F.max(F.when(F.col("_rk") == rank, F.col("_cnt")))
             .cast("long")
-            .alias(f"p{int(round(q * 100))}_group")
+            .alias(name)
         )
+    # COALESCE to a zero profile on empty input: the crossJoin with the
+    # 1-row scalar leaves zero rows, and the no-groupBy agg would emit
+    # one all-NULL row — a planning step comparing top1_share_pct or
+    # n_rows must read zeros, not NULLs (try_divide: 0-row n_rows is 0)
+    zero = F.lit(0).cast("long")
     return (
         ranked.crossJoin(scalar)
         .agg(*aggs)
+        .select(*[F.coalesce(F.col(c), zero).alias(c) for c in names])
         .withColumn(
             "top1_share_pct",
-            F.col("max_group").cast("double")
-            / F.col("n_rows").cast("double")
-            * 100.0,
+            F.coalesce(
+                F.try_divide(
+                    F.col("max_group").cast("double"),
+                    F.col("n_rows").cast("double"),
+                )
+                * 100.0,
+                F.lit(0.0),
+            ),
         )
     )

@@ -51,6 +51,17 @@ def salted_join(
     as the plain join, `salt`× better balance on hot keys; `small`
     shuffles `salt`× its (small) size. Row-for-row equivalent to
     `big.join(small, on, how)` (pinned by test).
+
+    The salt is DETERMINISTIC (xxhash64 of the input partition id +
+    the row's hashable columns, optionally mixed with `seed`), never
+    F.rand(): a rand-derived JOIN KEY changes on partial stage
+    recomputation after an executor loss — recomputed big-side rows
+    would route to reducers that already committed (dropped rows) or
+    re-run ones (duplicates), breaking exactly-once on exactly the
+    large jobs the operator targets. Identical rows in one input
+    partition share a salt; the partition id spreads a hot key's rows
+    because they span many input partitions (the same construction as
+    `setops.top_k_per_group_salted`).
     """
     if how not in ("inner", "left"):
         raise ValueError(
@@ -66,8 +77,17 @@ def salted_join(
             "working column; rename it first (it would be silently "
             "overwritten and dropped)"
         )
-    rand = F.rand(seed) if seed is not None else F.rand()
-    b = big.withColumn(_SALT, (rand * salt).cast("int"))
+    # xxhash64 rejects map columns; hash the rest (falls back to the
+    # partition id alone for a frame of only maps)
+    hashable = [F.col(c) for c, t in big.dtypes if not t.startswith("map")]
+    seed_cols = [F.lit(seed)] if seed is not None else []
+    b = big.withColumn(
+        _SALT,
+        F.pmod(
+            F.xxhash64(*seed_cols, F.spark_partition_id(), *hashable),
+            F.lit(salt),
+        ).cast("int"),
+    )
     s = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

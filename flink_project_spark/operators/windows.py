@@ -301,6 +301,18 @@ def session_counts(
     )
 
 
+def exact_rank_expr(q: float, n_col: str):
+    """ceil(q * n) as INTEGER-EXACT arithmetic: q quantized to
+    micro-units so the rank never inherits a float artifact (0.1*230
+    is 23.000000000000004 in binary64 — float ceil picks rank 24, the
+    documented rule says 23). THE shared exact-discrete-quantile rank
+    rule — `llm.text.length_profile`, `operators.profiling.
+    key_skew_profile`, and their DuckDB oracles all use this exact
+    formula; a change here moves them together."""
+    qm = int(round(q * 1_000_000))
+    return F.expr(f"(({qm} * {n_col}) + 999999) div 1000000")
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list,

@@ -125,3 +125,22 @@ def test_range_join_rejects_bucket_column_collision(spark):
     ranges = spark.createDataFrame([(1, 0.0, 10.0)], "rid long, lo double, hi double")
     with _pytest.raises(ValueError, match="_bucket"):
         range_join_bucketed(facts, ranges, "v", "lo", "hi", 10.0)
+
+
+def test_key_skew_profile_empty_input_zero_profile(spark):
+    """An empty slice profiles as zeros, not an all-NULL row that a
+    planning comparison would choke on; working-column collisions are
+    rejected up front."""
+    from flink_project_spark.operators.profiling import key_skew_profile
+
+    df = spark.createDataFrame([], "k string, v int")
+    row = key_skew_profile(df, "k").collect()[0]
+    assert (row.n_keys, row.n_rows, row.max_group) == (0, 0, 0)
+    assert row.top1_share_pct == 0.0
+    assert all(
+        getattr(row, f) == 0 for f in row.asDict() if f.endswith("_group")
+    )
+    bad = spark.createDataFrame([(1, 2)], "_cnt long, v long")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="collide"):
+        key_skew_profile(bad, "_cnt")

@@ -225,3 +225,21 @@ def test_read_jsonl_schema_and_corrupt_modes(spark, tmp_path):
     # gz through the codec chain
     z = read_jsonl(spark, str(gz), schema).collect()
     assert [(r["doc_id"], r["text"]) for r in z] == [(9, "zipped")]
+
+
+def test_cogroup_counts_null_keys_pair_up(spark):
+    """A NULL key groups as ONE key on both sides (matching the pandas
+    cogroup twin) — a plain equality join would emit two half-rows."""
+    from flink_project_spark.operators.cogroup import cogroup_counts
+
+    left = spark.createDataFrame(
+        [(None, 1), (None, 2), (None, 3), ("k", 1)], "g string, v int"
+    )
+    right = spark.createDataFrame(
+        [(None, 9), (None, 8), ("k", 9), ("only_r", 1)], "g string, v int"
+    )
+    got = {
+        r.g: (r.left_cnt, r.right_cnt)
+        for r in cogroup_counts(left, right, ["g"]).collect()
+    }
+    assert got == {None: (3, 2), "k": (1, 1), "only_r": (0, 1)}
