@@ -2109,7 +2109,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT scene_id, channel, score,
                  CAST(SUM(label) AS BIGINT) AS p_s,
                  CAST(SUM(1 - label) AS BIGINT) AS n_s
-          FROM stacked GROUP BY scene_id, channel, score
+          FROM stacked WHERE score IS NOT NULL
+          GROUP BY scene_id, channel, score
         ), with_cneg AS (
           SELECT *, COALESCE(SUM(n_s) OVER (
                    PARTITION BY scene_id, channel ORDER BY score
@@ -2131,7 +2132,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT scene_id, user_id, score,
                  CAST(SUM(label) AS BIGINT) AS p_s,
                  CAST(SUM(1 - label) AS BIGINT) AS n_s
-          FROM valid_actions GROUP BY scene_id, user_id, score
+          FROM valid_actions WHERE score IS NOT NULL
+          GROUP BY scene_id, user_id, score
         ), with_cneg AS (
           SELECT *, COALESCE(SUM(n_s) OVER (
                    PARTITION BY scene_id, user_id ORDER BY score

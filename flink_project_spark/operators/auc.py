@@ -28,7 +28,7 @@ exchange carries one row per (scene, channel, score).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -65,8 +65,17 @@ def auc(
     Returns (keys..., positives, negatives, auc) with auc NULL when a
     group has no positives or no negatives (the reference's undefined
     branch, AucCalcVersion5.java:422-427).
+
+    Rows with a NULL score are EXCLUDED up front: an unrankable row has
+    no place in a rank statistic, and leaving it in would make the
+    result engine-dependent (Spark windows sort NULLS FIRST, SQL
+    oracles NULLS LAST — the cneg accumulation would diverge the moment
+    a NULL score appears, e.g. from `effective_score` on a '-2'-model
+    row with no recall_score). The oracles apply the identical filter.
     """
-    per_score = _per_score_counts(df, keys, score_col, label_col)
+    per_score = _per_score_counts(
+        df.filter(F.col(score_col).isNotNull()), keys, score_col, label_col
+    )
     w = (
         Window.partitionBy(*keys)
         .orderBy(F.col(score_col).asc())
@@ -140,10 +149,18 @@ def uauc(
         )
     else:
         weights = df.groupBy(*keys, user_col).agg(F.count(F.lit(1)).alias("w"))
-    j = (
-        per_user.filter(F.col("auc").isNotNull())
-        .join(weights, on=[*keys, user_col], how="left")
-        .withColumn("w", F.coalesce(F.col("w"), F.lit(0)))
+    # null-safe weight join: groupBy keeps NULL-key groups (and auc()
+    # emits them), but a plain equality join would never match them —
+    # every user in a NULL-key group would get w=0 and the group would
+    # silently vanish from uauc while auc() reports it
+    pu = per_user.filter(F.col("auc").isNotNull()).alias("_pu")
+    wt = weights.alias("_wt")
+    cond = None
+    for k in [*keys, user_col]:
+        c = F.col(f"_pu.{k}").eqNullSafe(F.col(f"_wt.{k}"))
+        cond = c if cond is None else cond & c
+    j = pu.join(wt, cond, "left").select(
+        "_pu.*", F.coalesce(F.col("_wt.w"), F.lit(0)).alias("w")
     )
     scaled = j.withColumn(
         "auc_scaled", F.floor(F.col("auc") * F.lit(1e9) + F.lit(0.5))
@@ -177,9 +194,13 @@ def label_dedup_anti_join(
     shows: DataFrame, clicks: DataFrame, keys: list[str]
 ) -> DataFrame:
     """J8: shows not already clicked — the one SQL string in the whole
-    reference repo is a NOT IN subquery (AucCalcVersion5.java:261-264)
-    that Calcite/Catalyst both rewrite to an anti join; we declare the
-    anti join directly.
+    reference repo is a NOT IN subquery (AucCalcVersion5.java:261-264);
+    we declare the anti join directly. Deviation, deliberately: NOT IN
+    has null-collapse semantics (a single NULL click key makes the
+    predicate NULL for EVERY show — zero rows survive), which is a SQL
+    footgun, not the query's intent; the anti join (= NOT EXISTS, the
+    oracle's form) treats NULL keys as matching nothing and keeps the
+    non-matching shows.
     """
     return shows.join(clicks, on=keys, how="left_anti")
 

@@ -34,12 +34,12 @@ def uv_sketches(
     `uv_estimate` (double-backed bigint estimate for direct reads).
     This is the "write side": run it per ingest partition and persist.
     """
+    # single aggregation, estimate derived FROM the sketch column —
+    # stating two hll_sketch_agg calls would hinge the one-pass plan on
+    # Catalyst's semantic-equality dedup instead of saying it directly
     return df.groupBy(*part_cols).agg(
-        F.hll_sketch_agg(id_col, F.lit(lg_k)).alias("uv_sketch"),
-        F.hll_sketch_estimate(
-            F.hll_sketch_agg(id_col, F.lit(lg_k))
-        ).alias("uv_estimate"),
-    )
+        F.hll_sketch_agg(id_col, F.lit(lg_k)).alias("uv_sketch")
+    ).withColumn("uv_estimate", F.hll_sketch_estimate("uv_sketch"))
 
 
 def uv_rollup(
@@ -50,7 +50,9 @@ def uv_rollup(
     """Re-aggregate persisted sketches to a coarser grain by union —
     bytes shuffled = (#groups x sketch size), never the id stream.
 
-    Output: rollup_cols + `uv_estimate` (bigint).
+    Output: rollup_cols + `uv_sketch` (the merged sketch — kept so
+    rollups CHAIN: a month grain unions 4-5 persisted week sketches
+    instead of re-unioning every daily one) + `uv_estimate`.
     """
     grouped = (
         sketches.groupBy(*rollup_cols)
@@ -58,7 +60,5 @@ def uv_rollup(
         else sketches.groupBy()
     )
     return grouped.agg(
-        F.hll_sketch_estimate(
-            F.hll_union_agg(sketch_col, F.lit(True))
-        ).alias("uv_estimate")
-    )
+        F.hll_union_agg(sketch_col, F.lit(True)).alias("uv_sketch")
+    ).withColumn("uv_estimate", F.hll_sketch_estimate("uv_sketch"))

@@ -55,6 +55,14 @@ def interval_join_stream(
     """
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must have distinct names")
+    if how not in ("inner", "leftOuter", "left_outer", "left"):
+        # the projection keeps the LEFT side's key columns and strips
+        # the right's — an unmatched rightOuter/fullOuter row would
+        # come out with NULL keys, its identity unrecoverable
+        raise ValueError(
+            f"interval_join_stream supports how='inner'|'leftOuter', "
+            f"got {how!r}"
+        )
     lw = left.withWatermark(left_ts, delay).alias("l")
     rw = right.withWatermark(right_ts, delay).alias("r")
     conds: list[Column] = [

@@ -64,3 +64,27 @@ def test_auc_one_sided_group_is_null(spark):
     )
     got = A.auc(df, ["k"]).collect()[0]
     assert got.auc is None and got.positives == 2 and got.negatives == 0
+
+
+def test_auc_null_scores_excluded_and_uauc_null_keys_kept(spark):
+    """NULL scores are excluded from the rank statistic (engines sort
+    NULLs in opposite directions — keeping them would make AUC
+    engine-dependent), and a NULL key group survives into uauc via the
+    null-safe weight join instead of silently vanishing."""
+    from flink_project_spark.operators.auc import auc, uauc
+
+    rows = [
+        # group "g": one NULL score alongside real ones
+        ("g", "u1", 0.9, 1), ("g", "u1", 0.1, 0), ("g", "u1", None, 0),
+        # NULL group key: auc defined for its user
+        (None, "u2", 0.8, 1), (None, "u2", 0.2, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, user_id string, score double, label int"
+    )
+    got = {r.k: (r.positives, r.negatives, r.auc) for r in auc(df, ["k"]).collect()}
+    assert got["g"] == (1, 1, 1.0)  # the NULL-score negative is excluded
+    assert got[None] == (1, 1, 1.0)
+    u = {r.k: (r.users, r.uauc) for r in uauc(df, ["k"]).collect()}
+    assert u[None] == (1, 1.0)  # null-key group kept, weight joined
+    assert u["g"][0] == 1
