@@ -132,7 +132,11 @@ def windowed_uv(
     # (dedup keys must survive until their window closes or reappearing
     # users double-count); the approx path honors the caller's bound —
     # inflating it there would both admit ~window-duration-late rows and
-    # delay append-mode emission by a full window for no benefit
+    # delay append-mode emission by a full window for no benefit.
+    # DOCUMENTED trade-off: exact mode therefore admits rows up to
+    # ~duration late where approx mode drops them past `watermark` —
+    # the two modes can differ on heavily-late input by construction,
+    # not only by the estimator's error
     wm = with_watermark(
         stream,
         ts_col,
