@@ -76,6 +76,23 @@ def auc(
     per_score = _per_score_counts(
         df.filter(F.col(score_col).isNotNull()), keys, score_col, label_col
     )
+    return auc_from_counts(per_score, keys, score_col)
+
+
+def auc_from_counts(
+    per_score: DataFrame,
+    keys: list[str],
+    score_col: str = "score",
+) -> DataFrame:
+    """The AUC tail over a PRE-AGGREGATED per-(keys, score) counts table
+    with columns ``p_s``/``n_s`` (positives/negatives at that score).
+
+    Split out so the AUC family can share ONE persisted counts
+    intermediate (the per-(scene, channel, user, score) table serves
+    both `auc` — counts re-summed to the coarser grain — and `uauc` —
+    counts already at grain), instead of each query re-scanning and
+    re-aggregating the impression log. Input must already exclude
+    NULL-score rows (see `auc`)."""
     w = (
         Window.partitionBy(*keys)
         .orderBy(F.col(score_col).asc())
@@ -149,6 +166,42 @@ def uauc(
         )
     else:
         weights = df.groupBy(*keys, user_col).agg(F.count(F.lit(1)).alias("w"))
+    return _weighted_user_mean(per_user, weights, keys, user_col)
+
+
+def uauc_from_counts(
+    counts: DataFrame,
+    keys: list[str],
+    user_col: str = "user_id",
+    score_col: str = "score",
+    weight_col: str = "w_s",
+) -> DataFrame:
+    """UAUC over a PRE-AGGREGATED per-(keys, user, score) counts table
+    with ``p_s``/``n_s`` (label counts at that score, NULL-score rows
+    INCLUDED) and ``weight_col`` (weight-event count at that score —
+    e.g. 'show' rows). The counts are already at the per-user AUC's
+    exact grain, so the only remaining shuffles are the per-user window
+    and the final per-group mean; NULL-score rows contribute weight but
+    are excluded from the rank statistic, matching `uauc` on raw rows."""
+    per_user = auc_from_counts(
+        counts.filter(F.col(score_col).isNotNull()),
+        [*keys, user_col],
+        score_col,
+    )
+    weights = counts.groupBy(*keys, user_col).agg(
+        F.sum(weight_col).alias("w")
+    )
+    return _weighted_user_mean(per_user, weights, keys, user_col)
+
+
+def _weighted_user_mean(
+    per_user: DataFrame,
+    weights: DataFrame,
+    keys: list[str],
+    user_col: str,
+) -> DataFrame:
+    """The impression-weighted-mean tail shared by `uauc` and
+    `uauc_from_counts` (ref: AucCalcVersion5.java:432-489)."""
     # null-safe weight join: groupBy keeps NULL-key groups (and auc()
     # emits them), but a plain equality join would never match them —
     # every user in a NULL-key group would get w=0 and the group would

@@ -615,10 +615,21 @@ def kafka_sink_frame(
     sink's routing column (and excluded from the default payload, like
     `partition`/`headers`) instead of being folded into the JSON value
     and lost — per-row topic routing is part of the sink contract this
-    builder exists to satisfy.
+    builder exists to satisfy. An explicit ``topic`` argument alongside
+    an existing `topic` column is REJECTED (the column's data would be
+    silently discarded — neither routed nor in the payload); callers
+    choose one: drop the column, list it in ``value_cols`` to keep it
+    in the payload, or omit the argument to route by it.
     """
     routing = [c for c in ("topic", "partition", "headers") if c in df.columns]
     value_cols = value_cols or [c for c in df.columns if c not in routing]
+    if topic and "topic" in df.columns and "topic" not in value_cols:
+        raise ValueError(
+            "explicit topic= conflicts with the frame's 'topic' column "
+            "(its data would be silently dropped): drop the column, "
+            "include 'topic' in value_cols to keep it in the payload, "
+            "or omit topic= to route per-row by the column"
+        )
     cols = [F.to_json(F.struct(*value_cols)).cast("binary").alias("value")]
     if key_col:
         cols.insert(0, F.col(key_col).cast("string").cast("binary").alias("key"))

@@ -67,6 +67,71 @@ def streaming_exact_dedup(
     )
 
 
+def _list_store_layouts(
+    spark, store_dir: str
+) -> tuple[bool, list[str]]:
+    """Classify the signature store's on-disk layouts: returns
+    ``(has_batch_dirs, root_parquet_files)`` for a store that may mix
+    ``batch=N`` partitions (current format) with flat root-level
+    parquet files (pre-r3 legacy).
+
+    Fast path: the Hadoop FileSystem API via py4j — works for any
+    scheme (local, HDFS, s3a) under a classic session. Under Spark
+    Connect the py4j internals (``spark._jvm`` / ``spark._jsc``) don't
+    exist, so the fallback lists file PATHS through the `binaryFile`
+    data source (path-only projection — file contents are pruned, the
+    job is a listing): same result, any scheme, Connect-safe. A
+    missing store dir returns empty on both paths; any OTHER read
+    failure raises — never silently admit a batch against an unread
+    store."""
+    try:
+        jvm = spark._jvm
+        jsc = spark._jsc
+        if jvm is None or jsc is None:  # pragma: no cover — Connect
+            raise AttributeError("classic py4j gateway unavailable")
+        jpath = jvm.org.apache.hadoop.fs.Path(store_dir)
+        fs = jpath.getFileSystem(jsc.hadoopConfiguration())  # noqa: SLF001
+        if not fs.exists(jpath):
+            return False, []
+        root_files, has_batch_dirs = [], False
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if st.isFile() and name.endswith(".parquet"):
+                root_files.append(st.getPath().toString())
+            elif st.isDirectory() and name.startswith("batch="):
+                has_batch_dirs = True
+        return has_batch_dirs, root_files
+    except AttributeError:
+        # Spark Connect: no py4j gateway. binaryFile lists paths
+        # engine-side; selecting only `path` prunes the content column.
+        from pyspark.sql.utils import AnalysisException
+
+        try:
+            paths = [
+                r.path
+                for r in spark.read.format("binaryFile")
+                .option("recursiveFileLookup", "true")
+                .option("pathGlobFilter", "*.parquet")
+                .load(store_dir)
+                .select("path")
+                .collect()
+            ]
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return False, []
+            raise
+        prefix = store_dir.rstrip("/") + "/"
+        root_files, has_batch_dirs = [], False
+        for p in paths:
+            rel = p.split(prefix, 1)[1] if prefix in p else p
+            if rel.startswith("batch="):
+                has_batch_dirs = True
+            elif "/" not in rel:
+                root_files.append(p)
+        return has_batch_dirs, root_files
+
+
 def _next_store_batch_id(store_dir: str) -> int:
     """Sequential batch id for DIRECT (non-foreachBatch) callers: one
     past the highest ``batch=N`` subdirectory. Local filesystem only —
@@ -162,33 +227,21 @@ def near_dup_dedup_batch(
         # the first post-upgrade batch write would make every legacy
         # signature vanish from matching with no error — so the two
         # layouts are read explicitly and matched separately. Listing
-        # goes through the Hadoop FileSystem API (works for any scheme
-        # the store lives on — local, HDFS, s3a — unlike a local glob),
-        # and store EXISTENCE is checked explicitly instead of
+        # is delegated to `_list_store_layouts` (Hadoop FS API under a
+        # classic session, Connect-safe binaryFile path listing
+        # otherwise); store EXISTENCE is checked explicitly instead of
         # swallowing AnalysisException, so a real read failure (schema
         # corruption, permissions) raises instead of silently admitting
         # the whole batch. The dual read lasts only as long as the flat
         # files exist: once every legacy arrival is past the horizon,
         # operators should delete the root-level files (they can no
         # longer match) and the store is single-layout again.
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(store_dir)
-        fs = jpath.getFileSystem(
-            spark._jsc.hadoopConfiguration()  # noqa: SLF001 — py4j FS
-        )
+        has_batch_dirs, root_files = _list_store_layouts(spark, store_dir)
         modern = legacy_rows = None
-        if fs.exists(jpath):
-            root_files, has_batch_dirs = [], False
-            for st in fs.listStatus(jpath):
-                name = st.getPath().getName()
-                if st.isFile() and name.endswith(".parquet"):
-                    root_files.append(st.getPath().toString())
-                elif st.isDirectory() and name.startswith("batch="):
-                    has_batch_dirs = True
-            if has_batch_dirs:
-                modern = spark.read.parquet(store_dir)
-            if root_files:
-                legacy_rows = spark.read.parquet(*root_files)
+        if has_batch_dirs:
+            modern = spark.read.parquet(store_dir)
+        if root_files:
+            legacy_rows = spark.read.parquet(*root_files)
         cutoff = None
         null_ts_docs = 0
         if modern is not None or legacy_rows is not None:

@@ -47,19 +47,20 @@ def funnel_batch(
     batch's step-relevant events as the ``batch=<id>`` store partition
     (overwrite — replay-idempotent), then return the exact
     `funnel_times` over the whole accumulated store."""
-    from pyspark.sql.utils import AnalysisException
-
     rel = batch.filter(F.col(type_col).isin(list(steps))).select(
         user_col, type_col, ts_col
     )
     rel.write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
     spark = batch.sparkSession
-    try:
-        all_events = spark.read.parquet(store_dir).select(
-            user_col, type_col, ts_col
-        )
-    except AnalysisException:  # store dir vanished — this batch only
-        all_events = rel
+    # The batch partition was just written above, so the store dir is
+    # guaranteed to exist — a read failure here can only signal a real
+    # defect (schema conflict, corruption, permissions) and must RAISE
+    # rather than silently degrade to this-batch-only output, which
+    # would break the complete-output contract (same hardening as
+    # streaming.dedup.near_dup_dedup_batch's store path).
+    all_events = spark.read.parquet(store_dir).select(
+        user_col, type_col, ts_col
+    )
     return funnel_times(
         all_events,
         steps,
@@ -89,8 +90,6 @@ def retention_batch(
     order (a late first-period event re-anchors its user's cohort on
     the next emission). Same ``batch=<id>`` overwrite layout as
     `funnel_batch` — replay-idempotent."""
-    from pyspark.sql.utils import AnalysisException
-
     from flink_project_spark.operators.funnel import cohort_retention
 
     bucket = F.date_trunc(period, F.col(ts_col)).cast("date")
@@ -99,10 +98,9 @@ def retention_batch(
     ).distinct()
     rel.write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
     spark = batch.sparkSession
-    try:
-        pairs = spark.read.parquet(store_dir).select("u", "p")
-    except AnalysisException:
-        pairs = rel
+    # Store dir just written — exists by construction; real read
+    # failures raise (see funnel_batch).
+    pairs = spark.read.parquet(store_dir).select("u", "p")
     # buckets are already period-truncated dates, so feeding them back
     # through cohort_retention's date_trunc is idempotent
     return cohort_retention(

@@ -179,9 +179,21 @@ def test_kafka_sink_frame_per_row_topic_passthrough(spark):
     import json
     payload = json.loads(bytes(rows[0].value).decode())
     assert "topic" not in payload  # routing metadata, not record field
-    # explicit topic= still overrides a per-row column
-    over = WR.kafka_sink_frame(df, topic="fixed").select("topic").distinct()
-    assert [r.topic for r in over.collect()] == ["fixed"]
+    # explicit topic= alongside a topic COLUMN is rejected — the
+    # column's data would be silently discarded (neither routed nor in
+    # the payload)
+    import pytest
+
+    with pytest.raises(ValueError, match="topic"):
+        WR.kafka_sink_frame(df, topic="fixed")
+    # ...unless the caller keeps the column in the payload explicitly
+    over = WR.kafka_sink_frame(
+        df, topic="fixed", value_cols=["topic", "user_id", "score"]
+    )
+    rows2 = over.collect()
+    assert {r.topic for r in rows2} == {"fixed"}
+    payloads = {json.loads(bytes(r.value).decode())["topic"] for r in rows2}
+    assert payloads == {"t_a", "t_b"}  # column data preserved in payload
 
 
 def test_kv_lists_null_elements_and_ttl_clear(spark, tmp_path):
