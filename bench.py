@@ -76,20 +76,34 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
         _cache.clear(spark)
 
-    # Independent chains (item-CF vs documents vs embeddings) are
-    # materialized concurrently — Spark's scheduler interleaves the
-    # jobs, and small-data stages leave most cores idle otherwise. The
-    # dict is ordered dependency-first WITHIN a chain, so each thread
-    # walks one chain sequentially; the cluster analog is a pipeline
-    # DAG materializing independent stages in parallel.
+    # Independent chains are materialized concurrently — Spark's
+    # scheduler interleaves the jobs, and small-data stages leave most
+    # cores idle otherwise. Two phases: the BASE tables everything else
+    # derives from (parsed logs, spread corpora) build first in
+    # parallel, then every derived chain fans out at once — round 4's
+    # three-chain split serialized ~12 doc-derived tables behind one
+    # thread and the build was 2-3x the longest single chain. The dict
+    # is ordered dependency-first WITHIN a chain, so each thread walks
+    # one chain sequentially; the cluster analog is a pipeline DAG
+    # materializing independent stages in parallel.
+    _BASES = ("valid_actions", "recall_log", "docs", "emb")
+
     def _chain(name: str) -> str:
-        # dependency-respecting grouping: valid_actions heads the
-        # item-CF chain; the spread docs table heads the dedup chains
-        if name == "valid_actions" or name.startswith("itemcf"):
+        if name.startswith("itemcf"):
             return "itemcf"
-        if name.startswith("emb"):
-            return "emb"
-        return "docs"
+        if name.startswith("auc"):
+            return "auc"
+        if name.startswith("neardups"):
+            return "neardup"
+        if name == "dupspans":
+            return "spans"
+        if name in ("simhash", "quality"):
+            return "text"
+        if name in ("doc_word_tf", "rarity_vocab", "fingerprints"):
+            return "tf"
+        if name.startswith("payload"):
+            return "media"
+        return "rest"
 
     def _run_chain(dfs: list) -> None:
         for df in dfs:
@@ -102,10 +116,14 @@ def main() -> None:
     def _build_once() -> float:
         t0 = time.perf_counter()
         inter = entrymod.shared_intermediates(spark, sf_dir)
+        bases = [[df] for name, df in inter.items() if name in _BASES]
         chains: dict[str, list] = {}
         for name, df in inter.items():
-            chains.setdefault(_chain(name), []).append(df)
-        with ThreadPoolExecutor(max_workers=len(chains)) as pool:
+            if name not in _BASES:
+                chains.setdefault(_chain(name), []).append(df)
+        with ThreadPoolExecutor(max_workers=max(len(bases), 1)) as pool:
+            list(pool.map(_run_chain, bases))
+        with ThreadPoolExecutor(max_workers=max(len(chains), 1)) as pool:
             list(pool.map(_run_chain, chains.values()))
         return round(time.perf_counter() - t0, 4)
 

@@ -130,11 +130,27 @@ def _doc_word_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared (doc_id, word, tf) intermediate — word_counts, top_terms,
     and rarity_stats all derive from it; persisted once per (session,
     sf) like the corpus itself (cluster analog: land it as parquet
-    after the first tokenization pass)."""
+    after the first tokenization pass). Persisted REPARTITIONED by
+    doc_id: top_terms' per-doc window and rarity's per-doc aggregation
+    then run exchange-free off the cached table (word_counts' vocab
+    exchange carries map-side partials either way, so it loses
+    nothing); the cluster analog is bucketing the landed table by
+    doc_id."""
     return CACHE.materialize(
         spark,
         f"doc_word_tf:{sf_dir}",
-        lambda: TX.doc_word_tf(_docs(spark, sf_dir)),
+        lambda: TX.doc_word_tf(_docs(spark, sf_dir)).repartition("doc_id"),
+    )
+
+
+def _rarity_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared vocabulary rollup (per-word corpus counts + grand total in
+    one pass) read twice by every rarity run — persisted so each
+    broadcast side is a cache scan, not a recompute."""
+    return CACHE.materialize(
+        spark,
+        f"rarity_vocab:{sf_dir}",
+        lambda: TX.rarity_vocab(_doc_word_tf(spark, sf_dir)),
     )
 
 
@@ -444,7 +460,10 @@ def q_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency rarity signals per document (exact-arithmetic
     unigram-model quality stage)."""
     return TX.rarity_stats(
-        _docs(spark, sf_dir), rare_max=2, tf=_doc_word_tf(spark, sf_dir)
+        _docs(spark, sf_dir),
+        rare_max=2,
+        tf=_doc_word_tf(spark, sf_dir),
+        vocab=_rarity_vocab(spark, sf_dir),
     )
 
 
@@ -628,6 +647,7 @@ def llm_shared_intermediates(
         "simhash": _simhash(spark, sf_dir),
         "quality": _quality(spark, sf_dir),
         "doc_word_tf": _doc_word_tf(spark, sf_dir),
+        "rarity_vocab": _rarity_vocab(spark, sf_dir),
         "dupspans": _dup_spans(spark, sf_dir),
         "fingerprints": _fingerprints(spark, sf_dir),
         "payload_simhash": _payload_simhash(spark, sf_dir),

@@ -390,11 +390,28 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return base.select("doc_id", "content_md5").join(mins, "doc_id")
 
 
+def rarity_vocab(tf: DataFrame) -> DataFrame:
+    """Vocabulary rollup for `rarity_stats`: per-word corpus counts AND
+    the grand total in ONE aggregation pass (grouping sets — the Expand
+    doubles map-side rows but the exchange stays O(vocabulary + 1)).
+    Output: (w, cnt, g) where g=0 rows are per-word counts and the
+    single g=1 row is total_words; `F.grouping` distinguishes the
+    rollup's total row from a genuine NULL token. A pipeline running
+    rarity repeatedly should persist this table once (it is tiny) and
+    pass it via ``vocab=``."""
+    return (
+        tf.select(F.col("word").alias("w"), F.col("tf").alias("k"))
+        .rollup("w")
+        .agg(F.sum("k").alias("cnt"), F.grouping("w").alias("g"))
+    )
+
+
 def rarity_stats(
     docs: DataFrame,
     rare_max: int = 2,
     text_col: str = "text",
     tf: DataFrame | None = None,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-frequency rarity signals per document — the unigram-model
     stage of quality filtering (a doc made of globally-rare tokens is
@@ -424,11 +441,20 @@ def rarity_stats(
     dw = tf.select(
         "doc_id", F.col("word").alias("w"), F.col("tf").alias("k")
     )
-    cnts = dw.groupBy("w").agg(F.sum("k").alias("cnt"))
-    # total_words straight off the (persisted) tf table: summing cnt
-    # over `cnts` is the same exact int64 value but would re-evaluate
-    # the groupBy(w) subtree a second time just for this scalar
-    total = dw.agg(F.sum("k").alias("total_words"))
+    # one rollup pass yields the per-word counts AND the corpus total —
+    # round 4 ran a groupBy(w) plus a separate whole-table sum (two
+    # jobs) for the same two numbers
+    if vocab is None:
+        vocab = rarity_vocab(tf)
+    cnts = vocab.filter(F.col("g") == 0).select("w", "cnt")
+    total = vocab.filter(F.col("g") == 1).select(
+        F.col("cnt").alias("total_words")
+    )
+    # join strategy deliberately unhinted: locally AQE broadcasts the
+    # tiny vocab side and the per-doc aggregation then runs exchange-
+    # free off a doc_id-partitioned tf; at 100 TB (unbounded token
+    # vocabulary) it degrades to the sort-merge-on-word shape this
+    # docstring argues for
     per = (
         dw.join(cnts, "w")
         .groupBy("doc_id")
