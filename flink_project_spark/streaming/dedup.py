@@ -464,6 +464,237 @@ def near_dup_foreach_batch(
     return _process
 
 
+def semantic_dedup_batch(
+    batch: DataFrame,
+    store_dir: str,
+    dim: int,
+    vec_col: str = "embedding",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    threshold: float = 0.85,
+    n_planes: int = 8,
+    horizon_seconds: int = 600,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """One micro-batch of streaming SEMANTIC dedup — the embedding twin
+    of `near_dup_dedup_batch`, reusing the batch engine's sign-LSH
+    bucketing (`llm.similarity.signlsh_bucket`) as the candidate filter
+    and exact integer-quantized cosine as the verify.
+
+    Admission rule (identical to the SimHash twin): a document survives
+    iff no (ts, id)-EARLIER arrival within ``horizon_seconds`` has
+    cosine >= ``threshold`` with it. "Earlier arrival" counts dropped
+    documents too — the store records EVERY real-ts arrival's
+    (doc_id, q, nrm, bucket, _ts) — so re-slicing an in-order stream
+    into different micro-batches yields the identical admitted set, and
+    an out-of-order arrival can only over-admit (no retraction). NULL
+    event times order LAST (they lose to any stored real-ts match, no
+    horizon applies to them) and are excluded from the store. Compared
+    to the batch `llm.similarity.semantic_dedup` (SemDeDup: CC over the
+    full pair graph, canonical survivor), this is the ingest-time
+    greedy form: first arrival survives; chains can over-remove, and
+    the CC compaction pass is the principled cross-horizon batch twin.
+
+    Scale: state is (id, n_planes-bit bucket, quantized vector) per
+    in-horizon arrival — one ``batch=<id>`` OVERWRITE partition per
+    micro-batch (replay-idempotent, same layout/contract as the SimHash
+    store); matching is always a bucket equi-join, never batch x store.
+    Unlike the SimHash store there is no legacy flat layout to honor —
+    the store is single-layout by construction.
+    """
+    from flink_project_spark.cache import persist_tracked
+    from flink_project_spark.llm.similarity import (
+        _dot,
+        cosine_from_parts,
+        signlsh_bucket,
+        with_quantized,
+    )
+
+    if batch.isEmpty():
+        return batch.limit(0)
+    if batch_id is None:
+        batch_id = _next_store_batch_id(store_dir)
+    spark = batch.sparkSession
+    sim = persist_tracked(
+        with_quantized(
+            batch.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(vec_col),
+                F.col(ts_col).alias("_ts"),
+            ),
+            vec_col,
+        ).select(
+            "doc_id",
+            "q",
+            "nrm",
+            signlsh_bucket("q", dim, n_planes).alias("bucket"),
+            "_ts",
+        ),
+        label=f"semdedup_sim_b{batch_id}",
+    )
+    try:
+        has_batch_dirs, _ = _list_store_layouts(spark, store_dir)
+        store = None
+        cutoff = None
+        if has_batch_dirs:
+            store = spark.read.parquet(store_dir)
+            if "batch" in store.columns:
+                # replay safety: never match this batch's own (failed,
+                # half-written) prior attempt
+                store = store.filter(F.col("batch") != F.lit(batch_id))
+            cutoff = batch.agg(
+                F.max(F.col(ts_col))
+                - F.expr(f"INTERVAL {horizon_seconds} SECONDS")
+            ).collect()[0][0]
+        new_side = sim.select(
+            "doc_id",
+            F.col("q").alias("qn"),
+            F.col("nrm").alias("nn"),
+            "bucket",
+            F.col("_ts").alias("ts_new"),
+        )
+
+        def _cos_ok(qa, na, qb, nb):
+            return cosine_from_parts(_dot(qa, qb), na, nb) >= F.lit(
+                threshold
+            )
+
+        store_hits = None
+        if store is not None:
+            ref = store.select(
+                F.col("doc_id").alias("ref_doc_id"),
+                F.col("q").alias("qr"),
+                F.col("nrm").alias("nr"),
+                "bucket",
+                F.col("_ts").alias("ts_ref"),
+            )
+            # One bucket equi-join serves both admission passes: the
+            # horizon cutoff applies only to real-ts new docs (a
+            # null-ts doc orders last and loses to ANY stored
+            # arrival, so batch composition cannot change its fate);
+            # the store holds only real-ts rows, so ts_ref is never
+            # NULL and the earlier-rule reduces to the shown filter.
+            horizon_ok = (
+                F.lit(True)
+                if cutoff is None
+                else F.col("ts_new").isNull()
+                | (F.col("ts_ref") >= F.lit(cutoff))
+            )
+            store_hits = (
+                new_side.join(ref, "bucket")
+                .filter(horizon_ok)
+                .filter(
+                    _cos_ok(
+                        F.col("qn"), F.col("nn"), F.col("qr"), F.col("nr")
+                    )
+                )
+                .filter(
+                    F.col("ts_new").isNull()
+                    | (F.col("ts_ref") < F.col("ts_new"))
+                    | (
+                        (F.col("ts_ref") == F.col("ts_new"))
+                        & (F.col("ref_doc_id") < F.col("doc_id"))
+                    )
+                )
+                .select("doc_id")
+            )
+        # in-batch pairs: same orientation rule as the SimHash twin —
+        # the (ts, id)-later side of any qualifying pair is dropped;
+        # NULL ts orders last (id-tie-broken among nulls)
+        other = sim.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("q").alias("qb"),
+            F.col("nrm").alias("nb"),
+            "bucket",
+            F.col("_ts").alias("ts_b"),
+        )
+        a_earlier = (
+            F.when(
+                F.col("ts_new").isNull() & F.col("ts_b").isNull(),
+                F.col("doc_id") < F.col("doc_b"),
+            )
+            .when(F.col("ts_new").isNull(), F.lit(False))
+            .when(F.col("ts_b").isNull(), F.lit(True))
+            .otherwise(
+                (F.col("ts_new") < F.col("ts_b"))
+                | (
+                    (F.col("ts_new") == F.col("ts_b"))
+                    & (F.col("doc_id") < F.col("doc_b"))
+                )
+            )
+        )
+        in_batch = (
+            new_side.join(other, "bucket")
+            .filter(F.col("doc_id") < F.col("doc_b"))
+            .filter(
+                _cos_ok(F.col("qn"), F.col("nn"), F.col("qb"), F.col("nb"))
+            )
+            .select(
+                F.when(a_earlier, F.col("doc_b"))
+                .otherwise(F.col("doc_id"))
+                .alias("doc_id")
+            )
+            .distinct()
+        )
+        losers = (
+            in_batch
+            if store_hits is None
+            else in_batch.union(store_hits).distinct()
+        )
+        survivors = persist_tracked(
+            batch.join(
+                losers.select(F.col("doc_id").alias(id_col)),
+                id_col,
+                "left_anti",
+            ),
+            label=f"semdedup_survivors_b{batch_id}",
+        )
+        # materialize BEFORE the store write (see near_dup_dedup_batch)
+        survivors.count()
+        sim.filter(F.col("_ts").isNotNull()).select(
+            "doc_id", "q", "nrm", "bucket", "_ts"
+        ).write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
+        return survivors
+    finally:
+        sim.unpersist()
+
+
+def semantic_dedup_foreach_batch(
+    store_dir: str,
+    sink,
+    dim: int,
+    vec_col: str = "embedding",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    threshold: float = 0.85,
+    n_planes: int = 8,
+    horizon_seconds: int = 600,
+):
+    """foreachBatch wiring for `semantic_dedup_batch` — same contract
+    as `near_dup_foreach_batch` (checkpoint batch_id keys the store
+    partition; replay idempotent for a per-batch_id-idempotent sink)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        survivors = semantic_dedup_batch(
+            batch_df,
+            store_dir,
+            dim,
+            vec_col=vec_col,
+            ts_col=ts_col,
+            id_col=id_col,
+            threshold=threshold,
+            n_planes=n_planes,
+            horizon_seconds=horizon_seconds,
+            batch_id=batch_id,
+        )
+        try:
+            sink(survivors, batch_id)
+        finally:
+            survivors.unpersist()
+
+    return _process
+
+
 def curation_foreach_batch(
     store_dir: str,
     sink,

@@ -991,3 +991,141 @@ def test_store_layout_listing_connect_fallback(spark, tmp_path):
     missing = str(tmp_path / "nope")
     assert _list_store_layouts(spark, missing) == (False, [])
     assert _list_store_layouts(_ConnectLike(spark), missing) == (False, [])
+
+
+def _mk_semantic_corpus(spark):
+    """9 dim-8 vectors: three clusters of near-identical vectors
+    (cosine ~0.999 within, < 0.5 across) with staggered timestamps."""
+    import math
+
+    bases = [
+        [1.0, 0.1, 0.0, 0.2, 0.0, 0.1, 0.0, 0.0],
+        [0.0, 1.0, 0.2, 0.0, 0.1, 0.0, 0.2, 0.0],
+        [0.1, 0.0, 0.0, 1.0, 0.0, 0.2, 0.0, 1.0],
+    ]
+    rows = []
+    for i in range(9):
+        b = bases[i % 3]
+        eps = 0.001 * (i // 3)
+        vec = [x + eps for x in b]
+        ts = f"2024-01-01 00:0{i}:00"
+        rows.append((i, ts, vec))
+    df = spark.createDataFrame(
+        rows, "doc_id long, ts_s string, embedding array<double>"
+    ).select(
+        "doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "embedding"
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    # greedy twin: arrival order, EVERY prior arrival (kept or dropped)
+    # within the horizon blocks a cosine>=threshold newcomer
+    twin = set()
+    for i, (_, _, v) in enumerate(rows):
+        blocked = any(cos(v, rows[j][2]) >= 0.9 for j in range(i))
+        if not blocked:
+            twin.add(i)
+    return df, rows, twin
+
+
+def test_streaming_semantic_dedup_matches_twin_and_slicing(spark, tmp_path):
+    """Embedding twin of the SimHash ingest dedup: the single-batch
+    run, the 3-micro-batch streamed run, and the greedy arrival-order
+    twin all admit the same set (n_planes=0 = one global bucket, so
+    candidate recall is exact and the equivalence is exact)."""
+    from flink_project_spark.streaming.dedup import (
+        semantic_dedup_batch,
+        semantic_dedup_foreach_batch,
+    )
+
+    df, rows, twin = _mk_semantic_corpus(spark)
+    assert twin == {0, 1, 2}  # later cluster members are near-dups
+
+    store1 = str(tmp_path / "store1")
+    got_single = {
+        r["doc_id"]
+        for r in semantic_dedup_batch(
+            df, store1, dim=8, threshold=0.9, n_planes=0,
+            horizon_seconds=3600,
+        ).collect()
+    }
+    assert got_single == twin
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    store2 = str(tmp_path / "store2")
+
+    def sink(survivors, batch_id):
+        survivors.write.mode("append").parquet(out)
+
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, embedding array<double>"
+    ).parquet(str(src))
+    q = (
+        stream.writeStream.foreachBatch(
+            semantic_dedup_foreach_batch(
+                store2, sink, dim=8, threshold=0.9, n_planes=0,
+                horizon_seconds=3600,
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    slices = [
+        df.filter(F.col("doc_id") <= 2),
+        df.filter((F.col("doc_id") > 2) & (F.col("doc_id") <= 5)),
+        df.filter(F.col("doc_id") > 5),
+    ]
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    q.stop()
+    got_stream = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got_stream == twin
+
+
+def test_streaming_semantic_dedup_replay_and_horizon(spark, tmp_path):
+    """Replaying a batch_id overwrites its own store partition and
+    admits the identical set; a semantic dup past the horizon is
+    re-admitted (bounded-state contract, same as the SimHash twin)."""
+    from flink_project_spark.streaming.dedup import semantic_dedup_batch
+
+    store = str(tmp_path / "store")
+    vec = [1.0, 0.5, 0.0, 0.2, 0.1, 0.0, 0.3, 0.0]
+
+    def mk(did, ts):
+        return spark.createDataFrame(
+            [(did, ts, vec)], "doc_id long, ts_s string, embedding array<double>"
+        ).select(
+            "doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "embedding"
+        )
+
+    kw = dict(dim=8, threshold=0.9, n_planes=4, horizon_seconds=600)
+    b1 = semantic_dedup_batch(mk(1, "2024-01-01 00:00:00"), store, batch_id=0, **kw)
+    assert {r["doc_id"] for r in b1.collect()} == {1}
+    # replay of batch 0: same result, store still one partition
+    b1r = semantic_dedup_batch(mk(1, "2024-01-01 00:00:00"), store, batch_id=0, **kw)
+    assert {r["doc_id"] for r in b1r.collect()} == {1}
+    import os
+
+    assert [d for d in sorted(os.listdir(store)) if d.startswith("batch=")] == [
+        "batch=0"
+    ]
+    # in-horizon semantic dup: dropped
+    b2 = semantic_dedup_batch(mk(2, "2024-01-01 00:05:00"), store, batch_id=1, **kw)
+    assert b2.count() == 0
+    # past the horizon: re-admitted
+    b3 = semantic_dedup_batch(mk(3, "2024-01-01 02:00:00"), store, batch_id=2, **kw)
+    assert {r["doc_id"] for r in b3.collect()} == {3}
+    # NULL event time orders last: loses to the stored arrival even
+    # though every real-ts row is past ITS horizon-from-null viewpoint
+    nullb = spark.createDataFrame(
+        [(4, None, vec)], "doc_id long, ts_s string, embedding array<double>"
+    ).select(
+        "doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "embedding"
+    )
+    b4 = semantic_dedup_batch(nullb, store, batch_id=3, **kw)
+    assert b4.count() == 0
