@@ -1,17 +1,20 @@
-"""Scale-factor sweep: time a set of headline queries at sf0.001 /
-sf0.01 / sf0.1 and report per-query scaling exponents.
+"""Scale-factor sweep: time a set of headline queries across SF points
+and report per-query scaling exponents.
 
 Evidence for the 100 TB story: a query whose cost is dominated by
 per-row work and bounded shuffles should scale ~linearly in rows
 (exponent ~1 between SFs once above the fixed per-query floor); a
 quadratic or driver-bound plan shows up as an exponent near 2. The
-fixed local-mode floor (~0.2-0.5 s/query) dominates at sf0.001, so the
-meaningful exponent is the sf0.01 -> sf0.1 step (100x fewer fixed-cost
-artifacts than real work at sf0.1).
+fixed local-mode floor (~0.2-0.5 s/query) dominates at small SFs, so
+the meaningful exponent is the LAST decade step — by default
+sf0.1 -> sf1, where sf1 is generated in-repo by
+``tools/gen_scale_data.py`` (same construction as the driver data,
+checked distribution-by-distribution; see that module's docstring).
 
-Usage: python tools/scaling_probe.py [q1,q2,...] [runs]
-Prints one JSON line: {"queries": {name: {"sf0.001": s, ...,
-"exp_01_to_1": e}}, "rows": {...}}.
+Usage: python tools/scaling_probe.py [q1,q2,... | heavy | default] [runs]
+Env: SPARK_GRAFT_SCALING_DIRS=dir1,dir2,... overrides the SF points.
+Prints one JSON line: {"queries": {name: {"sf0.01": s, ...,
+"exp_last_step": e}}, "lineitem_rows": {...}, "sf_dirs": [...]}.
 """
 
 from __future__ import annotations
@@ -22,9 +25,44 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
-SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+def _default_dirs() -> list[str]:
+    dirs = [
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ]
+    sf1 = os.path.join(_REPO, ".scaling", "sf1")
+    if os.path.isdir(sf1):
+        dirs.append(sf1)
+    return dirs
+
+
+# the ~15 heaviest plans (round-4 verdict ask #1): dedup/CC kernels,
+# repetition/winnow text analysis, span dedup, the funnel/retention
+# pair, item-CF, decontamination, plus pricing_summary as the
+# scan+agg control
+HEAVY = [
+    "emb_semantic_dedup",
+    "doc_dedup_cc",
+    "doc_repetition",
+    "doc_winnow",
+    "doc_simhash_neardups",
+    "doc_minhash_neardups",
+    "doc_dup_spans",
+    "doc_dup_span_strip",
+    "emb_near_dups",
+    "event_funnel",
+    "event_retention",
+    "itemcf_cosine",
+    "itemcf_decay_gated",
+    "doc_rarity",
+    "doc_decontaminate_overlap",
+    "media_near_dups",
+    "pricing_summary",
+]
 
 DEFAULT = [
     "pricing_summary",
@@ -41,8 +79,17 @@ DEFAULT = [
 
 
 def main() -> None:
-    names = sys.argv[1].split(",") if len(sys.argv) > 1 else DEFAULT
+    arg = sys.argv[1] if len(sys.argv) > 1 else "heavy"
+    if arg == "heavy":
+        names = HEAVY
+    elif arg == "default":
+        names = DEFAULT
+    else:
+        names = arg.split(",")
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+
+    env_dirs = os.environ.get("SPARK_GRAFT_SCALING_DIRS")
+    sf_dirs = env_dirs.split(",") if env_dirs else _default_dirs()
 
     from flink_project_spark import cache as CACHE
     from flink_project_spark.session import get_spark
@@ -54,14 +101,12 @@ def main() -> None:
     out: dict[str, dict[str, float]] = {}
     rowcounts: dict[str, int] = {}
 
-    for sf_dir in SFS:
-        sf_key = os.path.basename(sf_dir)
+    for sf_dir in sf_dirs:
+        sf_key = os.path.basename(sf_dir.rstrip("/"))
         # pre-build the shared intermediates so per-query times measure
         # the query at each SF (mirrors bench.py's cache-build phase)
         for df in E.shared_intermediates(spark, sf_dir).values():
             df.write.format("noop").mode("overwrite").save()
-        import pyspark.sql.functions as F  # noqa: F401
-
         rowcounts[sf_key] = (
             spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
         )
@@ -76,11 +121,21 @@ def main() -> None:
             out.setdefault(name, {})[sf_key] = round(best, 4)
         CACHE.clear(spark)
 
-    for name, d in out.items():
-        lo, hi = d.get("sf0.01"), d.get("sf0.1")
-        if lo and hi and lo > 0:
-            d["exp_01_to_1"] = round(math.log(hi / lo) / math.log(10), 3)
-    print(json.dumps({"queries": out, "lineitem_rows": rowcounts}))
+    keys = [os.path.basename(d.rstrip("/")) for d in sf_dirs]
+    if len(keys) >= 2:
+        lo_k, hi_k = keys[-2], keys[-1]
+        ratio = rowcounts[hi_k] / rowcounts[lo_k]
+        for name, d in out.items():
+            lo, hi = d.get(lo_k), d.get(hi_k)
+            if lo and hi and lo > 0:
+                d["exp_last_step"] = round(
+                    math.log(hi / lo) / math.log(ratio), 3
+                )
+    print(
+        json.dumps(
+            {"queries": out, "lineitem_rows": rowcounts, "sf_dirs": sf_dirs}
+        )
+    )
 
 
 if __name__ == "__main__":
