@@ -349,3 +349,58 @@ def test_q20_stats_join_back_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
     assert plan.count("lineitem.parquet") <= 2, plan
+
+
+def test_auc_runs_exchange_free_off_partitioned_counts(spark):
+    """q_auc's entire compute — cneg window + rank-sum aggregate — must
+    run WITHOUT any exchange above the cached per-score counts table:
+    auc_perscore persists repartitioned on the window keys
+    (scene_id, channel), so EnsureRequirements plans no shuffle. A
+    regression here (e.g. dropping the repartition from the builder)
+    silently triples the query's stage count. The counts caches must
+    be MATERIALIZED first: until then the AQE-cached subtree reports
+    unknown partitioning and EnsureRequirements conservatively plans an
+    exchange that the real (post-build) plan does not have."""
+    import __spark_entry__ as E
+
+    E._auc_counts(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    E._auc_perscore(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    plan = _plan(spark, "auc")
+    head = plan.split("InMemoryTableScan", 1)[0]
+    assert "Window" in plan, plan
+    assert "Exchange" not in head, head
+
+
+def test_uauc_single_small_exchange_off_partitioned_counts(spark):
+    """q_uauc off the (scene_id, user_id)-partitioned counts cache:
+    the per-user window, per-user weight sum, and AUC-vs-weights join
+    run exchange-free; the ONLY data-moving exchange above the cache is
+    the final per-scene mean (one row per (scene, user) in flight),
+    plus the broadcast of the weight side. Cache materialized first —
+    see the auc test."""
+    import __spark_entry__ as E
+
+    E._auc_counts(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    plan = _plan(spark, "uauc")
+    head = plan.split("InMemoryTableScan", 1)[0]
+    non_broadcast = head.count("Exchange") - head.count("BroadcastExchange")
+    assert non_broadcast == 1, head
+
+
+def test_rarity_vocab_is_single_pass_rollup(spark):
+    """rarity's vocabulary counts and corpus total come from ONE
+    grouping-sets pass (Expand + one aggregation exchange over the tf
+    subtree) — not a groupBy plus a separate whole-table sum."""
+    from flink_project_spark.llm import text as TX
+    from flink_project_spark.llm.contract import _docs
+
+    tf = TX.doc_word_tf(_docs(spark, SF_DIR))
+    tf_plan = tf._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        TX.rarity_vocab(tf)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in plan, plan
+    extra = plan.count("Exchange") - tf_plan.count("Exchange")
+    assert extra == 1, (extra, plan)

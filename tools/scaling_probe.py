@@ -100,13 +100,20 @@ def main() -> None:
     q = E.queries()
     out: dict[str, dict[str, float]] = {}
     rowcounts: dict[str, int] = {}
+    build_s: dict[str, float] = {}
 
     for sf_dir in sf_dirs:
         sf_key = os.path.basename(sf_dir.rstrip("/"))
         # pre-build the shared intermediates so per-query times measure
-        # the query at each SF (mirrors bench.py's cache-build phase)
+        # the query at each SF (mirrors bench.py's cache-build phase).
+        # The build time is REPORTED per SF: several probed queries
+        # (itemcf_cosine, doc_minhash_neardups) serve straight off a
+        # persisted intermediate, so their chain's real scaling lives
+        # here, not in the per-query number.
+        t0 = time.perf_counter()
         for df in E.shared_intermediates(spark, sf_dir).values():
             df.write.format("noop").mode("overwrite").save()
+        build_s[sf_key] = round(time.perf_counter() - t0, 2)
         rowcounts[sf_key] = (
             spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
         )
@@ -133,7 +140,12 @@ def main() -> None:
                 )
     print(
         json.dumps(
-            {"queries": out, "lineitem_rows": rowcounts, "sf_dirs": sf_dirs}
+            {
+                "queries": out,
+                "cache_build_seconds": build_s,
+                "lineitem_rows": rowcounts,
+                "sf_dirs": sf_dirs,
+            }
         )
     )
 
