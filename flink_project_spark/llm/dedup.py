@@ -565,11 +565,17 @@ def connected_components(
     Isolated nodes never appear in `pairs` and are their own component;
     callers union them in (see `dedup_keep_canonical`).
     """
+    # lazy checkpoints throughout the loop: the per-round convergence
+    # signature (the .collect() below) is the action that materializes
+    # each round's edge set, so an EAGER checkpoint would add a second
+    # full job per round purely to materialize what the signature scan
+    # is about to read anyway — lineage truncation is identical either
+    # way once the signature job has run
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sig: tuple[int, int] | None = None
     for _ in range(max_rounds):
@@ -610,7 +616,7 @@ def connected_components(
             .select("e.u", "e.v")
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # 31-bit-reduced hashes: the sum stays far below 2^63 under
         # ANSI overflow checking for any realistic edge count
@@ -789,12 +795,19 @@ def simhash_near_dups(
         "band", "slice", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # hamming filter BEFORE the distinct: a pair agreeing on k slices
+    # appears k times, but hamming is a pure function of the pair, so
+    # filtering first is result-identical while the distinct's exchange
+    # carries only true near-dups (~matches) instead of every
+    # slice-agreeing pair (~n²/2^width per band — the banded join's
+    # raw output, which must be produced but should die in the same
+    # codegen stage, never shuffle)
     return (
         a.join(b, ["band", "slice"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(hamming <= max_hamming)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 
