@@ -447,8 +447,14 @@ def rarity_stats(
     if vocab is None:
         vocab = rarity_vocab(tf)
     cnts = vocab.filter(F.col("g") == 0).select("w", "cnt")
-    total = vocab.filter(F.col("g") == 1).select(
-        F.col("cnt").alias("total_words")
+    # aggregate instead of a bare filter/select: a rollup over an EMPTY
+    # tf emits zero rows (no grand-total row), and a 0-row total side
+    # would annihilate the crossJoin below — dropping the documented
+    # zero-token doc rows. agg() always yields exactly one row (the
+    # identity sum over the single g=1 row otherwise).
+    total = (
+        vocab.filter(F.col("g") == 1)
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("total_words"))
     )
     # join strategy deliberately unhinted: locally AQE broadcasts the
     # tiny vocab side and the per-doc aggregation then runs exchange-

@@ -68,6 +68,22 @@ def get_spark(
         # harness hands us its own session)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # opt-in live-Kafka tier (tests/test_kafka_live.py): pull the
+    # spark-sql-kafka connector from Maven when the environment has a
+    # broker + network. "1"/"true" selects the coordinate matching the
+    # running pyspark; any other value is used as the coordinate
+    # verbatim. Only effective on the FIRST session in the process
+    # (jars are a JVM-level option), like driver memory above.
+    kafka_pkg = os.environ.get("SPARK_GRAFT_KAFKA_PACKAGE")
+    if kafka_pkg:
+        if kafka_pkg.lower() in ("1", "true", "yes"):
+            import pyspark
+
+            kafka_pkg = (
+                "org.apache.spark:spark-sql-kafka-0-10_2.13:"
+                + pyspark.__version__
+            )
+        builder = builder.config("spark.jars.packages", kafka_pkg)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -121,10 +121,39 @@ def _list_store_layouts(
             if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
                 return False, []
             raise
-        prefix = store_dir.rstrip("/") + "/"
+        # Classify by the path RELATIVE to the store dir, normalizing
+        # scheme spelling first: the engine reports URIs in Hadoop's
+        # canonical form ('file:/data/store/...'), which need not
+        # contain the caller's spelling ('file:///data/store', a
+        # relative path, ...) as a substring — a raw prefix match would
+        # classify nothing and silently admit the batch against a
+        # populated store.
+        import os
+        import posixpath
+
+        def _norm(u: str) -> str:
+            if "://" in u:
+                u = u.split("://", 1)[1]
+            elif u.startswith("file:"):
+                u = u[len("file:"):]
+            if not u.startswith("/"):
+                u = posixpath.join(os.getcwd(), u)
+            return posixpath.normpath(u)
+
+        base = _norm(store_dir)
         root_files, has_batch_dirs = [], False
         for p in paths:
-            rel = p.split(prefix, 1)[1] if prefix in p else p
+            np = _norm(p)
+            rel = posixpath.relpath(np, base)
+            if rel.startswith(".."):
+                # load(store_dir) only returns paths under the store —
+                # an unrelatable path means the normalization above is
+                # wrong for this filesystem; raise rather than silently
+                # misclassify (= admit dups against an unread store)
+                raise ValueError(
+                    f"store path {p!r} does not resolve under "
+                    f"{store_dir!r} (normalized {np!r} vs {base!r})"
+                )
             if rel.startswith("batch="):
                 has_batch_dirs = True
             elif "/" not in rel:
@@ -150,6 +179,34 @@ def _next_store_batch_id(store_dir: str) -> int:
     return max(existing) + 1 if existing else 0
 
 
+def _arrival_earlier(ts_a, id_a, ts_b, id_b):
+    """(ts, id) arrival-order predicate shared by BOTH streaming dedup
+    twins (SimHash and semantic): true iff arrival a precedes arrival
+    b. NULL event times order LAST — they lose to any real timestamp
+    and tie-break by id among themselves. ONE definition so the twins'
+    orientation rules can never drift apart."""
+    return (
+        F.when(ts_a.isNull() & ts_b.isNull(), id_a < id_b)
+        .when(ts_a.isNull(), F.lit(False))
+        .when(ts_b.isNull(), F.lit(True))
+        .otherwise((ts_a < ts_b) | ((ts_a == ts_b) & (id_a < id_b)))
+    )
+
+
+def _within_horizon(ts_a, ts_b, horizon_seconds: int):
+    """True iff the PAIR qualifies under the per-document horizon: two
+    real timestamps must lie within ``horizon_seconds`` of each other;
+    a NULL timestamp on either side always qualifies (a null-ts doc
+    orders last and loses to ANY arrival — no horizon applies, so its
+    admission can never depend on which batch it lands in)."""
+    h = F.expr(f"INTERVAL {int(horizon_seconds)} SECONDS")
+    return (
+        ts_a.isNull()
+        | ts_b.isNull()
+        | (F.greatest(ts_a, ts_b) <= F.least(ts_a, ts_b) + h)
+    )
+
+
 def near_dup_dedup_batch(
     batch: DataFrame,
     store_dir: str,
@@ -166,10 +223,14 @@ def near_dup_dedup_batch(
 
     Admission rule — deterministic, and batch-boundary-independent for
     streams delivered in (ts, id) order: a document survives iff no
-    (ts, id)-EARLIER arrival within the horizon has a simhash within
-    ``max_hamming``. "Earlier arrival" counts dropped documents too:
-    the signature store records EVERY arrival with its (ts, id), and
-    the store match applies the same orientation rule as in-batch
+    (ts, id)-EARLIER arrival within the horizon (the earlier arrival's
+    ts is >= this doc's ts - ``horizon_seconds`` — a PER-DOCUMENT
+    window, evaluated identically for in-batch pairs and store
+    matches, never a per-batch cutoff that would make admission depend
+    on which batchmates happen to set the batch maximum) has a simhash
+    within ``max_hamming``. "Earlier arrival" counts dropped documents
+    too: the signature store records EVERY arrival with its (ts, id),
+    and the store match applies the same orientation rule as in-batch
     pairs — so re-slicing an in-order stream into different
     micro-batches yields the identical admitted set (the property the
     replay test pins). An OUT-OF-ORDER arrival (its (ts, id) precedes
@@ -245,15 +306,20 @@ def near_dup_dedup_batch(
         cutoff = None
         null_ts_docs = 0
         if modern is not None or legacy_rows is not None:
+            # cutoff is ONLY a conservative store pre-filter (matching
+            # volume, not semantics): derived from the batch MINIMUM
+            # real ts, no stored arrival older than it can be inside
+            # any real-ts batch row's per-document horizon. The exact
+            # per-row horizon is enforced in _match_side's filter.
             cutoff, null_ts_docs = batch.agg(
-                F.max(F.col(ts_col))
+                F.min(F.col(ts_col))
                 - F.expr(f"INTERVAL {horizon_seconds} SECONDS"),
                 F.count_if(F.col(ts_col).isNull()),
             ).collect()[0]
         # Null-ts new docs lose to ANY stored real-ts arrival — no
         # horizon applies to them (null orders last), so their matching
         # must run against the UNFILTERED store; otherwise admission of
-        # a null-ts doc would depend on the cutoff its batchmates
+        # a null-ts doc would depend on the pre-filter its batchmates
         # happen to set (batch-composition dependence). They match in a
         # dedicated pass against the pre-cutoff frames (skipped when
         # the batch has no null-ts docs); when cutoff is None the whole
@@ -263,8 +329,9 @@ def near_dup_dedup_batch(
         def _match_side(ref, tie_rule):
             """doc_ids of new docs losing to a stored arrival in `ref`
             ((doc_id, simhash, _ts) rows): drop the new doc only if the
-            stored one is (ts, id)-earlier — the cross-batch half of
-            the in-batch pair rule."""
+            stored one is (ts, id)-earlier AND within the new doc's
+            per-document horizon — the cross-batch half of the in-batch
+            pair rule, same predicates."""
             hits = simhash_cross_matches(
                 sim,
                 ref.select("doc_id", "simhash"),
@@ -289,6 +356,11 @@ def near_dup_dedup_batch(
                     F.col("ts_new").isNull()  # null ts orders last
                     | (F.col("ts_ref") < F.col("ts_new"))
                     | ((F.col("ts_ref") == F.col("ts_new")) & tie_rule)
+                )
+                .filter(
+                    _within_horizon(
+                        F.col("ts_ref"), F.col("ts_new"), horizon_seconds
+                    )
                 )
                 .select("doc_id")
             )
@@ -322,22 +394,20 @@ def near_dup_dedup_batch(
         if legacy_rows is not None:
             # legacy rows carry no doc_id: synthesize the signature
             # VALUE as the identity so the banded match and ts
-            # join-back still work. The horizon filter runs BEFORE the
-            # per-signature min so an in-horizon re-arrival is not
-            # hidden behind an aged-out earlier arrival of the same
-            # signature. Ties resolve in the store's favor (the row
-            # arrived in an earlier batch; no id tie-break exists
-            # across id spaces), and legacy matching is a separate
-            # pass so a synthesized id can never collide with a real
-            # modern doc_id in the join-back.
+            # join-back still work. EVERY legacy arrival row is kept
+            # (no per-signature min reduction): under the per-document
+            # horizon an aged-out older arrival must not hide an
+            # in-horizon re-arrival of the same signature — the
+            # join-back fans out to each arrival and the horizon
+            # filter picks the qualifying ones. Ties resolve in the
+            # store's favor (the row arrived in an earlier batch; no
+            # id tie-break exists across id spaces), and legacy
+            # matching is a separate pass so a synthesized id can
+            # never collide with a real modern doc_id in the join-back.
             lr = legacy_rows
             if cutoff is not None:
                 lr = lr.filter(F.col("_ts") >= F.lit(cutoff))
-            lr = (
-                lr.groupBy("simhash")
-                .agg(F.min("_ts").alias("_ts"))
-                .withColumn("doc_id", F.col("simhash"))
-            )
+            lr = lr.withColumn("doc_id", F.col("simhash"))
             hit_parts.append(_match_side(lr, F.lit(True)))
             if cutoff is not None and null_ts_docs:
                 hit_parts.append(
@@ -352,27 +422,16 @@ def near_dup_dedup_batch(
                 store_hits = store_hits.union(p)
             store_hits = store_hits.distinct()
         # in-batch: orient near-dup pairs by arrival order (ts, then
-        # id) — the later side of any pair is dropped; NULL ts orders
-        # LAST (loses to any real timestamp, id-tie-broken among nulls)
+        # id) — the later side of any pair within the per-document
+        # horizon is dropped; NULL ts orders LAST (loses to any real
+        # timestamp, id-tie-broken among nulls, horizon-exempt). Same
+        # _arrival_earlier/_within_horizon predicates as the store
+        # pass, so slicing a stream differently cannot move a pair
+        # between the two code paths with different semantics.
         pairs = simhash_near_dups(
             sim, bits=bits, bands=bands, max_hamming=max_hamming
         )
         ts_of = sim.select("doc_id", "_ts")
-        a_earlier = (
-            F.when(
-                F.col("ts_a").isNull() & F.col("ts_b").isNull(),
-                F.col("doc_a") < F.col("doc_b"),
-            )
-            .when(F.col("ts_a").isNull(), F.lit(False))
-            .when(F.col("ts_b").isNull(), F.lit(True))
-            .otherwise(
-                (F.col("ts_a") < F.col("ts_b"))
-                | (
-                    (F.col("ts_a") == F.col("ts_b"))
-                    & (F.col("doc_a") < F.col("doc_b"))
-                )
-            )
-        )
         oriented = (
             pairs.join(
                 ts_of.select(
@@ -386,8 +445,21 @@ def near_dup_dedup_batch(
                 ),
                 "doc_b",
             )
+            .filter(
+                _within_horizon(
+                    F.col("ts_a"), F.col("ts_b"), horizon_seconds
+                )
+            )
             .select(
-                F.when(a_earlier, F.col("doc_b"))
+                F.when(
+                    _arrival_earlier(
+                        F.col("ts_a"),
+                        F.col("doc_a"),
+                        F.col("ts_b"),
+                        F.col("doc_b"),
+                    ),
+                    F.col("doc_b"),
+                )
                 .otherwise(F.col("doc_a"))
                 .alias("doc_id")
             )
@@ -481,9 +553,12 @@ def semantic_dedup_batch(
     bucketing (`llm.similarity.signlsh_bucket`) as the candidate filter
     and exact integer-quantized cosine as the verify.
 
-    Admission rule (identical to the SimHash twin): a document survives
-    iff no (ts, id)-EARLIER arrival within ``horizon_seconds`` has
-    cosine >= ``threshold`` with it. "Earlier arrival" counts dropped
+    Admission rule (identical to the SimHash twin, same shared
+    predicates): a document survives iff no (ts, id)-EARLIER arrival
+    within ``horizon_seconds`` OF THAT DOCUMENT'S ts (per-document
+    horizon — in-batch pairs and store matches evaluate it
+    identically, so admission never depends on micro-batch slicing)
+    has cosine >= ``threshold`` with it. "Earlier arrival" counts dropped
     documents too — the store records EVERY real-ts arrival's
     (doc_id, q, nrm, bucket, _ts) — so re-slicing an in-order stream
     into different micro-batches yields the identical admitted set, and
@@ -542,10 +617,18 @@ def semantic_dedup_batch(
                 # replay safety: never match this batch's own (failed,
                 # half-written) prior attempt
                 store = store.filter(F.col("batch") != F.lit(batch_id))
-            cutoff = batch.agg(
-                F.max(F.col(ts_col))
-                - F.expr(f"INTERVAL {horizon_seconds} SECONDS")
-            ).collect()[0][0]
+            # conservative store PRE-FILTER only (the exact horizon is
+            # per-document, enforced in the match filter below): no
+            # stored arrival older than the batch-minimum real ts minus
+            # the horizon can qualify for any real-ts row, and null-ts
+            # rows are horizon-exempt (handled by the isNull branch of
+            # the match filter, which must therefore see the store
+            # UNFILTERED — so the pre-filter keys on ts_new being real)
+            cutoff, null_ts_docs = batch.agg(
+                F.min(F.col(ts_col))
+                - F.expr(f"INTERVAL {horizon_seconds} SECONDS"),
+                F.count_if(F.col(ts_col).isNull()),
+            ).collect()[0]
         new_side = sim.select(
             "doc_id",
             F.col("q").alias("qn"),
@@ -561,6 +644,12 @@ def semantic_dedup_batch(
 
         store_hits = None
         if store is not None:
+            # the pre-filter may drop stored arrivals only a null-ts
+            # row could lose to, so it applies only when the batch has
+            # no null-ts rows (they are horizon-exempt and must see
+            # the whole store)
+            if cutoff is not None and not null_ts_docs:
+                store = store.filter(F.col("_ts") >= F.lit(cutoff))
             ref = store.select(
                 F.col("doc_id").alias("ref_doc_id"),
                 F.col("q").alias("qr"),
@@ -569,20 +658,19 @@ def semantic_dedup_batch(
                 F.col("_ts").alias("ts_ref"),
             )
             # One bucket equi-join serves both admission passes: the
-            # horizon cutoff applies only to real-ts new docs (a
+            # per-document horizon applies only to real-ts new docs (a
             # null-ts doc orders last and loses to ANY stored
-            # arrival, so batch composition cannot change its fate);
-            # the store holds only real-ts rows, so ts_ref is never
-            # NULL and the earlier-rule reduces to the shown filter.
-            horizon_ok = (
-                F.lit(True)
-                if cutoff is None
-                else F.col("ts_new").isNull()
-                | (F.col("ts_ref") >= F.lit(cutoff))
-            )
+            # arrival); the store holds only real-ts rows, so ts_ref
+            # is never NULL and the earlier-rule reduces to the shown
+            # filter. Same _within_horizon predicate as the in-batch
+            # pass and the SimHash twin.
             store_hits = (
                 new_side.join(ref, "bucket")
-                .filter(horizon_ok)
+                .filter(
+                    _within_horizon(
+                        F.col("ts_ref"), F.col("ts_new"), horizon_seconds
+                    )
+                )
                 .filter(
                     _cos_ok(
                         F.col("qn"), F.col("nn"), F.col("qr"), F.col("nr")
@@ -598,9 +686,11 @@ def semantic_dedup_batch(
                 )
                 .select("doc_id")
             )
-        # in-batch pairs: same orientation rule as the SimHash twin —
-        # the (ts, id)-later side of any qualifying pair is dropped;
-        # NULL ts orders last (id-tie-broken among nulls)
+        # in-batch pairs: same orientation + horizon rules as the
+        # SimHash twin (shared _arrival_earlier/_within_horizon
+        # predicates) — the (ts, id)-later side of any qualifying pair
+        # within the per-document horizon is dropped; NULL ts orders
+        # last (id-tie-broken among nulls, horizon-exempt)
         other = sim.select(
             F.col("doc_id").alias("doc_b"),
             F.col("q").alias("qb"),
@@ -608,29 +698,27 @@ def semantic_dedup_batch(
             "bucket",
             F.col("_ts").alias("ts_b"),
         )
-        a_earlier = (
-            F.when(
-                F.col("ts_new").isNull() & F.col("ts_b").isNull(),
-                F.col("doc_id") < F.col("doc_b"),
-            )
-            .when(F.col("ts_new").isNull(), F.lit(False))
-            .when(F.col("ts_b").isNull(), F.lit(True))
-            .otherwise(
-                (F.col("ts_new") < F.col("ts_b"))
-                | (
-                    (F.col("ts_new") == F.col("ts_b"))
-                    & (F.col("doc_id") < F.col("doc_b"))
-                )
-            )
-        )
         in_batch = (
             new_side.join(other, "bucket")
             .filter(F.col("doc_id") < F.col("doc_b"))
             .filter(
+                _within_horizon(
+                    F.col("ts_new"), F.col("ts_b"), horizon_seconds
+                )
+            )
+            .filter(
                 _cos_ok(F.col("qn"), F.col("nn"), F.col("qb"), F.col("nb"))
             )
             .select(
-                F.when(a_earlier, F.col("doc_b"))
+                F.when(
+                    _arrival_earlier(
+                        F.col("ts_new"),
+                        F.col("doc_id"),
+                        F.col("ts_b"),
+                        F.col("doc_b"),
+                    ),
+                    F.col("doc_b"),
+                )
                 .otherwise(F.col("doc_id"))
                 .alias("doc_id")
             )

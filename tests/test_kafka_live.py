@@ -107,18 +107,27 @@ def test_kafka_produce_consume_roundtrip_and_window(spark, topic):
     assert w_got == w_want
 
 
-def test_kafka_streaming_consume_offsets(spark, topic, tmp_path):
+def test_kafka_streaming_consume_offsets(spark, tmp_path):
     """S6 streaming consumer + T14: a checkpointed stream started at
     earliest drains exactly the produced records once, and a restart
-    from the same checkpoint re-reads nothing."""
+    from the same checkpoint re-reads nothing. Produces to its OWN
+    topic so the test is self-sufficient under `-k`/single-test runs
+    (no ordering coupling with the round-trip test)."""
+    from flink_project_spark.sinks import writers as WR
     from flink_project_spark.sources import readers as RD
+
+    own_topic = f"fps_e2e_{uuid.uuid4().hex[:8]}"
+    df = _records(spark)
+    WR.write_kafka(
+        WR.kafka_sink_frame(df, topic=own_topic, key_col="scene_id"), BROKER
+    ).save()
 
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
 
     def _drain():
         stream = RD.read_kafka_stream(
-            spark, BROKER, topic, starting_offsets="earliest"
+            spark, BROKER, own_topic, starting_offsets="earliest"
         )
         q = (
             stream.selectExpr("CAST(value AS STRING) AS v")

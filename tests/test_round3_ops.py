@@ -501,6 +501,70 @@ def test_streaming_near_dup_legacy_in_horizon_rearrival(spark, tmp_path):
     assert got.count() == 0  # the 09:55 arrival is within the horizon
 
 
+def test_streaming_near_dup_per_document_horizon(spark, tmp_path):
+    """The horizon is PER DOCUMENT (earlier.ts >= doc.ts - horizon),
+    never a per-batch cutoff: (a) an in-batch near-dup pair further
+    apart than the horizon keeps BOTH docs, in one batch or sliced;
+    (b) a stored arrival within an early batchmate's own horizon still
+    drops it even when a later batchmate pushes the batch maximum far
+    past it (the old max-based cutoff admitted it); (c) admitted sets
+    are identical across slicings in both scenarios."""
+    from flink_project_spark.streaming.dedup import near_dup_dedup_batch
+
+    text = " ".join(f"t{i}" for i in range(25))
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, ts_s string, text string"
+        ).select(
+            "doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "text"
+        )
+
+    # (a) in-batch pair 1200s apart, horizon 600s: both survive...
+    pair = [(1, "2024-01-01 00:00:00", text), (2, "2024-01-01 00:20:00", text)]
+    one = near_dup_dedup_batch(
+        mk(pair), str(tmp_path / "a1"), horizon_seconds=600
+    )
+    assert {r["doc_id"] for r in one.collect()} == {1, 2}
+    # ...and slicing the same stream cannot change that
+    s2 = str(tmp_path / "a2")
+    first = near_dup_dedup_batch(mk(pair[:1]), s2, horizon_seconds=600)
+    assert {r["doc_id"] for r in first.collect()} == {1}
+    second = near_dup_dedup_batch(mk(pair[1:]), s2, horizon_seconds=600)
+    assert {r["doc_id"] for r in second.collect()} == {2}
+
+    # (b) store ref at 00:15, batch = dup X at 00:20 + unrelated Y at
+    # 00:40: X's own horizon reaches back to 00:10, so X must drop —
+    # a max-based cutoff (00:40 - 600s = 00:30) would admit it
+    s3 = str(tmp_path / "b1")
+    seeded = near_dup_dedup_batch(
+        mk([(9, "2024-01-01 00:15:00", text)]), s3, horizon_seconds=600
+    )
+    assert {r["doc_id"] for r in seeded.collect()} == {9}
+    mixed = near_dup_dedup_batch(
+        mk([(10, "2024-01-01 00:20:00", text),
+            (11, "2024-01-01 00:40:00", "completely different words here")]),
+        s3,
+        horizon_seconds=600,
+    )
+    assert {r["doc_id"] for r in mixed.collect()} == {11}
+    # (c) same stream, X sliced alone: identical outcome
+    s4 = str(tmp_path / "b2")
+    near_dup_dedup_batch(
+        mk([(9, "2024-01-01 00:15:00", text)]), s4, horizon_seconds=600
+    ).collect()
+    alone = near_dup_dedup_batch(
+        mk([(10, "2024-01-01 00:20:00", text)]), s4, horizon_seconds=600
+    )
+    assert alone.count() == 0
+    later = near_dup_dedup_batch(
+        mk([(11, "2024-01-01 00:40:00", "completely different words here")]),
+        s4,
+        horizon_seconds=600,
+    )
+    assert {r["doc_id"] for r in later.collect()} == {11}
+
+
 def test_range_join_bucketed_matches_nested_loop(spark):
     """Bucketed decomposition == brute-force BETWEEN join, including
     boundary values (exactly lo, exactly hi), overlapping ranges,

@@ -1129,3 +1129,54 @@ def test_streaming_semantic_dedup_replay_and_horizon(spark, tmp_path):
     )
     b4 = semantic_dedup_batch(nullb, store, batch_id=3, **kw)
     assert b4.count() == 0
+
+
+def test_streaming_semantic_dedup_per_document_horizon(spark, tmp_path):
+    """The semantic twin enforces the same PER-DOCUMENT horizon as the
+    SimHash twin: an in-batch dup pair further apart than the horizon
+    keeps both docs (one batch or sliced), and a stored arrival within
+    an early batchmate's own horizon drops it even when a later
+    batchmate pushes the batch maximum far past it."""
+    from flink_project_spark.streaming.dedup import semantic_dedup_batch
+
+    vec = [1.0, 0.5, 0.0, 0.2, 0.1, 0.0, 0.3, 0.0]
+    other = [0.0, 0.1, 1.0, 0.0, 0.7, 0.2, 0.0, 0.5]
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, ts_s string, embedding array<double>"
+        ).select(
+            "doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "embedding"
+        )
+
+    kw = dict(dim=8, threshold=0.9, n_planes=0, horizon_seconds=600)
+
+    # in-batch pair 1200s apart: both survive, in one batch or sliced
+    pair = [(1, "2024-01-01 00:00:00", vec), (2, "2024-01-01 00:20:00", vec)]
+    one = semantic_dedup_batch(mk(pair), str(tmp_path / "a1"), batch_id=0, **kw)
+    assert {r["doc_id"] for r in one.collect()} == {1, 2}
+    s2 = str(tmp_path / "a2")
+    assert {
+        r["doc_id"]
+        for r in semantic_dedup_batch(mk(pair[:1]), s2, batch_id=0, **kw).collect()
+    } == {1}
+    assert {
+        r["doc_id"]
+        for r in semantic_dedup_batch(mk(pair[1:]), s2, batch_id=1, **kw).collect()
+    } == {2}
+
+    # stored ref at 00:15; batch = dup at 00:20 + unrelated at 00:40:
+    # the dup's own horizon reaches 00:10, so it drops — a max-based
+    # batch cutoff (00:30) would have pruned the ref and admitted it
+    s3 = str(tmp_path / "b1")
+    semantic_dedup_batch(
+        mk([(9, "2024-01-01 00:15:00", vec)]), s3, batch_id=0, **kw
+    ).collect()
+    mixed = semantic_dedup_batch(
+        mk([(10, "2024-01-01 00:20:00", vec),
+            (11, "2024-01-01 00:40:00", other)]),
+        s3,
+        batch_id=1,
+        **kw,
+    )
+    assert {r["doc_id"] for r in mixed.collect()} == {11}

@@ -203,6 +203,25 @@ def test_rarity_keeps_zero_token_docs_with_zero_stats(spark):
         )
 
 
+def test_rarity_all_empty_corpus_keeps_every_doc(spark):
+    """Regression: the rollup-based vocab emits ZERO rows over an empty
+    tf (unlike a global agg's single NULL row), and a 0-row total side
+    would annihilate the crossJoin — every doc row vanished instead of
+    reporting the documented zeros."""
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "\t")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in TX.rarity_stats(docs).collect()}
+    assert set(got) == {0, 1, 2}
+    for r in got.values():
+        assert (r.n_words, r.sum_corpus_cnt, r.rare_frac, r.avg_rel_freq) == (
+            0,
+            0,
+            0.0,
+            0.0,
+        )
+
+
 def _random_corpus(seed: int, n_docs: int = 40):
     """Random word-soup docs: skewed vocab, lengths 0..~120 (empty and
     single-token docs guaranteed present)."""

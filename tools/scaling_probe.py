@@ -90,6 +90,13 @@ def main() -> None:
 
     env_dirs = os.environ.get("SPARK_GRAFT_SCALING_DIRS")
     sf_dirs = env_dirs.split(",") if env_dirs else _default_dirs()
+    keys0 = [os.path.basename(d.rstrip("/")) for d in sf_dirs]
+    if len(set(keys0)) != len(keys0):
+        # results are keyed by basename; a duplicate would silently
+        # overwrite one SF point's timings and then divide by log(1)
+        raise SystemExit(
+            f"SF dirs must have distinct basenames, got {keys0}"
+        )
 
     from flink_project_spark import cache as CACHE
     from flink_project_spark.session import get_spark
