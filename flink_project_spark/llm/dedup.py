@@ -769,17 +769,186 @@ def doc_simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> Data
     return simhash_from_hashes(docs, wh, bits)
 
 
+def _block_specs(bits: int, blocks: int) -> list[tuple[int, int]]:
+    """(offset, width) of each of `blocks` contiguous bit blocks
+    covering `bits`, widest blocks first (bits % blocks of them get the
+    extra bit)."""
+    base, extra = divmod(bits, blocks)
+    specs, off = [], 0
+    for i in range(blocks):
+        w = base + (1 if i < extra else 0)
+        specs.append((off, w))
+        off += w
+    return specs
+
+
+def simhash_anchor_rows(
+    sim: DataFrame, bits: int, blocks: int, max_hamming: int
+) -> DataFrame:
+    """Combination-banded (doc_id, simhash, band, slice) rows — the
+    block-permutation candidate scheme of Manku/Jain/Sarma, "Detecting
+    Near-Duplicates for Web Crawling" (WWW '07): split the signature
+    into `blocks` bit blocks; a pair within Hamming distance
+    max_hamming corrupts at most max_hamming blocks, so it agrees
+    ENTIRELY on some (blocks - max_hamming)-subset of them. Emitting
+    one row per C(blocks, anchor) subset keyed by the concatenated
+    anchor-block bits makes the equi-join on (band=subset, slice=key)
+    complete, with ~(anchor * bits/blocks)-bit keys.
+
+    Why not single-slice bands (the t=1 pigeonhole): an 8-bit slice
+    key has 256 buckets per band, so the banded self-join output grows
+    as n²/2^8 regardless of corpus — measured super-linear (exponent
+    ~2.1 over sf1→sf10, 399 s) once n >> 256. Anchors of ~bits/2 key
+    bits cut candidate volume by ~2^(key-slice) ≈ 2^8 for a combo-count
+    factor of C(6,3)/4 = 5 — ~50x net at the default, and the knob
+    scales: wider signatures at 100 TB get proportionally wider keys.
+    """
+    from itertools import combinations
+
+    # manual common-subexpression elimination: extract each block value
+    # ONCE in a projection, then assemble the C(blocks, anchor) subset
+    # keys from the block COLUMNS (2 ops per block vs re-deriving every
+    # block inside every key). Without this the explode array carries
+    # ~blocks x combos duplicated shift/mask subtrees and the stage's
+    # generated code exceeds the JIT fallback threshold — whole-stage
+    # codegen silently turns off and the downstream banded JOIN runs
+    # interpreted, ~60x slower per probed row (measured at sf1: the
+    # same join volume at 3M rows/s interpreted vs 200M rows/s
+    # codegen'd).
+    _validate_blocks(bits, blocks, max_hamming)
+    anchor = blocks - max_hamming
+    specs = _block_specs(bits, blocks)
+    with_blocks = sim.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .alias(f"_blk{i}")
+            for i, (off, w) in enumerate(specs)
+        ],
+    )
+    keys = []
+    for combo in combinations(range(blocks), anchor):
+        key = None
+        for bi in combo:
+            _, w = specs[bi]
+            v = F.col(f"_blk{bi}")
+            key = v if key is None else F.shiftleft(key, w).bitwiseOR(v)
+        keys.append(key.cast("long"))
+    return with_blocks.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*keys)).alias("band", "slice"),
+    )
+
+
+def _validate_blocks(bits: int, blocks: int, max_hamming: int) -> None:
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"blocks ({blocks}) must exceed max_hamming ({max_hamming}): "
+            "the pigeonhole guarantee needs at least one clean anchor "
+            "block, else qualifying pairs are silently missed"
+        )
+    if blocks > bits:
+        raise ValueError(f"blocks ({blocks}) must be <= bits ({bits})")
+
+
+def _first_agreeing_band(
+    sim_a, sim_b, bits: int, blocks: int, max_hamming: int
+):
+    """Index of the FIRST anchor subset on which two signatures agree —
+    row-local (both signatures are present in the joined row), so
+    keeping only rows where `band == first_agreeing_band` emits every
+    qualifying pair EXACTLY ONCE and the downstream `distinct()`
+    exchange disappears. This matters on dup-dense corpora: each true
+    near-dup pair otherwise re-enters the distinct once per agreeing
+    subset (up to C(blocks, anchor) times), and with pair volume
+    quadratic in the dup-group sizes that shuffle dominates the whole
+    operator (measured: the sf10 synthetic corpus emits ~1e8 true
+    pairs).
+
+    Evaluated as XOR -> per-block cleanliness bitmask -> ONE string
+    literal of 2^blocks chars indexed by substring (combo containment
+    resolved in PYTHON, once): ~4 bitwise ops per block plus a
+    constant-string index per candidate row, Catalyst-pushable into
+    the join condition while staying inside whole-stage codegen. The
+    naive forms — recomputing both sides' C(blocks, anchor) subset
+    keys with a 20-branch when-chain, or a 2^blocks CreateArray
+    element_at — grow the join stage's generated code past the JIT
+    fallback threshold; the whole stage silently drops to interpreted
+    expression evaluation and the join runs ~15x slower (measured at
+    sf1: 44 s vs 3 s)."""
+    from itertools import combinations
+
+    _validate_blocks(bits, blocks, max_hamming)
+    if blocks > 12:
+        raise ValueError(
+            f"blocks ({blocks}) > 12 would need a {1 << blocks}-char "
+            "lookup literal; split wider signatures into more bits per "
+            "block instead"
+        )
+    anchor = blocks - max_hamming
+    combos = list(combinations(range(blocks), anchor))
+    lut_chars = []
+    for mask in range(1 << blocks):
+        first = next(
+            (
+                j
+                for j, c in enumerate(combos)
+                if all((mask >> bi) & 1 for bi in c)
+            ),
+            None,
+        )
+        # '.' (ascii 46 -> band -19) is unreachable from a joined row:
+        # the row only exists because ITS combo agreed, so lut[mask]
+        # always names a combo; the sentinel just keeps the literal
+        # total
+        lut_chars.append("." if first is None else chr(65 + first))
+    xor = sim_a.bitwiseXOR(sim_b)
+    agree_mask = None
+    for j, (off, w) in enumerate(_block_specs(bits, blocks)):
+        clean = (
+            F.shiftright(xor, off).bitwiseAND(F.lit((1 << w) - 1)) == 0
+        )
+        bit = F.when(clean, F.lit(1 << j)).otherwise(F.lit(0))
+        agree_mask = bit if agree_mask is None else agree_mask + bit
+    return (
+        F.ascii(
+            F.substring(
+                F.lit("".join(lut_chars)),
+                (agree_mask + F.lit(1)).cast("int"),
+                F.lit(1),
+            )
+        )
+        - F.lit(65)
+    ).cast("int")
+
+
+def _auto_blocks(bands: int, max_hamming: int, bits: int) -> int:
+    """Default block count for the combination scheme: 2*max_hamming
+    blocks put ~half the signature bits in every anchor key (the
+    Manku sweet spot) while never going below the caller's legacy
+    `bands` granularity or above the bit width."""
+    return min(bits, max(bands, 2 * max_hamming, 1))
+
+
 def simhash_near_dups(
     sim: DataFrame,
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance <= max_hamming.
 
-    Pigeonhole banding: split the simhash into `bands` byte-slices; any
-    pair within `max_hamming < bands` must agree on >= 1 slice, so a
-    self-join per slice finds all such pairs without a cross product.
+    Combination banding (see `simhash_anchor_rows`): any pair within
+    `max_hamming` agrees entirely on some anchor-block subset, so a
+    self-join per subset key finds all such pairs without a cross
+    product, with far fewer bucket collisions than single-slice bands.
+    `bands` is the legacy slice-count knob: it still gates the
+    pigeonhole validation (max_hamming < bands) and floors the block
+    count; `blocks` overrides the block count directly.
     """
     if max_hamming >= bands:
         raise ValueError(
@@ -787,7 +956,8 @@ def simhash_near_dups(
             "pigeonhole guarantee needs at least one agreeing slice, else "
             "qualifying pairs are silently missed"
         )
-    banded = simhash_banded(sim, bits, bands)  # the ONE band form
+    n_blocks = blocks or _auto_blocks(bands, max_hamming, bits)
+    banded = simhash_anchor_rows(sim, bits, n_blocks, max_hamming)
     a = banded.select(
         "band", "slice", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
     )
@@ -795,43 +965,23 @@ def simhash_near_dups(
         "band", "slice", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    # hamming filter BEFORE the distinct: a pair agreeing on k slices
-    # appears k times, but hamming is a pure function of the pair, so
-    # filtering first is result-identical while the distinct's exchange
-    # carries only true near-dups (~matches) instead of every
-    # slice-agreeing pair (~n²/2^width per band — the banded join's
-    # raw output, which must be produced but should die in the same
-    # codegen stage, never shuffle)
+    # both row-local filters run INSIDE the join stage: the hamming
+    # post-filter kills false candidates, and the first-agreeing-band
+    # filter emits each qualifying pair exactly once — so there is NO
+    # pair-level distinct/exchange at all; nothing pair-shaped ever
+    # shuffles (see _first_agreeing_band for why that matters on
+    # dup-dense corpora)
     return (
         a.join(b, ["band", "slice"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(hamming <= max_hamming)
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .distinct()
-    )
-
-
-def simhash_banded(
-    sim: DataFrame, bits: int = 32, bands: int = 4
-) -> DataFrame:
-    """Explode (doc_id, simhash) into (doc_id, simhash, band, slice)
-    pigeonhole rows — the shared band form of `simhash_near_dups` and
-    `simhash_cross_matches`."""
-    width = bits // bands
-    mask = (1 << width) - 1
-    return sim.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), b * width).bitwiseAND(
-                        F.lit(mask)
-                    )
-                    for b in range(bands)
-                ]
+        .filter(
+            F.col("band")
+            == _first_agreeing_band(
+                F.col("sim_a"), F.col("sim_b"), bits, n_blocks, max_hamming
             )
-        ).alias("band", "slice"),
+        )
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
     )
 
 
@@ -842,11 +992,12 @@ def simhash_cross_matches(
     bands: int = 4,
     max_hamming: int = 3,
     keep_ref_id: bool = False,
+    blocks: int | None = None,
 ) -> DataFrame:
     """doc_ids from `new_sim` having ANY `ref_sim` signature within
     Hamming distance <= max_hamming — the cross-frame (new-vs-store)
-    twin of `simhash_near_dups`' self-join, same pigeonhole guarantee
-    (max_hamming < bands => at least one agreeing byte slice).
+    twin of `simhash_near_dups`' self-join, same combination-banding
+    completeness guarantee (see `simhash_anchor_rows`).
 
     With ``keep_ref_id`` the result is the distinct (doc_id,
     ref_doc_id) MATCH PAIRS instead of just the new-side ids — the
@@ -865,7 +1016,8 @@ def simhash_cross_matches(
             "pigeonhole guarantee needs at least one agreeing slice, else "
             "qualifying pairs are silently missed"
         )
-    a = simhash_banded(new_sim, bits, bands).select(
+    n_blocks = blocks or _auto_blocks(bands, max_hamming, bits)
+    a = simhash_anchor_rows(new_sim, bits, n_blocks, max_hamming).select(
         "band", "slice", F.col("doc_id"), F.col("simhash").alias("sim_a")
     )
     # without keep_ref_id the store side needs no identity — only
@@ -875,14 +1027,27 @@ def simhash_cross_matches(
         if keep_ref_id
         else ref_sim.select(F.lit(0).cast("long").alias("doc_id"), "simhash")
     )
-    b = simhash_banded(ref_proj, bits, bands).select(
+    b = simhash_anchor_rows(ref_proj, bits, n_blocks, max_hamming).select(
         "band",
         "slice",
         F.col("doc_id").alias("ref_doc_id"),
         F.col("simhash").alias("sim_b"),
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    matched = a.join(b, ["band", "slice"]).filter(hamming <= max_hamming)
+    # first-agreeing-band filter: each (new, ref-signature) match
+    # survives from exactly one band, so the distinct below only has
+    # to collapse duplicate SOURCE rows (e.g. a legacy store holding
+    # several arrivals of one signature), not the combo multiplicity
+    matched = (
+        a.join(b, ["band", "slice"])
+        .filter(hamming <= max_hamming)
+        .filter(
+            F.col("band")
+            == _first_agreeing_band(
+                F.col("sim_a"), F.col("sim_b"), bits, n_blocks, max_hamming
+            )
+        )
+    )
     if keep_ref_id:
         return matched.select("doc_id", "ref_doc_id").distinct()
     return matched.select("doc_id").distinct()

@@ -150,20 +150,23 @@ def test_prop_funnel_matches_greedy_walk(spark, rows, horizon):
 
 
 sig_strategy = st.lists(
-    st.integers(min_value=0, max_value=2**16 - 1),
+    st.integers(min_value=0, max_value=2**32 - 1),
     min_size=2,
     max_size=12,
 )
 
 
 @PROP
-@given(sig_strategy, st.sampled_from([1, 3]))
-def test_prop_simhash_banding_is_exact(spark, sigs, max_hamming):
-    """Banded near-dup search == brute-force Hamming filter: the
-    pigeonhole guarantee (max_hamming < bands) means banding NEVER
-    misses a qualifying pair, and the exact post-filter kills every
-    false candidate — so the result is EXACTLY the brute-force set on
-    arbitrary signatures (incl. identical and near-identical ones)."""
+@given(sig_strategy, st.sampled_from([1, 3]), st.sampled_from([None, 5, 7]))
+def test_prop_simhash_banding_is_exact(spark, sigs, max_hamming, blocks):
+    """Combination-banded near-dup search == brute-force Hamming
+    filter: the anchor-subset guarantee (<= max_hamming errors leave
+    >= blocks - max_hamming clean blocks, one subset of which is
+    enumerated) means banding NEVER misses a qualifying pair, and the
+    exact post-filter kills every false candidate — so the result is
+    EXACTLY the brute-force set on arbitrary full-width signatures
+    (incl. identical/near-identical ones and UNEVEN block widths:
+    32 bits over 5 or 7 blocks)."""
     from flink_project_spark.llm.dedup import simhash_near_dups
 
     bits, bands = 32, 4
@@ -173,7 +176,8 @@ def test_prop_simhash_banding_is_exact(spark, sigs, max_hamming):
     got = {
         (r.doc_a, r.doc_b)
         for r in simhash_near_dups(
-            sim, bits=bits, bands=bands, max_hamming=max_hamming
+            sim, bits=bits, bands=bands, max_hamming=max_hamming,
+            blocks=blocks,
         ).collect()
     }
     want = {
