@@ -179,6 +179,38 @@ def _next_store_batch_id(store_dir: str) -> int:
     return max(existing) + 1 if existing else 0
 
 
+def _admit_and_store(
+    batch: DataFrame,
+    losers: DataFrame,
+    id_col: str,
+    store_rows: DataFrame,
+    store_dir: str,
+    batch_id: int,
+    label: str,
+) -> DataFrame:
+    """Shared tail of both streaming dedup twins: anti-join the losing
+    doc_ids away, persist + MATERIALIZE the survivors BEFORE the store
+    write (the sink's later action must not re-plan against a store
+    that now contains this batch's own signatures, and the expensive
+    signature subtree evaluates exactly once), then OVERWRITE this
+    batch's own ``batch=<id>`` partition with ``store_rows`` (which is
+    what makes foreachBatch replay idempotent). ONE definition so the
+    twins' store-write contract can never drift apart."""
+    from flink_project_spark.cache import persist_tracked
+
+    survivors = persist_tracked(
+        batch.join(
+            losers.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+        ),
+        label=label,
+    )
+    survivors.count()
+    store_rows.write.mode("overwrite").parquet(
+        f"{store_dir}/batch={batch_id}"
+    )
+    return survivors
+
+
 def _arrival_earlier(ts_a, id_a, ts_b, id_b):
     """(ts, id) arrival-order predicate shared by BOTH streaming dedup
     twins (SimHash and semantic): true iff arrival a precedes arrival
@@ -470,24 +502,18 @@ def near_dup_dedup_batch(
             if store_hits is None
             else oriented.union(store_hits).distinct()
         )
-        survivors = persist_tracked(
-            batch.join(
-                losers.select(F.col("doc_id").alias(id_col)),
-                id_col,
-                "left_anti",
+        # record EVERY real-ts arrival's signature (see docstring)
+        return _admit_and_store(
+            batch,
+            losers,
+            id_col,
+            sim.filter(F.col("_ts").isNotNull()).select(
+                "doc_id", "simhash", "_ts"
             ),
+            store_dir,
+            batch_id,
             label=f"neardup_survivors_b{batch_id}",
         )
-        # materialize BEFORE the store write: the sink's later action
-        # must not re-plan against a store that now contains this
-        # batch's own signatures, and the expensive simhash subtree
-        # evaluates exactly once
-        survivors.count()
-        # record EVERY real-ts arrival's signature (see docstring)
-        sim.filter(F.col("_ts").isNotNull()).select(
-            "doc_id", "simhash", "_ts"
-        ).write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
-        return survivors
     finally:
         sim.unpersist()
 
@@ -729,20 +755,17 @@ def semantic_dedup_batch(
             if store_hits is None
             else in_batch.union(store_hits).distinct()
         )
-        survivors = persist_tracked(
-            batch.join(
-                losers.select(F.col("doc_id").alias(id_col)),
-                id_col,
-                "left_anti",
+        return _admit_and_store(
+            batch,
+            losers,
+            id_col,
+            sim.filter(F.col("_ts").isNotNull()).select(
+                "doc_id", "q", "nrm", "bucket", "_ts"
             ),
+            store_dir,
+            batch_id,
             label=f"semdedup_survivors_b{batch_id}",
         )
-        # materialize BEFORE the store write (see near_dup_dedup_batch)
-        survivors.count()
-        sim.filter(F.col("_ts").isNotNull()).select(
-            "doc_id", "q", "nrm", "bucket", "_ts"
-        ).write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
-        return survivors
     finally:
         sim.unpersist()
 
