@@ -249,6 +249,7 @@ def near_dup_dedup_batch(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    blocks: int | None = None,
     batch_id: int | None = None,
 ) -> DataFrame:
     """One micro-batch of streaming NEAR-dup dedup (SimHash banding).
@@ -371,6 +372,7 @@ def near_dup_dedup_batch(
                 bands=bands,
                 max_hamming=max_hamming,
                 keep_ref_id=True,
+                blocks=blocks,
             )
             return (
                 hits.join(
@@ -407,6 +409,7 @@ def near_dup_dedup_batch(
                 bits=bits,
                 bands=bands,
                 max_hamming=max_hamming,
+                blocks=blocks,
             )
 
         hit_parts = []
@@ -461,7 +464,8 @@ def near_dup_dedup_batch(
         # pass, so slicing a stream differently cannot move a pair
         # between the two code paths with different semantics.
         pairs = simhash_near_dups(
-            sim, bits=bits, bands=bands, max_hamming=max_hamming
+            sim, bits=bits, bands=bands, max_hamming=max_hamming,
+            blocks=blocks,
         )
         ts_of = sim.select("doc_id", "_ts")
         oriented = (
@@ -528,6 +532,7 @@ def near_dup_foreach_batch(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    blocks: int | None = None,
 ):
     """foreachBatch wiring for `near_dup_dedup_batch`: returns the
     (batch_df, batch_id) callable; ``sink(survivors_df, batch_id)``
@@ -549,6 +554,7 @@ def near_dup_foreach_batch(
             bits=bits,
             bands=bands,
             max_hamming=max_hamming,
+            blocks=blocks,
             batch_id=batch_id,
         )
         try:

@@ -78,8 +78,60 @@ DEFAULT = [
 ]
 
 
+def volumes() -> None:
+    """Per-SF RESULT/MATCH volume measurements for the queries whose
+    wall time grows super-linearly on the synthetic corpus — the
+    evidence that separates data-volume-bound growth (work per result
+    row flat) from a genuinely super-linear plan. Prints one JSON line:
+    simhash true-pair counts, decontamination shingle-match volume, and
+    corpus-repeated-gram occurrences per SF dir."""
+    from pyspark.sql import functions as F
+
+    from flink_project_spark.llm import dedup as DD
+    from flink_project_spark.session import get_spark, spread
+
+    env_dirs = os.environ.get("SPARK_GRAFT_SCALING_DIRS")
+    sf_dirs = env_dirs.split(",") if env_dirs else _default_dirs()
+    spark = get_spark(app_name="scaling-volumes")
+    out: dict[str, dict[str, int]] = {}
+    for sf_dir in sf_dirs:
+        key = os.path.basename(sf_dir.rstrip("/"))
+        docs = spread(
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        )
+        sim = DD.doc_simhash(docs).persist()
+        pairs = DD.simhash_near_dups(sim).count()
+        sim.unpersist()
+        sc = (
+            DD.shingle_hashes(docs.filter(F.col("doc_id") % 7 != 0), "text", 3)
+            .groupBy("hx").agg(F.count("*").alias("c"))
+        )
+        sb = (
+            DD.shingle_hashes(docs.filter(F.col("doc_id") % 7 == 0), "text", 3)
+            .groupBy("hx").agg(F.count("*").alias("b"))
+        )
+        matches = sc.join(sb, "hx").agg(
+            F.sum(F.col("c") * F.col("b"))
+        ).collect()[0][0]
+        dup_grams = (
+            DD._positional_grams(docs, 5, "text")
+            .groupBy("h").agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(F.sum("c")).collect()[0][0]
+        )
+        out[key] = {
+            "simhash_true_pairs": int(pairs),
+            "decontaminate_match_volume": int(matches or 0),
+            "repeated_5gram_occurrences": int(dup_grams or 0),
+        }
+    print(json.dumps({"volumes": out, "sf_dirs": sf_dirs}))
+
+
 def main() -> None:
     arg = sys.argv[1] if len(sys.argv) > 1 else "heavy"
+    if arg == "volumes":
+        volumes()
+        return
     if arg == "heavy":
         names = HEAVY
     elif arg == "default":
