@@ -843,6 +843,21 @@ def simhash_anchor_rows(
     )
 
 
+#: combo-count budget: C(blocks, blocks - max_hamming) anchor keys per
+#: row. Beyond ~64 the banded stage's generated code crosses the JVM's
+#: 64 KB method limit — whole-stage codegen silently falls back to
+#: interpreted evaluation (measured ~15x slower at C=165) and Janino
+#: compilation can OOM the driver (observed at C=220) — so the cap is a
+#: hard validation error, not a soft knob.
+_MAX_COMBOS = 64
+
+
+def _n_combos(blocks: int, max_hamming: int) -> int:
+    from math import comb
+
+    return comb(blocks, blocks - max_hamming)
+
+
 def _validate_blocks(bits: int, blocks: int, max_hamming: int) -> None:
     if blocks <= max_hamming:
         raise ValueError(
@@ -852,6 +867,16 @@ def _validate_blocks(bits: int, blocks: int, max_hamming: int) -> None:
         )
     if blocks > bits:
         raise ValueError(f"blocks ({blocks}) must be <= bits ({bits})")
+    if _n_combos(blocks, max_hamming) > _MAX_COMBOS:
+        raise ValueError(
+            f"blocks={blocks} with max_hamming={max_hamming} enumerates "
+            f"C({blocks},{blocks - max_hamming})="
+            f"{_n_combos(blocks, max_hamming)} anchor subsets > "
+            f"{_MAX_COMBOS}: the banded stage's generated code would "
+            "exceed the JVM method limit and silently run interpreted "
+            "(or OOM the compiler); use fewer blocks — key width per "
+            "combo grows anyway"
+        )
 
 
 def _first_agreeing_band(
@@ -928,9 +953,14 @@ def _first_agreeing_band(
 def _auto_blocks(bands: int, max_hamming: int, bits: int) -> int:
     """Default block count for the combination scheme: 2*max_hamming
     blocks put ~half the signature bits in every anchor key (the
-    Manku sweet spot) while never going below the caller's legacy
-    `bands` granularity or above the bit width."""
-    return min(bits, max(bands, 2 * max_hamming, 1))
+    Manku sweet spot), clamped to the bit width, the LUT limit (12),
+    and the combo-count budget (the legacy `bands` argument only gates
+    validation — a caller tuned to many narrow slices gets the
+    equivalent-guarantee combination scheme, not a hard error)."""
+    b = max(min(bits, 12, 2 * max_hamming), max_hamming + 1, 1)
+    while b > max_hamming + 1 and _n_combos(b, max_hamming) > _MAX_COMBOS:
+        b -= 1
+    return b
 
 
 def simhash_near_dups(
@@ -947,8 +977,15 @@ def simhash_near_dups(
     self-join per subset key finds all such pairs without a cross
     product, with far fewer bucket collisions than single-slice bands.
     `bands` is the legacy slice-count knob: it still gates the
-    pigeonhole validation (max_hamming < bands) and floors the block
-    count; `blocks` overrides the block count directly.
+    pigeonhole validation (max_hamming < bands); `blocks` overrides the
+    block count directly (validated against the combo-count budget —
+    see `_MAX_COMBOS`).
+
+    Precondition: `sim` carries ONE row per doc_id (what `doc_simhash`
+    produces). Each qualifying pair is emitted exactly once via the
+    first-agreeing-band rule instead of a distinct(), so duplicate
+    doc_id rows would multiply their pairs in the output rather than
+    collapse.
     """
     if max_hamming >= bands:
         raise ValueError(
@@ -956,7 +993,10 @@ def simhash_near_dups(
             "pigeonhole guarantee needs at least one agreeing slice, else "
             "qualifying pairs are silently missed"
         )
-    n_blocks = blocks or _auto_blocks(bands, max_hamming, bits)
+    n_blocks = (
+        blocks if blocks is not None
+        else _auto_blocks(bands, max_hamming, bits)
+    )
     banded = simhash_anchor_rows(sim, bits, n_blocks, max_hamming)
     a = banded.select(
         "band", "slice", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
@@ -1016,7 +1056,10 @@ def simhash_cross_matches(
             "pigeonhole guarantee needs at least one agreeing slice, else "
             "qualifying pairs are silently missed"
         )
-    n_blocks = blocks or _auto_blocks(bands, max_hamming, bits)
+    n_blocks = (
+        blocks if blocks is not None
+        else _auto_blocks(bands, max_hamming, bits)
+    )
     a = simhash_anchor_rows(new_sim, bits, n_blocks, max_hamming).select(
         "band", "slice", F.col("doc_id"), F.col("simhash").alias("sim_a")
     )

@@ -536,6 +536,28 @@ def test_guards_reject_silent_wrong_usage(spark):
     sim = DD.doc_simhash(docs)
     with pytest.raises(ValueError, match="max_hamming"):
         DD.simhash_near_dups(sim, max_hamming=4)
+    # combo-count budget: an explicit blocks whose C(blocks, anchor)
+    # would blow the generated-code limit is a hard error, not a silent
+    # interpreted fallback
+    with pytest.raises(ValueError, match="anchor subsets"):
+        DD.simhash_near_dups(sim, blocks=11)
+    # blocks=0 is a config error, not 'use the default'
+    with pytest.raises(ValueError, match="blocks"):
+        DD.simhash_near_dups(sim, blocks=0)
+
+
+def test_simhash_legacy_wide_bands_still_work(spark):
+    """bands=16 was a valid t=1 pigeonhole config before the
+    combination-banding rewrite (16 two-bit slices); the auto block
+    chooser must map it to an equivalent-guarantee scheme instead of
+    raising — and the results must equal the default scheme's."""
+    from flink_project_spark.llm import dedup as DD
+
+    docs = _mk_src_docs(spark)
+    sim = DD.doc_simhash(docs)
+    wide = {tuple(r) for r in DD.simhash_near_dups(sim, bands=16).collect()}
+    default = {tuple(r) for r in DD.simhash_near_dups(sim).collect()}
+    assert wide == default
 
 
 def test_winnow_fingerprints_matches_python_twin(spark):

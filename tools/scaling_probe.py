@@ -40,6 +40,20 @@ def _default_dirs() -> list[str]:
     return dirs
 
 
+def _resolve_dirs() -> list[str]:
+    """SF dirs from SPARK_GRAFT_SCALING_DIRS or the defaults, with the
+    duplicate-basename guard applied for EVERY mode (results are keyed
+    by basename; a duplicate silently overwrites one SF point)."""
+    env_dirs = os.environ.get("SPARK_GRAFT_SCALING_DIRS")
+    sf_dirs = env_dirs.split(",") if env_dirs else _default_dirs()
+    keys = [os.path.basename(d.rstrip("/")) for d in sf_dirs]
+    if len(set(keys)) != len(keys):
+        raise SystemExit(
+            f"SF dirs must have distinct basenames, got {keys}"
+        )
+    return sf_dirs
+
+
 # the ~15 heaviest plans (round-4 verdict ask #1): dedup/CC kernels,
 # repetition/winnow text analysis, span dedup, the funnel/retention
 # pair, item-CF, decontamination, plus pricing_summary as the
@@ -90,8 +104,7 @@ def volumes() -> None:
     from flink_project_spark.llm import dedup as DD
     from flink_project_spark.session import get_spark, spread
 
-    env_dirs = os.environ.get("SPARK_GRAFT_SCALING_DIRS")
-    sf_dirs = env_dirs.split(",") if env_dirs else _default_dirs()
+    sf_dirs = _resolve_dirs()
     spark = get_spark(app_name="scaling-volumes")
     out: dict[str, dict[str, int]] = {}
     for sf_dir in sf_dirs:
@@ -140,15 +153,7 @@ def main() -> None:
         names = arg.split(",")
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 
-    env_dirs = os.environ.get("SPARK_GRAFT_SCALING_DIRS")
-    sf_dirs = env_dirs.split(",") if env_dirs else _default_dirs()
-    keys0 = [os.path.basename(d.rstrip("/")) for d in sf_dirs]
-    if len(set(keys0)) != len(keys0):
-        # results are keyed by basename; a duplicate would silently
-        # overwrite one SF point's timings and then divide by log(1)
-        raise SystemExit(
-            f"SF dirs must have distinct basenames, got {keys0}"
-        )
+    sf_dirs = _resolve_dirs()
 
     from flink_project_spark import cache as CACHE
     from flink_project_spark.session import get_spark
