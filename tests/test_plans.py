@@ -389,6 +389,19 @@ def test_uauc_single_small_exchange_off_partitioned_counts(spark):
     assert non_broadcast == 1, head
 
 
+def test_simhash_near_dups_has_no_pair_level_shuffle(spark):
+    """The combination-banded near-dup join emits each qualifying pair
+    exactly once (first-agreeing-band rule) — there is NO distinct()
+    over pair rows, so nothing keyed by (doc_a, doc_b) may appear in
+    an aggregate or a hash-partitioned exchange. On dup-dense corpora
+    the pair set is quadratic; a pair-level shuffle would re-introduce
+    the exact bottleneck the rewrite removed."""
+    plan = _plan(spark, "doc_simhash_neardups")
+    head = plan.split("InMemoryTableScan", 1)[0]
+    assert "hashpartitioning(doc_a" not in head, head
+    assert "keys=[doc_a" not in head, head
+
+
 def test_rarity_vocab_is_single_pass_rollup(spark):
     """rarity's vocabulary counts and corpus total come from ONE
     grouping-sets pass (Expand + one aggregation exchange over the tf
