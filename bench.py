@@ -49,10 +49,27 @@ def main() -> None:
 
     _probe()  # first call pays codegen; discard
     # Calibration probes: the identical tiny fixed job timed at run
-    # start and run end. On a quiet host it is ~0.05-0.1 s; a contended
-    # host inflates it proportionally, so the probe values let a reader
-    # normalize this run's totals against host noise (this VM shows
-    # sustained multi-x contention windows on unchanged code).
+    # start, before every timing pass, and at run end. On a quiet host
+    # it is ~0.3-0.45 s; a contended host inflates it proportionally.
+    # Round 5's official artifact landed in a sustained contention
+    # window (probes 0.63-0.66 s, total 87.2 s vs 61.7-70.9 s on quiet
+    # re-runs of identical code), so this harness now ACTS on its own
+    # probes instead of leaving them as side-channel evidence: a pass
+    # whose leading probe median exceeds QUIET_PROBE_S x DIRTY_FACTOR
+    # is marked dirty, and if no clean pass happened after the standard
+    # runs, up to SPARK_GRAFT_BENCH_MAX_EXTRA (default 2) bounded extra
+    # passes run until one lands in a quiet window. min-per-query
+    # aggregation then draws from at least one quiet pass, making the
+    # headline number trustworthy without side files. The compact line
+    # carries the verdict ("window") plus a probe-normalized total as a
+    # secondary, coarser cross-check.
+    QUIET_PROBE_S = float(os.environ.get("SPARK_GRAFT_QUIET_PROBE", "0.40"))
+    DIRTY_FACTOR = 1.5
+
+    def _probe_median(n: int = 3) -> float:
+        vals = sorted(_probe() for _ in range(n))
+        return vals[n // 2]
+
     probe_start = [_probe() for _ in range(3)]
 
     # Cache-build phase: materialize the shared persisted intermediates
@@ -132,9 +149,18 @@ def main() -> None:
     # min-of-N measures the engine, not the neighbor). Each extra pass
     # releases the persisted tables and rebuilds them from parquet —
     # full real work, both raw pass times reported.
+    build_probes = [_probe_median()]
     build_passes = [_build_once()]
     for _ in range(max(1, int(os.environ.get("SPARK_GRAFT_BUILD_RUNS", "2"))) - 1):
         _cache.clear(spark)
+        build_probes.append(_probe_median())
+        build_passes.append(_build_once())
+    # same contention rule as the per-query passes: if every build pass
+    # ran in a dirty window, one bounded rebuild in the hope of a quiet
+    # one (min aggregation picks it up if so)
+    if all(p > QUIET_PROBE_S * DIRTY_FACTOR for p in build_probes):
+        _cache.clear(spark)
+        build_probes.append(_probe_median())
         build_passes.append(_build_once())
     cache_build = min(build_passes)
 
@@ -145,8 +171,12 @@ def main() -> None:
     # pass totals are reported so the aggregation is transparent; the
     # cache build runs ONCE and is included in the total as real work.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    max_extra = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "2")))
     passes: list[dict[str, float]] = []
-    for _ in range(runs):
+    pass_probes: list[float] = []
+
+    def _timed_pass() -> None:
+        pass_probes.append(_probe_median())
         timings: dict[str, float] = {}
         for name, fn in entrymod.queries().items():
             t0 = time.perf_counter()
@@ -154,10 +184,27 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 4)
         passes.append(timings)
+
+    for _ in range(runs):
+        _timed_pass()
+    dirty_bar = QUIET_PROBE_S * DIRTY_FACTOR
+    extra_passes = 0
+    while all(p > dirty_bar for p in pass_probes) and extra_passes < max_extra:
+        extra_passes += 1
+        _timed_pass()
     best = {k: min(p[k] for p in passes) for k in passes[0]}
 
     probe_end = [_probe() for _ in range(3)]
     total = round(sum(best.values()) + cache_build, 2)
+    # Window verdict: the best (cleanest) probe that preceded any
+    # counted pass. If even the cleanest window was dirty after the
+    # bounded retries, the compact line says so AND carries a coarse
+    # probe-normalized total (linear deflation by observed/quiet probe
+    # ratio — a cross-check, not a replacement for a quiet re-run).
+    best_pass_probe = min(pass_probes)
+    window_clean = best_pass_probe <= dirty_bar
+    norm = min(1.0, QUIET_PROBE_S / best_pass_probe) if best_pass_probe > 0 else 1.0
+    probe_normalized = round(total * (1.0 if window_clean else norm), 2)
     # The COMPACT total line prints FIRST on its own line so a bounded
     # capture always gets a parseable primary artifact (round 3's single
     # giant line outgrew the driver's tail buffer and parsed as null).
@@ -170,6 +217,13 @@ def main() -> None:
             "unit": "sec",
             "cache_build_seconds": round(cache_build, 2),
             "sf": sf,
+            "window": {
+                "clean": window_clean,
+                "best_pass_probe_s": round(best_pass_probe, 2),
+                "quiet_ref_s": QUIET_PROBE_S,
+                "extra_passes": extra_passes,
+                "probe_normalized_value": probe_normalized,
+            },
         }
     )
     print(compact, flush=True)
@@ -184,6 +238,8 @@ def main() -> None:
                 "pass_totals": [round(sum(p.values()), 2) for p in passes],
                 "calibration_probe_seconds": {
                     "start": [round(p, 2) for p in probe_start],
+                    "per_build": [round(p, 2) for p in build_probes],
+                    "per_pass": [round(p, 2) for p in pass_probes],
                     "end": [round(p, 2) for p in probe_end],
                 },
             }

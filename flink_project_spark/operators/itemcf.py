@@ -657,30 +657,31 @@ def decay_pairs_gated(
         .filter(F.col("_prev_min").isNull() | (F.col("_clamped") < F.col("_prev_min")))
         .withColumn("w_scaled", w_scaled)
     )
-    per_user = emitted.groupBy(user_col, "item_a", "item_b").agg(
-        F.count(F.lit(1)).alias("emissions"),
-        F.sum("w_scaled").alias("e_scaled"),
-    )
     # The final (a, b) value sums BOTH orientations (the reference
     # emits each score into both map slots), so it is symmetric:
-    # aggregate on the canonical (least, greatest) key FIRST — half
-    # the shuffle volume, better map-side combining — and emit the two
-    # directed rows from the aggregated result. A pre-aggregation
-    # explode (the previous shape) would shuffle every per-user pair
-    # twice; a union of two selects would evaluate the gate-window
-    # subtree twice (ReuseExchange shares only the shuffle, not the
-    # sort + filter + aggregation above it).
+    # aggregate the emitted stream straight onto the canonical
+    # (least, greatest) key — Spark's partial hash aggregation
+    # map-side combines onto the small item-pair key space, so the one
+    # exchange carries at most |items|²/2 rows per task regardless of
+    # user count. A per-user pre-aggregation (the previous shape,
+    # mirroring the reference's per-user map) was provably redundant:
+    # grouping the same stream by the strictly-finer (user, a, b) key
+    # first costs an extra full hash pass over every emission and
+    # cannot shrink the canonical shuffle below what map-side combine
+    # already achieves. A union of two directed selects instead of the
+    # post-aggregation explode would evaluate the gate-window subtree
+    # twice (ReuseExchange shares only the shuffle, not the sort +
+    # filter above it).
     canonical = (
-        per_user.select(
+        emitted.select(
             F.least("item_a", "item_b").alias("lo"),
             F.greatest("item_a", "item_b").alias("hi"),
-            "emissions",
-            "e_scaled",
+            "w_scaled",
         )
         .groupBy("lo", "hi")
         .agg(
-            F.sum("emissions").alias("emissions"),
-            F.sum("e_scaled").alias("decay_scaled"),
+            F.count(F.lit(1)).alias("emissions"),
+            F.sum("w_scaled").alias("decay_scaled"),
         )
     )
     return (

@@ -19,7 +19,19 @@ driver's own data.
 Output goes inside the repo (default .scaling/sf1 — gitignored; do NOT
 write to /root/testdata, which is read-only by contract).
 
-Usage: python tools/gen_scale_data.py [sf] [out_dir]
+Vocabulary modes (--vocab): ``legacy`` (default) reproduces the
+driver corpus's 31-word closed vocabulary exactly; ``open`` swaps ONLY
+the token vocabulary for a 50k-token Zipf(1.07) draw — document count,
+length distribution, dup/near-dup injection rates, and every other
+table stay byte-for-byte the legacy construction. Rationale
+(round-5 verdict ask #1): the 31-word vocabulary saturates every
+fixed-size shingle/gram/signature space at sf10, so the TRUE match
+volume grows quadratically and wall time for the match-emitting dedup
+operators grows with it — a data artifact, not a plan property. An
+open vocabulary keeps shingle collisions at realistic (natural-text)
+rates so those operators' scaling exponents become measurable.
+
+Usage: python tools/gen_scale_data.py [sf] [out_dir] [--vocab legacy|open]
 """
 
 from __future__ import annotations
@@ -49,6 +61,19 @@ REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 
 DAY_US = 86_400_000_000
 
+# --vocab open: 50k-token Zipf(1.07) vocabulary. s≈1.07 is the
+# classic fit for natural-language word frequencies (Zipf 1949;
+# Piantadosi 2014 review), V=50k ≈ a BPE-scale vocabulary. Tokens are
+# fixed-width ids so text length stays in the legacy 10-100-word /
+# ~5.6-chars-per-word envelope.
+OPEN_VOCAB_SIZE = 50_000
+OPEN_VOCAB_S = 1.07
+
+
+def _open_vocab_probs(v: int = OPEN_VOCAB_SIZE, s: float = OPEN_VOCAB_S) -> np.ndarray:
+    p = 1.0 / np.arange(1, v + 1, dtype="float64") ** s
+    return p / p.sum()
+
 
 def _ts_us(date_str: str) -> int:
     import datetime as dt
@@ -65,7 +90,11 @@ def _round2(a: np.ndarray) -> np.ndarray:
     return np.round(a, 2)
 
 
-def generate(sf: float, out_dir: str, seed: int = 42) -> dict[str, int]:
+def generate(
+    sf: float, out_dir: str, seed: int = 42, vocab_mode: str = "legacy"
+) -> dict[str, int]:
+    if vocab_mode not in ("legacy", "open"):
+        raise ValueError(f"vocab_mode must be legacy|open, got {vocab_mode!r}")
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
     n_cust = int(150_000 * sf)
@@ -240,7 +269,23 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> dict[str, int]:
     # sequence diff is one word deleted/inserted — checked with
     # difflib against the engine's own near-dup output)
     n_words = rng.integers(10, 101, n_doc)
-    vocab = np.array(VOCAB)
+    if vocab_mode == "open":
+        # fixed-width token ids; one flat Zipf draw up front (per-doc
+        # rng.choice with a 50k-probability vector is ~100x slower).
+        # Dup/edit docs reuse earlier texts and consume nothing from
+        # the flat stream, so n_words.sum() is an upper bound.
+        vocab = np.array(
+            [f"t{i:05d}" for i in range(1, OPEN_VOCAB_SIZE + 1)]
+        )
+        flat = vocab[
+            rng.choice(
+                OPEN_VOCAB_SIZE, int(n_words.sum()), p=_open_vocab_probs()
+            )
+        ]
+    else:
+        vocab = np.array(VOCAB)
+        flat = None
+    off = 0
     texts: list[str] = []
     for i in range(n_doc):
         roll = rng.random()
@@ -256,6 +301,9 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> dict[str, int]:
                     str(vocab[int(rng.integers(0, len(vocab)))]),
                 )
             texts.append(" ".join(w))
+        elif flat is not None:
+            texts.append(" ".join(flat[off : off + n_words[i]]))
+            off += int(n_words[i])
         else:
             texts.append(
                 " ".join(vocab[rng.integers(0, len(vocab), n_words[i])])
@@ -308,15 +356,24 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> dict[str, int]:
 
 
 def main() -> None:
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf", nargs="?", type=float, default=1.0)
+    ap.add_argument("out_dir", nargs="?", default=None)
+    ap.add_argument("--vocab", choices=("legacy", "open"), default="legacy")
+    ns = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else os.path.join(repo, ".scaling", f"sf{sf:g}")
+    suffix = "" if ns.vocab == "legacy" else "-open"
+    out = ns.out_dir or os.path.join(
+        repo, ".scaling", f"sf{ns.sf:g}{suffix}"
     )
-    counts = generate(sf, out)
-    print(json.dumps({"sf": sf, "out": out, "rows": counts}))
+    counts = generate(ns.sf, out, vocab_mode=ns.vocab)
+    print(
+        json.dumps(
+            {"sf": ns.sf, "out": out, "vocab": ns.vocab, "rows": counts}
+        )
+    )
 
 
 if __name__ == "__main__":
