@@ -858,6 +858,14 @@ def _n_combos(blocks: int, max_hamming: int) -> int:
     return comb(blocks, blocks - max_hamming)
 
 
+def _max_anchor_key_bits(bits: int, blocks: int, max_hamming: int) -> int:
+    """Width of the WIDEST anchor-subset key: the sum of the largest
+    (blocks - max_hamming) block widths (block widths differ by at most
+    one bit when bits % blocks != 0)."""
+    widths = sorted((w for _, w in _block_specs(bits, blocks)), reverse=True)
+    return sum(widths[: blocks - max_hamming])
+
+
 def _validate_blocks(bits: int, blocks: int, max_hamming: int) -> None:
     if blocks <= max_hamming:
         raise ValueError(
@@ -865,8 +873,24 @@ def _validate_blocks(bits: int, blocks: int, max_hamming: int) -> None:
             "the pigeonhole guarantee needs at least one clean anchor "
             "block, else qualifying pairs are silently missed"
         )
+    if blocks < 1:
+        raise ValueError(f"blocks must be >= 1, got {blocks}")
     if blocks > bits:
         raise ValueError(f"blocks ({blocks}) must be <= bits ({bits})")
+    # anchor keys are assembled by shiftleft/OR into ONE signed long,
+    # and block masks are (1 << w) - 1 long literals, so no anchor
+    # subset may exceed 63 bits (bits=64 with max_hamming=0 puts the
+    # whole signature in the anchor — (1 << 64) - 1 overflows LongType
+    # and the operator would silently compare garbage keys)
+    key_bits = _max_anchor_key_bits(bits, blocks, max_hamming)
+    if key_bits > 63:
+        raise ValueError(
+            f"blocks={blocks} with max_hamming={max_hamming} puts "
+            f"{key_bits} signature bits in an anchor key, above the "
+            "63-bit long limit; use more blocks (narrower anchors), a "
+            "larger max_hamming, or exact_dedup for hamming=0 on "
+            "64-bit signatures"
+        )
     if _n_combos(blocks, max_hamming) > _MAX_COMBOS:
         raise ValueError(
             f"blocks={blocks} with max_hamming={max_hamming} enumerates "
@@ -950,17 +974,68 @@ def _first_agreeing_band(
     ).cast("int")
 
 
-def _auto_blocks(bands: int, max_hamming: int, bits: int) -> int:
-    """Default block count for the combination scheme: 2*max_hamming
-    blocks put ~half the signature bits in every anchor key (the
-    Manku sweet spot), clamped to the bit width, the LUT limit (12),
-    and the combo-count budget (the legacy `bands` argument only gates
+def _auto_blocks(
+    bands: int,
+    max_hamming: int,
+    bits: int,
+    expected_docs: int | None = None,
+) -> int:
+    """Default block count for the combination scheme.
+
+    Without a size hint: 2*max_hamming blocks put ~half the signature
+    bits in every anchor key (the Manku sweet spot), clamped to the bit
+    width, the LUT limit (12), the 63-bit key-width limit, and the
+    combo-count budget (the legacy `bands` argument only gates
     validation — a caller tuned to many narrow slices gets the
-    equivalent-guarantee combination scheme, not a hard error)."""
-    b = max(min(bits, 12, 2 * max_hamming), max_hamming + 1, 1)
-    while b > max_hamming + 1 and _n_combos(b, max_hamming) > _MAX_COMBOS:
-        b -= 1
-    return b
+    equivalent-guarantee combination scheme, not a hard error).
+
+    With ``expected_docs`` = n: pick the block count minimizing the
+    candidate-volume model  C·n + C·n²/2^key_bits  over every valid
+    block count, where C = C(blocks, max_hamming) anchor rows per doc
+    (generation + shuffle, linear) and n²/2^key_bits the expected
+    random key collisions per combo under a uniform-key model. More
+    blocks widen the anchor keys (collisions shrink by 2^Δbits) but
+    multiply the combo count (linear-polynomial) — so small corpora
+    favor few blocks (replication dominates) and large corpora wide
+    anchors, which is exactly the "raise the knob with corpus size"
+    runbook note, now computed. The choice only affects COST: any
+    valid block count emits the identical exact hamming <= max_hamming
+    pair set (pigeonhole completeness + row-local verify).
+    """
+    if max_hamming + 1 > 12:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) needs at least "
+            f"{max_hamming + 1} blocks, above the 12-block band-lookup "
+            "limit; use MinHash-LSH for radii that wide"
+        )
+
+    def _valid(b: int) -> bool:
+        return (
+            _n_combos(b, max_hamming) <= _MAX_COMBOS
+            and _max_anchor_key_bits(bits, b, max_hamming) <= 63
+        )
+
+    lo, hi = max_hamming + 1, min(bits, 12)
+    candidates = [b for b in range(lo, hi + 1) if _valid(b)]
+    if not candidates:
+        raise ValueError(
+            f"no valid block count for bits={bits}, "
+            f"max_hamming={max_hamming}: every choice in [{lo}, {hi}] "
+            "breaks the combo-count or 63-bit key-width budget"
+        )
+    if expected_docs is None:
+        b = max(min(hi, 2 * max_hamming), lo)
+        while b > lo and not _valid(b):
+            b -= 1
+        return b if _valid(b) else candidates[0]
+    n = max(int(expected_docs), 1)
+
+    def est_cost(b: int) -> float:
+        anchor_bits = (b - max_hamming) * (bits // b)
+        c = _n_combos(b, max_hamming)
+        return c * n + c * (float(n) * n) / (2.0 ** min(anchor_bits, 60))
+
+    return min(candidates, key=est_cost)
 
 
 def simhash_near_dups(
@@ -969,6 +1044,7 @@ def simhash_near_dups(
     bands: int = 4,
     max_hamming: int = 3,
     blocks: int | None = None,
+    expected_docs: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance <= max_hamming.
 
@@ -979,7 +1055,11 @@ def simhash_near_dups(
     `bands` is the legacy slice-count knob: it still gates the
     pigeonhole validation (max_hamming < bands); `blocks` overrides the
     block count directly (validated against the combo-count budget —
-    see `_MAX_COMBOS`).
+    see `_MAX_COMBOS`). ``expected_docs`` (approximate corpus size —
+    an exact count is NOT needed, the block choice moves on decades)
+    lets `_auto_blocks` size the anchor keys to the corpus instead of
+    using the static sweet spot; any choice returns the identical
+    pair set, only cost changes, so a stale or rounded hint is safe.
 
     Precondition: `sim` carries ONE row per doc_id (what `doc_simhash`
     produces). Each qualifying pair is emitted exactly once via the
@@ -995,7 +1075,7 @@ def simhash_near_dups(
         )
     n_blocks = (
         blocks if blocks is not None
-        else _auto_blocks(bands, max_hamming, bits)
+        else _auto_blocks(bands, max_hamming, bits, expected_docs)
     )
     banded = simhash_anchor_rows(sim, bits, n_blocks, max_hamming)
     a = banded.select(
@@ -1033,6 +1113,7 @@ def simhash_cross_matches(
     max_hamming: int = 3,
     keep_ref_id: bool = False,
     blocks: int | None = None,
+    expected_docs: int | None = None,
 ) -> DataFrame:
     """doc_ids from `new_sim` having ANY `ref_sim` signature within
     Hamming distance <= max_hamming — the cross-frame (new-vs-store)
@@ -1058,7 +1139,7 @@ def simhash_cross_matches(
         )
     n_blocks = (
         blocks if blocks is not None
-        else _auto_blocks(bands, max_hamming, bits)
+        else _auto_blocks(bands, max_hamming, bits, expected_docs)
     )
     a = simhash_anchor_rows(new_sim, bits, n_blocks, max_hamming).select(
         "band", "slice", F.col("doc_id"), F.col("simhash").alias("sim_a")
@@ -1101,14 +1182,31 @@ def simhash_cross_matches(
 # ---------------------------------------------------------------------------
 
 
-def _positional_grams(docs: DataFrame, n: int, text_col: str) -> DataFrame:
-    """(doc_id, n_tok, pos, h) — md5 of every positional word n-gram.
+def _positional_grams(
+    docs: DataFrame, n: int, text_col: str, gram_key: str = "md5"
+) -> DataFrame:
+    """(doc_id, n_tok, pos, h) — hash of every positional word n-gram.
 
     Same lead-window gram build as `text.winnow_fingerprints` (one
     exchange of narrow (doc, pos, word) rows, codegen end to end; the
     transform/slice form is O(words²) per doc). Docs with fewer than n
     words emit their single truncated gram at pos 0; empty docs emit
     nothing (callers restore them with a left join).
+
+    ``gram_key``: "md5" (default) keeps the full 32-hex-char key for
+    bit-exact oracle parity; "int64" truncates the md5 to its first 15
+    hex chars (60 bits) parsed into one LONG — the extreme-scale key
+    the module docstring promises. The 60-bit key quarters the bytes
+    the gram-count shuffle and the dup-hash join move per row (8 vs 32+
+    per key) and hash-aggregates native longs instead of strings.
+    Collision safety: truncation can only mark a unique gram as
+    duplicated (false dup), never hide a real dup — at 10^12 distinct
+    grams the expected number of colliding 60-bit pairs is
+    ~(10^24/2)/2^60 ≈ 4x10^5, i.e. ~0.00004% of grams over-marked, far
+    below the n-gram detection threshold's own noise; at the 10^9 scale
+    of a single shard it is ~0.4 expected collisions (none in
+    practice). Spans derived under either key are identical on any
+    collision-free corpus (the equivalence test pins this).
     """
     w = words(F.col(text_col))
     wl = docs.select(
@@ -1121,19 +1219,31 @@ def _positional_grams(docs: DataFrame, n: int, text_col: str) -> DataFrame:
     gram = F.concat_ws(
         " ", F.col("_w"), *[F.lead("_w", i).over(order) for i in range(1, n)]
     )
+    if gram_key == "md5":
+        h = F.md5(gram)
+    elif gram_key == "int64":
+        # conv() parses hex -> decimal string; 15 hex chars = 60 bits
+        # always fit a signed long (16 would overflow at >= 2^63)
+        h = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"gram_key must be md5|int64, got {gram_key!r}")
     return (
-        wl.withColumn("h", F.md5(gram))
+        wl.withColumn("h", h)
         .filter(F.col("pos") < F.col("_n_g"))
         .select("doc_id", "n_tok", "pos", "h")
     )
 
 
-def dup_span_islands(docs: DataFrame, n: int, text_col: str) -> DataFrame:
+def dup_span_islands(
+    docs: DataFrame, n: int, text_col: str, gram_key: str = "md5"
+) -> DataFrame:
     """(doc_id, n_tok, span_start, span_end) — maximal contiguous runs
-    of duplicated tokens (0-based, end inclusive, clamped to the doc)."""
+    of duplicated tokens (0-based, end inclusive, clamped to the doc).
+    ``gram_key`` as in `_positional_grams` ("int64" = the flag-gated
+    truncated-key mode for extreme-scale corpora)."""
     if n < 1:  # n=0 would mark every corpus-repeated WORD a dup gram
         raise ValueError(f"n must be >= 1, got {n}")
-    grams = _positional_grams(docs, n, text_col)
+    grams = _positional_grams(docs, n, text_col, gram_key)
     # a gram is duplicated iff its hash occurs more than once in the
     # corpus (cross-doc or a repeat within the same doc — the Lee '21
     # rule). groupBy + inner join beats count() OVER (PARTITION BY h):
@@ -1179,6 +1289,7 @@ def dup_gram_spans(
     n: int = 5,
     text_col: str = "text",
     spans: DataFrame | None = None,
+    gram_key: str = "md5",
 ) -> DataFrame:
     """Exact duplicate-substring span statistics per document — the
     k-gram form of suffix-array substring dedup (Lee et al. '21
@@ -1203,10 +1314,12 @@ def dup_gram_spans(
     (reused by the island merge — same partitioning) and the global
     gram-count hash aggregate, which map-side-combines (partial counts
     per task) so the shuffle carries one row per distinct gram per task,
-    not per occurrence. At extreme scale, truncate md5 to its first 16
-    hex chars for an int64 key (birthday collisions at 10^12 grams mark
-    ~1e4 false-dup grams — negligible over-removal); kept full-width
-    here for bit-exact oracle parity.
+    not per occurrence. At extreme scale pass ``gram_key="int64"``:
+    the md5 truncates to a 60-bit LONG key, quartering shuffle bytes
+    per gram row (collision-safety argument in `_positional_grams` —
+    birthday collisions can only over-mark, ~4e5 false-dup grams at
+    10^12 grams). The default stays full-width md5 for bit-exact
+    oracle parity.
 
     `spans`: a precomputed `dup_span_islands` table (doc_id, n_tok,
     span_start, span_end) — pass it when `strip_dup_spans` shares the
@@ -1216,7 +1329,7 @@ def dup_gram_spans(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if spans is None:
-        spans = dup_span_islands(docs, n, text_col)
+        spans = dup_span_islands(docs, n, text_col, gram_key)
     per_doc = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
@@ -1250,6 +1363,7 @@ def strip_dup_spans(
     n: int = 5,
     text_col: str = "text",
     spans: DataFrame | None = None,
+    gram_key: str = "md5",
 ) -> DataFrame:
     """Rebuild each document with its duplicated spans removed — the
     executable companion of `dup_gram_spans` (what ExactSubstr dedup
@@ -1265,12 +1379,13 @@ def strip_dup_spans(
     itself, so the exchange is the payload, not overhead.
 
     `spans`: optional precomputed `dup_span_islands` table shared with
-    `dup_gram_spans` (same contract as there).
+    `dup_gram_spans` (same contract as there). ``gram_key`` as in
+    `_positional_grams` ("int64" = truncated-key mode at scale).
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if spans is None:
-        spans = dup_span_islands(docs, n, text_col)
+        spans = dup_span_islands(docs, n, text_col, gram_key)
     dup_positions = spans.select(
         "doc_id",
         F.explode(F.sequence("span_start", "span_end")).alias("pos"),

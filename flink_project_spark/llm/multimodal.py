@@ -294,6 +294,7 @@ def payload_near_dups(
     bands: int = 4,
     max_hamming: int = 3,
     sim: DataFrame | None = None,
+    expected_docs: int | None = None,
 ) -> DataFrame:
     """Blob near-dup pairs: `payload_simhash` + the pigeonhole banded
     self-join of `dedup.simhash_near_dups` (never blob x blob).
@@ -309,7 +310,9 @@ def payload_near_dups(
         raise ValueError("pass exactly one of media / sim")
     if sim is None:
         sim = payload_simhash(media, chunk, stride, bits)
-    return simhash_near_dups(sim, bits, bands, max_hamming)
+    return simhash_near_dups(
+        sim, bits, bands, max_hamming, expected_docs=expected_docs
+    )
 
 
 #: CDC rolling-hash parameters: polynomial base, window width, and the

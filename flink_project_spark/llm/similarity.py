@@ -237,25 +237,56 @@ def signlsh_bucket(
     return F.expr(" + ".join(terms))
 
 
+def auto_n_planes(expected_vectors: int, target_bucket: int = 256) -> int:
+    """Sign-LSH plane count sized to the corpus: enough planes that the
+    EXPECTED bucket population is ~``target_bucket`` vectors
+    (2^n_planes buckets), so per-bucket self-join work stays ~linear as
+    the corpus grows. Floor of 4 (the historical default — below that
+    the bucketing is effectively off anyway). NOTE this is a recall
+    knob, not free speed: each added plane multiplies the collision
+    probability of a true pair at angle theta by (1 - theta/pi), so
+    raising planes with corpus size trades tail recall for bounded
+    cost. Callers pinning exact reproducibility (the contract oracles
+    mirror the bucket assignment) must pass n_planes explicitly."""
+    import math
+
+    if expected_vectors <= 0:
+        return 4
+    return max(4, math.ceil(math.log2(max(expected_vectors / target_bucket, 1.0))))
+
+
 def embedding_near_dups(
     emb: DataFrame,
     dim: int,
     threshold: float = 0.3,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    expected_vectors: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via sign-LSH bucketed self-join.
 
     Pairs landing in the same bucket are scored exactly; recall follows
     the sign-LSH collision curve P = (1 - theta/pi)^n_planes. At 100 TB
     the self-join is per-bucket; n_planes tunes bucket granularity
-    against recall. `dim` is REQUIRED: ArrayType carries no length, and
+    against recall. Pass ``n_planes=None`` with an ``expected_vectors``
+    size hint to have `auto_n_planes` size the bucket space to the
+    corpus (the "raise it with corpus size" runbook note, computed —
+    with the documented recall trade-off; the default stays the fixed
+    4 because bucket membership is part of the operator's OBSERVABLE
+    output and the driver oracles reproduce it plane-for-plane).
+    `dim` is REQUIRED: ArrayType carries no length, and
     deriving it with a driver-side .first() probe would hide a Spark job
     inside plan construction (round-1 verdict item).
     The bucketed projection is persisted — it feeds both sides of the
     self-join, and the n_planes 64-dim sign dots are the expensive part.
     """
+    if n_planes is None:
+        if expected_vectors is None:
+            raise ValueError(
+                "n_planes=None needs an expected_vectors size hint"
+            )
+        n_planes = auto_n_planes(expected_vectors)
     from flink_project_spark.cache import persist_tracked
 
     b = persist_tracked(

@@ -79,8 +79,14 @@ def get_spark(
         if kafka_pkg.lower() in ("1", "true", "yes"):
             import pyspark
 
+            # the Scala ABI suffix follows the pyspark line: Spark 4.x
+            # wheels are built against Scala 2.13, Spark 3.x against
+            # 2.12 — a hardcoded 2.13 would pull an ABI-incompatible
+            # connector under pyspark 3.x
+            major = int(pyspark.__version__.split(".")[0])
+            scala = "2.13" if major >= 4 else "2.12"
             kafka_pkg = (
-                "org.apache.spark:spark-sql-kafka-0-10_2.13:"
+                f"org.apache.spark:spark-sql-kafka-0-10_{scala}:"
                 + pyspark.__version__
             )
         builder = builder.config("spark.jars.packages", kafka_pkg)

@@ -130,15 +130,24 @@ def _list_store_layouts(
         # populated store.
         import os
         import posixpath
+        from urllib.parse import urlsplit
 
         def _norm(u: str) -> str:
-            if "://" in u:
-                u = u.split("://", 1)[1]
-            elif u.startswith("file:"):
-                u = u[len("file:"):]
-            if not u.startswith("/"):
-                u = posixpath.join(os.getcwd(), u)
-            return posixpath.normpath(u)
+            # URI-aware: keep only the PATH component. The authority
+            # (hdfs://nn:8020/store, s3a://bucket/store) must NOT be
+            # folded into the path — the engine's canonical listing may
+            # spell it differently (default port added or elided) and a
+            # substring strip would cwd-join 'nn:8020/store' as a
+            # relative path, making every relpath start with '..'.
+            # Comparing paths alone is sound here because the listing
+            # is already scoped: load(store_dir) returns only objects
+            # under the store, whatever its authority spelling. Only a
+            # genuinely scheme-less relative path is cwd-joined.
+            sp = urlsplit(u)
+            path = sp.path if sp.scheme else u
+            if not path.startswith("/"):
+                path = posixpath.join(os.getcwd(), path)
+            return posixpath.normpath(path)
 
         base = _norm(store_dir)
         root_files, has_batch_dirs = [], False
@@ -177,6 +186,129 @@ def _next_store_batch_id(store_dir: str) -> int:
     except OSError:
         return 0
     return max(existing) + 1 if existing else 0
+
+
+def compact_store(
+    spark,
+    store_dir: str,
+    horizon_seconds: int,
+    watermark=None,
+) -> dict:
+    """Offline maintenance for a streaming-dedup signature store:
+    delete every ``batch=N`` partition and legacy root-level file whose
+    arrivals are ALL past the horizon, and REWRITE partitions that are
+    only partially expired with just their in-horizon rows — so the
+    store's size is bounded by the horizon instead of growing with
+    stream lifetime (T13; the cluster analog is a partition DROP plus
+    one rewrite of the boundary partition).
+
+    Correctness contract (matches the operators' own admission rules):
+    a stored arrival at ts can only drop a real-ts NEW document with
+    new_ts in [ts, ts + horizon] (earlier-arrival + per-document
+    horizon), so once the stream's event time has reached
+    ``watermark``, rows with ``_ts < watermark - horizon`` can never
+    match a future in-order real-ts document — evicting them is
+    invisible to admission (the replay-equivalence test pins this).
+    Two documented exceptions, both on the operators' over-admit-only
+    side: NULL-ts documents match the unfiltered store, so one may be
+    admitted post-compaction where it was dropped before; an
+    out-of-order arrival older than the watermark may likewise be
+    over-admitted. Neither can retro-drop an admitted document.
+
+    ``watermark`` defaults to the store's own max ``_ts`` (one scalar
+    aggregate); pass the stream's event-time watermark when available.
+    The HIGHEST batch id is never touched even when fully expired —
+    it is the one partition a foreachBatch replay may legitimately
+    overwrite-and-exclude, and deleting it would reset
+    `_next_store_batch_id` for direct callers. Run between
+    micro-batches (it moves directories); local filesystem only, like
+    `_next_store_batch_id`.
+
+    Works on any store whose rows carry ``_ts`` — both the SimHash
+    twin's (doc_id, simhash, _ts) and the semantic twin's quantized
+    rows — and on mixed modern+legacy layouts (legacy root files are
+    delete-only: their rows all predate the batch layout, so a
+    partially-expired legacy file just waits for full expiry, exactly
+    the "delete once past horizon" note this function automates).
+    """
+    import os
+    import shutil
+
+    stats = {
+        "batches_deleted": 0,
+        "batches_rewritten": 0,
+        "legacy_files_deleted": 0,
+        "rows_kept": 0,
+        "rows_dropped": 0,
+    }
+    has_batch_dirs, root_files = _list_store_layouts(spark, store_dir)
+    if not has_batch_dirs and not root_files:
+        return stats
+    frames = []
+    if has_batch_dirs:
+        frames.append(spark.read.parquet(store_dir).select("_ts"))
+    if root_files:
+        frames.append(spark.read.parquet(*root_files).select("_ts"))
+    all_ts = frames[0]
+    for f in frames[1:]:
+        all_ts = all_ts.union(f)
+    if watermark is None:
+        watermark = all_ts.agg(F.max("_ts")).collect()[0][0]
+    if watermark is None:  # store exists but holds zero rows
+        return stats
+    cutoff = F.lit(watermark) - F.expr(
+        f"INTERVAL {int(horizon_seconds)} SECONDS"
+    )
+    batch_ids = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(store_dir)
+        if d.startswith("batch=")
+    )
+    protected = batch_ids[-1] if batch_ids else None
+    for bid in batch_ids:
+        part_dir = os.path.join(store_dir, f"batch={bid}")
+        rows = spark.read.parquet(part_dir)
+        kept = rows.filter(F.col("_ts") >= cutoff)
+        n_total = rows.count()
+        n_kept = kept.count()
+        if bid == protected:
+            stats["rows_kept"] += n_total
+            continue
+        if n_kept == 0:
+            shutil.rmtree(part_dir)
+            stats["batches_deleted"] += 1
+            stats["rows_dropped"] += n_total
+        elif n_kept < n_total:
+            # rewrite via a DOT-prefixed sibling (hidden from Spark's
+            # partition discovery), then swap — no window where the
+            # partition is missing rows it should keep
+            tmp = os.path.join(store_dir, f".compact-batch={bid}")
+            kept.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(part_dir)
+            os.replace(tmp, part_dir)
+            stats["batches_rewritten"] += 1
+            stats["rows_kept"] += n_kept
+            stats["rows_dropped"] += n_total - n_kept
+        else:
+            stats["rows_kept"] += n_total
+    for rf in root_files:
+        local = rf
+        for pre in ("file://", "file:"):
+            if local.startswith(pre):
+                local = local[len(pre):]
+                break
+        rows = spark.read.parquet(rf)
+        n_total = rows.count()
+        n_kept = rows.filter(F.col("_ts") >= cutoff).count()
+        if n_kept == 0:
+            os.remove(local)
+            stats["legacy_files_deleted"] += 1
+            stats["rows_dropped"] += n_total
+        else:
+            # legacy files are delete-only (see docstring): a
+            # partially-expired one stays whole until full expiry
+            stats["rows_kept"] += n_total
+    return stats
 
 
 def _admit_and_store(

@@ -1399,3 +1399,103 @@ def test_frame_sample_validates_every(spark):
     )
     with pytest.raises(ValueError, match="every must be >= 1"):
         MM.frame_sample(decoded, every=0)
+
+
+def test_auto_blocks_size_aware_and_guards(spark):
+    """_auto_blocks: the expected_docs cost model widens anchors for
+    large corpora and keeps replication low for small ones; the result
+    set is invariant to the choice (exactness is the property test's
+    job — here we pin equality between the sized and default plans on a
+    real near-dup corpus). Validation guards: 64-bit signatures with
+    max_hamming=0 put 64 bits in every anchor key (> 63-bit long) and
+    fail loud; max_hamming=12 needs 13 blocks, over the band-lookup
+    limit."""
+    import pytest as _pytest
+
+    from flink_project_spark.llm.dedup import _auto_blocks, _validate_blocks
+
+    small = _auto_blocks(4, 3, 32, expected_docs=1000)
+    big = _auto_blocks(4, 3, 32, expected_docs=500_000)
+    assert small <= big
+    assert _auto_blocks(4, 3, 32) == 6  # static sweet spot unchanged
+    # the sized choices stay inside every budget
+    for b in (small, big):
+        _validate_blocks(32, b, 3)
+
+    with _pytest.raises(ValueError, match="63-bit"):
+        _validate_blocks(64, 1, 0)
+    with _pytest.raises(ValueError, match="12"):
+        _auto_blocks(20, 12, 64)
+    with _pytest.raises(ValueError, match="no valid block count"):
+        _auto_blocks(4, 0, 64, expected_docs=10)
+
+    sigs = [0b1111, 0b1011, 0b1000_1111, 1 << 30, (1 << 30) | 3, 12345]
+    sim = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "doc_id long, simhash long"
+    )
+
+    def pairs(**kw):
+        return {
+            (r.doc_a, r.doc_b)
+            for r in DD.simhash_near_dups(sim, **kw).collect()
+        }
+
+    want = pairs()
+    assert pairs(expected_docs=10) == want
+    assert pairs(expected_docs=10_000_000) == want
+
+
+def test_dup_spans_int64_gram_key_equivalent(spark):
+    """gram_key="int64" (truncated 60-bit keys, the extreme-scale
+    mode) produces byte-identical span statistics and stripped text on
+    a collision-free corpus, and the knob rejects unknown values."""
+    import pytest as _pytest
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y a b c d e f q r"),   # shares a 6-token run with doc 1
+        (3, "p q r s t u v w"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def snap(fn, **kw):
+        return sorted(
+            tuple(r) for r in fn(docs, n=5, **kw).collect()
+        )
+
+    assert snap(DD.dup_gram_spans) == snap(
+        DD.dup_gram_spans, gram_key="int64"
+    )
+    assert snap(DD.strip_dup_spans) == snap(
+        DD.strip_dup_spans, gram_key="int64"
+    )
+    with _pytest.raises(ValueError, match="gram_key"):
+        DD.dup_gram_spans(docs, n=5, gram_key="sha1")
+
+
+def test_auto_n_planes_and_near_dup_hint(spark):
+    """auto_n_planes targets ~256 vectors per bucket with a floor of 4;
+    embedding_near_dups(n_planes=None) demands the size hint and the
+    explicit default stays plane-for-plane reproducible."""
+    import pytest as _pytest
+
+    from flink_project_spark.llm.similarity import (
+        auto_n_planes,
+        embedding_near_dups,
+    )
+
+    assert auto_n_planes(0) == 4
+    assert auto_n_planes(1000) == 4
+    assert auto_n_planes(1 << 20) == 12   # 1M vectors -> 4096 buckets
+    assert auto_n_planes(1 << 28) == 20
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="expected_vectors"):
+        embedding_near_dups(emb, dim=2, n_planes=None)
+    got = embedding_near_dups(
+        emb, dim=2, n_planes=None, expected_vectors=100
+    ).collect()
+    assert len(got) == 1  # auto floor = the historical 4-plane default

@@ -1267,3 +1267,158 @@ def test_render_rejects_unknown_dialect():
 
     with _pytest.raises(ValueError, match="unknown dialect"):
         FX.render("SELECT 1", "sparksql")
+
+
+def test_compact_store_replay_equivalence_and_bounded_size(spark, tmp_path):
+    """compact_store between micro-batches: the admitted sets match an
+    uncompacted run batch for batch, fully-expired batch partitions are
+    deleted, the partially-expired boundary partition is rewritten to
+    its in-horizon rows, and the latest partition is never touched —
+    so the store's on-disk row count is bounded by the horizon while a
+    stream of any length runs."""
+    import os
+
+    from flink_project_spark.streaming.dedup import (
+        compact_store,
+        near_dup_dedup_batch,
+    )
+
+    horizon = 600
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, ts_s string, text string"
+        ).select(
+            "doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "text"
+        )
+
+    def text(i):
+        return " ".join(f"u{i}w{j}" for j in range(25))
+
+    # batch k at t = k*400s: one fresh doc (admitted) + one exact copy
+    # of the PREVIOUS batch's fresh doc (within horizon -> dropped,
+    # which only works if the store still matches post-compaction) +
+    # every third batch a straggler row 300s later (spans the eviction
+    # cutoff inside one partition -> exercises the rewrite path)
+    def batch(k):
+        base = "2024-01-01 00:00:00"
+        import datetime as dt
+
+        t = dt.datetime.fromisoformat(base) + dt.timedelta(seconds=400 * k)
+        rows = [(10 * k, t.strftime("%Y-%m-%d %H:%M:%S"), text(k))]
+        if k > 0:
+            rows.append(
+                (10 * k + 1, t.strftime("%Y-%m-%d %H:%M:%S"), text(k - 1))
+            )
+        if k % 3 == 0:
+            t2 = t + dt.timedelta(seconds=300)
+            rows.append(
+                (10 * k + 2, t2.strftime("%Y-%m-%d %H:%M:%S"), text(1000 + k))
+            )
+        return mk(rows)
+
+    store_nc = str(tmp_path / "nc")
+    store_c = str(tmp_path / "c")
+    admitted_nc, admitted_c = [], []
+    for k in range(6):
+        admitted_nc.append(
+            {r["doc_id"] for r in near_dup_dedup_batch(
+                batch(k), store_nc, horizon_seconds=horizon, batch_id=k
+            ).collect()}
+        )
+        admitted_c.append(
+            {r["doc_id"] for r in near_dup_dedup_batch(
+                batch(k), store_c, horizon_seconds=horizon, batch_id=k
+            ).collect()}
+        )
+        compact_store(spark, store_c, horizon)
+    assert admitted_c == admitted_nc  # eviction invisible to admission
+    assert any(a for a in admitted_nc)
+
+    dirs_nc = sorted(
+        d for d in os.listdir(store_nc) if d.startswith("batch=")
+    )
+    dirs_c = sorted(
+        d for d in os.listdir(store_c) if d.startswith("batch=")
+    )
+    assert len(dirs_nc) == 6
+    # watermark after batch 5 = 2000s; cutoff = 1400s: batches 0-3
+    # (<=1500s incl stragglers) expire except in-horizon stragglers,
+    # batch 4 (1600s) stays, batch 5 protected
+    assert len(dirs_c) < len(dirs_nc)
+    assert "batch=5" in dirs_c  # latest partition never touched
+    rows_c = spark.read.parquet(store_c).count()
+    rows_nc = spark.read.parquet(store_nc).count()
+    assert rows_c < rows_nc
+
+    # stats shape on a no-op follow-up call (idempotent maintenance)
+    stats = compact_store(spark, store_c, horizon)
+    assert stats["batches_deleted"] == 0 and stats["batches_rewritten"] == 0
+
+
+def test_compact_store_rewrites_boundary_partition(spark, tmp_path):
+    """A partition holding rows on BOTH sides of the eviction cutoff is
+    rewritten with only the in-horizon rows (not deleted, not left
+    whole)."""
+    import os
+
+    from flink_project_spark.streaming.dedup import compact_store
+
+    store = str(tmp_path / "s")
+    old = spark.createDataFrame(
+        [(1, 100, "2024-01-01 00:00:00"), (2, 200, "2024-01-01 01:00:00")],
+        "doc_id long, simhash long, ts_s string",
+    ).select(
+        "doc_id", "simhash", F.col("ts_s").cast("timestamp").alias("_ts")
+    )
+    old.write.parquet(f"{store}/batch=0")
+    newer = spark.createDataFrame(
+        [(3, 300, "2024-01-01 01:10:00")],
+        "doc_id long, simhash long, ts_s string",
+    ).select(
+        "doc_id", "simhash", F.col("ts_s").cast("timestamp").alias("_ts")
+    )
+    newer.write.parquet(f"{store}/batch=1")
+
+    stats = compact_store(spark, store, horizon_seconds=600)
+    # watermark 01:10, cutoff 01:00 -> batch=0 keeps only doc 2
+    assert stats["batches_rewritten"] == 1
+    assert stats["batches_deleted"] == 0
+    kept = {
+        r["doc_id"] for r in spark.read.parquet(f"{store}/batch=0").collect()
+    }
+    assert kept == {2}
+    assert os.path.isdir(f"{store}/batch=1")
+
+
+def test_compact_store_deletes_expired_legacy_root_files(spark, tmp_path):
+    """Pre-r3 root-level signature files are deleted once every row is
+    past the horizon (delete-only: a partially-expired legacy file
+    stays whole), automating the documented manual cleanup."""
+    import glob
+    import os
+    import shutil
+
+    from flink_project_spark.streaming.dedup import compact_store
+
+    store = tmp_path / "s"
+    store.mkdir()
+    legacy = spark.createDataFrame(
+        [(100, "2024-01-01 00:00:00")], "simhash long, ts_s string"
+    ).select("simhash", F.col("ts_s").cast("timestamp").alias("_ts"))
+    tmp_out = str(tmp_path / "legacy_out")
+    legacy.coalesce(1).write.parquet(tmp_out)
+    part = glob.glob(f"{tmp_out}/part-*.parquet")[0]
+    shutil.copy(part, str(store / "sig-legacy.parquet"))
+    modern = spark.createDataFrame(
+        [(1, 300, "2024-01-01 02:00:00")],
+        "doc_id long, simhash long, ts_s string",
+    ).select(
+        "doc_id", "simhash", F.col("ts_s").cast("timestamp").alias("_ts")
+    )
+    modern.write.parquet(f"{store}/batch=0")
+
+    stats = compact_store(spark, str(store), horizon_seconds=600)
+    assert stats["legacy_files_deleted"] == 1
+    assert not os.path.exists(str(store / "sig-legacy.parquet"))
+    assert os.path.isdir(f"{store}/batch=0")  # latest, protected
