@@ -202,7 +202,11 @@ def main() -> None:
     # probe-normalized total (linear deflation by observed/quiet probe
     # ratio — a cross-check, not a replacement for a quiet re-run).
     best_pass_probe = min(pass_probes)
-    window_clean = best_pass_probe <= dirty_bar
+    # the build contributes to `total`, so its window counts too: clean
+    # means BOTH the counted build min and some counted pass ran quiet
+    window_clean = (
+        best_pass_probe <= dirty_bar and min(build_probes) <= dirty_bar
+    )
     norm = min(1.0, QUIET_PROBE_S / best_pass_probe) if best_pass_probe > 0 else 1.0
     probe_normalized = round(total * (1.0 if window_clean else norm), 2)
     # The COMPACT total line prints FIRST on its own line so a bounded

@@ -67,6 +67,37 @@ def v32_py(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
 
 
+_NIBBLE_MULT_60 = [16 ** (14 - i) for i in range(15)]  # 16^14 .. 16^0
+
+
+def v60(col: Column) -> Column:
+    """First 60 bits (15 hex nibbles) of md5(col) as LongType — the
+    wide-signature twin of `v32` for operators whose hash SPACE, not
+    just key width, must outgrow the corpus (e.g. SimHash bit majority:
+    32 signature bits saturate around 10^4 documents on natural-text
+    word distributions — see `doc_simhash`). 60 is the widest md5
+    prefix whose value and whose 2^j bit weights all stay inside a
+    signed 64-bit long in both engines (bit 63 is the sign; 61-63 would
+    need unsigned semantics DuckDB and Spark disagree on)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def v60_sql(expr: str) -> str:
+    """DuckDB SQL computing the identical 60-bit value (nibble
+    expansion, same construction as `v32_sql`)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * CAST({m} AS BIGINT)"
+        for i, m in enumerate(_NIBBLE_MULT_60)
+    )
+    return f"({terms})"
+
+
+def v60_py(s: str) -> int:
+    """Python twin of `v60`."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def plane_weights(n_planes: int, dim: int, salt: str = "plane") -> list[list[float]]:
     """Deterministic random-hyperplane weights in [-0.5, 0.5).
 

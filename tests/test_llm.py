@@ -1499,3 +1499,113 @@ def test_auto_n_planes_and_near_dup_hint(spark):
         emb, dim=2, n_planes=None, expected_vectors=100
     ).collect()
     assert len(got) == 1  # auto floor = the historical 4-plane default
+
+
+def test_doc_simhash_60bit_width(spark):
+    """bits=60 signatures: match the v60 python twin bit for bit, agree
+    between the aggregate and HOF forms, reject bits > 60 (signed-long
+    bit weights), and the banded near-dup search stays exact at the
+    wider width. 32-bit default signatures are untouched (oracle/
+    reference parity)."""
+    import pytest as _pytest
+
+    from flink_project_spark.llm.hashing import v60_py, v60_sql
+
+    rows = [(1, "hello world"), (2, ""), (3, "a b a"), (4, "hello world")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in DD.doc_simhash(docs, bits=60).collect()}
+
+    def twin(text, bits=60):
+        sums = [0] * bits
+        for w in text.split():
+            h = v60_py(w)
+            for j in range(bits):
+                sums[j] += 1 if (h >> j) & 1 else -1
+        return sum((1 << j) for j in range(bits) if sums[j] > 0)
+
+    for did, t in rows:
+        assert got[did] == twin(t)
+    hof = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", DD.simhash(F.col("text"), 60).alias("s")
+        ).collect()
+    }
+    assert hof == got
+    with _pytest.raises(ValueError, match="60"):
+        DD.doc_simhash(docs, bits=64)
+    with _pytest.raises(ValueError, match="60"):
+        DD.simhash(F.col("text"), bits=64)
+
+    import duckdb
+
+    assert (
+        duckdb.connect().execute("SELECT " + v60_sql("'hello'")).fetchone()[0]
+        == v60_py("hello")
+    )
+
+    # exactness of the banded search at 60 bits: brute force over the
+    # signature table == simhash_near_dups(bits=60)
+    sim = DD.doc_simhash(docs, bits=60)
+    sigs = {r.doc_id: r.simhash for r in sim.collect()}
+    want = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in DD.simhash_near_dups(sim, bits=60).collect()
+    }
+    assert got_pairs == want and (1, 4) in got_pairs
+
+
+def test_doc_simhash_shingle_features(spark):
+    """shingle=n switches simhash features to DISTINCT word n-gram
+    shingles (the scale configuration): matches a python twin built on
+    the exact `shingle_array` construction, ignores word multiplicity
+    (distinct shingles), keeps empty docs at 0, and a one-word edit of
+    a long doc stays within a small hamming radius while unrelated
+    docs land far apart."""
+    from flink_project_spark.llm.hashing import v60_py
+
+    base = " ".join(f"w{i}" for i in range(40))
+    edited = " ".join(
+        f"w{i}" if i != 17 else "XX" for i in range(40)
+    )
+    rows = [
+        (1, base),
+        (2, edited),
+        (3, " ".join(f"z{i}" for i in range(40))),
+        (4, ""),
+        (5, "a b a b a b"),  # repeats collapse to 2 distinct shingles + edge
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.simhash
+        for r in DD.doc_simhash(docs, bits=60, shingle=3).collect()
+    }
+
+    def twin(text, n=3, bits=60):
+        ws = text.split()
+        if not ws:
+            return 0
+        upper = max(len(ws) - (n - 1), 1)
+        shingles = sorted({" ".join(ws[i : i + n]) for i in range(upper)})
+        sums = [0] * bits
+        for sh in shingles:
+            h = v60_py(sh)
+            for j in range(bits):
+                sums[j] += 1 if (h >> j) & 1 else -1
+        return sum((1 << j) for j in range(bits) if sums[j] > 0)
+
+    for did, t in rows:
+        assert got[did] == twin(t), did
+    d12 = bin(got[1] ^ got[2]).count("1")
+    d13 = bin(got[1] ^ got[3]).count("1")
+    assert d12 < d13 and d13 > 15
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shingle"):
+        DD.doc_simhash(docs, shingle=0)
