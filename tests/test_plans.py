@@ -417,3 +417,39 @@ def test_rarity_vocab_is_single_pass_rollup(spark):
     assert "Expand" in plan, plan
     extra = plan.count("Exchange") - tf_plan.count("Exchange")
     assert extra == 1, (extra, plan)
+
+
+def test_waiting_suppliers_single_data_scaled_exchange_chain(spark):
+    """Round 6: one hash(l_orderkey) exchange serves both the (order,
+    supplier) late-flag aggregate and the per-order window — the pair
+    aggregate must NOT introduce its own (orderkey, suppkey) exchange.
+    Total shuffle exchanges = 2 (the orderkey repartition + the final
+    per-supplier aggregate); everything else rides broadcasts."""
+    plan = _plan(spark, "waiting_suppliers")
+    assert "hashpartitioning(l_orderkey#" in plan or (
+        "hashpartitioning(l_orderkey" in plan
+    ), plan
+    assert "hashpartitioning(l_orderkey, l_suppkey" not in plan.replace(
+        "#", ""
+    ).replace("L", ""), plan
+    import re
+
+    shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert shuffles == 2, (shuffles, plan)
+
+
+def test_decay_gated_aggregates_straight_onto_canonical_key(spark):
+    """Round 6: the gated pair stream aggregates once, directly on the
+    canonical (least, greatest) item key — no intermediate
+    (user, item_a, item_b) hash aggregate (the removed per-user
+    pre-pass cost a full extra hash pass over every emission and could
+    not shrink the canonical shuffle below map-side combine)."""
+    plan = _plan(spark, "itemcf_decay_gated")
+    head = plan.split("InMemoryTableScan", 1)[0]
+    assert "keys=[lo" in head, head
+    # no aggregate keyed by the (user, a, b) triple anywhere above the
+    # cached array table
+    import re
+
+    triple = re.search(r"HashAggregate\(keys=\[user_id[^\]]*item_a", head)
+    assert triple is None, head
