@@ -192,6 +192,20 @@ def main() -> None:
     while all(p > dirty_bar for p in pass_probes) and extra_passes < max_extra:
         extra_passes += 1
         _timed_pass()
+    # Second contention signal (round-6 incident): spikes can hit
+    # MID-pass while every surrounding probe reads quiet — observed
+    # pass totals of 182/65/68 s on identical code minutes apart. High
+    # dispersion across pass totals means some pass absorbed a spike;
+    # min-per-query usually rescues single-query hits, but one bounded
+    # extra pass materially improves the odds that every query saw at
+    # least one quiet window.
+    # (an if, not a loop: the spiked pass never leaves `passes`, so
+    # dispersion stays high forever — one extra quiet-probed pass is
+    # the useful remedy and the budget stays bounded)
+    totals = [sum(p.values()) for p in passes]
+    if max(totals) > 1.5 * min(totals) and extra_passes < max_extra:
+        extra_passes += 1
+        _timed_pass()
     best = {k: min(p[k] for p in passes) for k in passes[0]}
 
     probe_end = [_probe() for _ in range(3)]
