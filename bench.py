@@ -217,11 +217,18 @@ def main() -> None:
     # ratio — a cross-check, not a replacement for a quiet re-run).
     best_pass_probe = min(pass_probes)
     # the build contributes to `total`, so its window counts too: clean
-    # means BOTH the counted build min and some counted pass ran quiet
-    window_clean = (
-        best_pass_probe <= dirty_bar and min(build_probes) <= dirty_bar
+    # means BOTH the cleanest build window and the cleanest pass window
+    # ran quiet. The normalization deflates by the LIMITING component —
+    # whichever of the two cleanest windows was dirtier — so a
+    # build-dirty/pass-quiet run still gets a real deflation instead of
+    # a no-op "normalized" copy of the raw total.
+    effective_probe = max(best_pass_probe, min(build_probes))
+    window_clean = effective_probe <= dirty_bar
+    norm = (
+        min(1.0, QUIET_PROBE_S / effective_probe)
+        if effective_probe > 0
+        else 1.0
     )
-    norm = min(1.0, QUIET_PROBE_S / best_pass_probe) if best_pass_probe > 0 else 1.0
     probe_normalized = round(total * (1.0 if window_clean else norm), 2)
     # The COMPACT total line prints FIRST on its own line so a bounded
     # capture always gets a parseable primary artifact (round 3's single

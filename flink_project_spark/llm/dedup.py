@@ -1297,9 +1297,10 @@ def _positional_grams(
     if gram_key == "md5":
         h = F.md5(gram)
     elif gram_key == "int64":
-        # conv() parses hex -> decimal string; 15 hex chars = 60 bits
-        # always fit a signed long (16 would overflow at >= 2^63)
-        h = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+        # the shared 60-bit md5-prefix hash (15 hex chars always fit a
+        # signed long; 16 would overflow at >= 2^63) — ONE definition
+        # keeps the v60_sql/v60_py oracle twins authoritative
+        h = v60(gram)
     else:
         raise ValueError(f"gram_key must be md5|int64, got {gram_key!r}")
     return (

@@ -287,6 +287,12 @@ def embedding_near_dups(
                 "n_planes=None needs an expected_vectors size hint"
             )
         n_planes = auto_n_planes(expected_vectors)
+    elif expected_vectors is not None:
+        raise ValueError(
+            "expected_vectors only applies with n_planes=None (auto "
+            "sizing); an explicit n_planes would silently ignore the "
+            "hint"
+        )
     from flink_project_spark.cache import persist_tracked
 
     b = persist_tracked(

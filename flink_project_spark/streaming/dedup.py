@@ -244,15 +244,15 @@ def compact_store(
     has_batch_dirs, root_files = _list_store_layouts(spark, store_dir)
     if not has_batch_dirs and not root_files:
         return stats
-    frames = []
-    if has_batch_dirs:
-        frames.append(spark.read.parquet(store_dir).select("_ts"))
-    if root_files:
-        frames.append(spark.read.parquet(*root_files).select("_ts"))
-    all_ts = frames[0]
-    for f in frames[1:]:
-        all_ts = all_ts.union(f)
     if watermark is None:
+        frames = []
+        if has_batch_dirs:
+            frames.append(spark.read.parquet(store_dir).select("_ts"))
+        if root_files:
+            frames.append(spark.read.parquet(*root_files).select("_ts"))
+        all_ts = frames[0]
+        for f in frames[1:]:
+            all_ts = all_ts.union(f)
         watermark = all_ts.agg(F.max("_ts")).collect()[0][0]
     if watermark is None:  # store exists but holds zero rows
         return stats
@@ -267,25 +267,37 @@ def compact_store(
     protected = batch_ids[-1] if batch_ids else None
     for bid in batch_ids:
         part_dir = os.path.join(store_dir, f"batch={bid}")
+        if bid == protected:
+            # never read/counted: the newest partition is always kept
+            # whole, so its scan would be a wasted job
+            stats["rows_kept"] += spark.read.parquet(part_dir).count()
+            continue
         rows = spark.read.parquet(part_dir)
         kept = rows.filter(F.col("_ts") >= cutoff)
         n_total = rows.count()
         n_kept = kept.count()
-        if bid == protected:
-            stats["rows_kept"] += n_total
-            continue
         if n_kept == 0:
             shutil.rmtree(part_dir)
             stats["batches_deleted"] += 1
             stats["rows_dropped"] += n_total
         elif n_kept < n_total:
-            # rewrite via a DOT-prefixed sibling (hidden from Spark's
-            # partition discovery), then swap — no window where the
-            # partition is missing rows it should keep
+            # rewrite via DOT-prefixed siblings (hidden from Spark's
+            # partition discovery), then a rename-aside swap: the only
+            # crash window that leaves batch=N absent is between the
+            # two renames (metadata ops), and a crash there leaves the
+            # kept rows in .compact-batch=N and the originals in
+            # .old-batch=N — both recoverable by hand, neither state
+            # silently matching fewer signatures than a completed run
+            # would (missing rows can only over-admit, the operators'
+            # documented failure side)
             tmp = os.path.join(store_dir, f".compact-batch={bid}")
+            old = os.path.join(store_dir, f".old-batch={bid}")
             kept.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(part_dir)
+            if os.path.isdir(old):  # stale leftover from a past crash
+                shutil.rmtree(old)
+            os.replace(part_dir, old)
             os.replace(tmp, part_dir)
+            shutil.rmtree(old)
             stats["batches_rewritten"] += 1
             stats["rows_kept"] += n_kept
             stats["rows_dropped"] += n_total - n_kept

@@ -20,10 +20,15 @@ Output goes inside the repo (default .scaling/sf1 — gitignored; do NOT
 write to /root/testdata, which is read-only by contract).
 
 Vocabulary modes (--vocab): ``legacy`` (default) reproduces the
-driver corpus's 31-word closed vocabulary exactly; ``open`` swaps ONLY
-the token vocabulary for a 50k-token Zipf(1.07) draw — document count,
-length distribution, dup/near-dup injection rates, and every other
-table stay byte-for-byte the legacy construction. Rationale
+driver corpus's 31-word closed vocabulary exactly; ``open`` swaps the
+token vocabulary for a 50k-token Zipf(1.07) draw — document count,
+length distribution, dup/near-dup injection RATES, and every other
+table keep the legacy CONSTRUCTION (same generators, same
+parameters). Not byte-for-byte: open mode consumes the shared RNG
+stream differently from the first fresh document on, so which docs
+become dups and the post-text tables (langs, embeddings) are a
+different draw with identical distributions — cross-mode comparisons
+are rate-faithful, not row-identical. Rationale
 (round-5 verdict ask #1): the 31-word vocabulary saturates every
 fixed-size shingle/gram/signature space at sf10, so the TRUE match
 volume grows quadratically and wall time for the match-emitting dedup
