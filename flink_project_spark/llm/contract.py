@@ -22,7 +22,7 @@ from flink_project_spark.llm import multimodal as MM
 from flink_project_spark.llm import similarity as SIM
 from flink_project_spark.llm import curation as CUR
 from flink_project_spark.llm import text as TX
-from flink_project_spark.llm.hashing import v32_from_hex_sql, v32_sql
+from flink_project_spark.llm.hashing import v32_from_hex_sql, v32_sql, v60_sql
 from flink_project_spark.session import spread
 
 EMB_DIM = 64  # driver testdata embedding dimensionality (TESTDATA.md)
@@ -293,6 +293,20 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_dups(_simhash(spark, sf_dir))
+
+
+def q_doc_simhash_neardups_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB SimHash configuration, oracle-checked: 60-bit
+    signatures over distinct 3-gram shingle features (round-6 width/
+    feature knobs — SCALING_r6.json measures this configuration's pair
+    output linear in corpus size where the 32-bit/word default is
+    quadratic). Signature built inline (no shared cache): the sig
+    aggregate is one codegen pass over the shingle explode and this is
+    the only consumer."""
+    sim = DD.doc_simhash(_docs(spark, sf_dir), bits=60, shingle=3)
+    return DD.simhash_near_dups(sim, bits=60)
 
 
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -687,6 +701,11 @@ def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_payload_stats": q_media_payload_stats,
         "media_decode": q_media_decode,
         "media_resize_plan": q_media_resize_plan,
+        # tail-placed like doc_simhash_neardups: the banded join and
+        # bit-majority machinery keep in-cap oracle coverage; this
+        # entry pins the round-6 SCALE configuration (bits=60,
+        # shingle features) against its own DuckDB twin
+        "doc_simhash_neardups_scale": q_doc_simhash_neardups_scale,
         # curation ops carry semantics no other query oracle-checks
         # (hash split, per-source quota, decontamination joins,
         # repetition signals), so they sit INSIDE the driver's 50-row
@@ -1247,6 +1266,43 @@ WITH dec AS (
         FROM sbands a
         JOIN sbands c ON a.band = c.band AND a.slice = c.slice
                      AND a.doc_id < c.doc_id
+        WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+        """,
+        # the round-6 SCALE configuration: 60-bit signatures over
+        # DISTINCT 3-gram shingle features; the oracle verifies by
+        # brute-force hamming over all pairs (banding is a candidate
+        # scheme, not semantics — sf0.01 is 500 docs, 125k pairs)
+        "doc_simhash_neardups_scale": _DWORDS
+        + _DSH
+        + f"""
+        , shx2 AS (
+          -- dsh gives zero-word docs one '' shingle (ws[1:3] of an
+          -- empty list); the engine gives them NO shingles and
+          -- restores simhash 0 via left join — drop the '' here (a
+          -- real shingle is never empty: words are non-empty tokens)
+          SELECT doc_id, unnest(shs) AS sgl FROM dsh
+        ), shx3 AS (
+          SELECT doc_id, sgl FROM shx2 WHERE sgl <> ''
+        ), shh2 AS (
+          SELECT doc_id, {v60_sql('sgl')} AS h FROM shx3
+        ), bits AS (
+          SELECT doc_id, g.j,
+                 SUM(CASE WHEN (h & (CAST(1 AS BIGINT) << g.j)) <> 0
+                          THEN 1 ELSE -1 END) AS s
+          FROM shh2, generate_series(0, 59) g(j)
+          GROUP BY doc_id, g.j
+        ), sim0 AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                               ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id
+        ), sim AS (
+          SELECT d.doc_id, COALESCE(s.simhash, CAST(0 AS BIGINT)) AS simhash
+          FROM documents d LEFT JOIN sim0 s ON d.doc_id = s.doc_id
+        )
+        SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, c.simhash)) AS INT) AS hamming
+        FROM sim a JOIN sim c ON a.doc_id < c.doc_id
         WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
         """,
         "emb_cosine_topk": f"""
