@@ -593,6 +593,23 @@ def q_doc_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_decontaminate_overlap_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB decontamination width, oracle-checked: 8-gram
+    overlap (the published-pipeline rule — Gopher used 8-grams, GPT-3
+    13) against the same corpus/benchmark split as the n=3 contract
+    query. SCALING_r6.json measures this width's match volume LINEAR
+    in corpus size where n=3 is quadratic on Zipf text."""
+    docs = _docs(spark, sf_dir)
+    return CUR.decontaminate_overlap(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        n=8,
+        min_overlap=0.5,
+    )
+
+
 def q_doc_length_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-path twin of doc_length_profile (percentile_approx / GK,
     no per-group sort). Engine-specific sketch — no SQL oracle; the
@@ -706,6 +723,7 @@ def llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entry pins the round-6 SCALE configuration (bits=60,
         # shingle features) against its own DuckDB twin
         "doc_simhash_neardups_scale": q_doc_simhash_neardups_scale,
+        "doc_decontaminate_overlap_scale": q_doc_decontaminate_overlap_scale,
         # curation ops carry semantics no other query oracle-checks
         # (hash split, per-source quota, decontamination joins,
         # repetition signals), so they sit INSIDE the driver's 50-row
@@ -797,6 +815,18 @@ _DSH = r"""
   SELECT doc_id,
          list_distinct([array_to_string(ws[i:i+2], ' ')
                         for i in generate_series(1, greatest(len(ws)-2, 1))]) AS shs
+  FROM dwords
+)
+"""
+
+# distinct 8-gram shingles per doc — the round-6 SCALE width for
+# decontamination (Gopher's published 8-gram rule; SCALING_r6.json
+# measures 3-gram match volume quadratic on Zipf text, 8-gram linear)
+_DSH8 = r"""
+, dsh8 AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+7], ' ')
+                        for i in generate_series(1, greatest(len(ws)-7, 1))]) AS shs
   FROM dwords
 )
 """
@@ -1563,6 +1593,35 @@ WITH dec AS (
         + """
         , ne AS (
           SELECT dsh.doc_id, shs FROM dsh
+          JOIN dwords USING (doc_id) WHERE len(ws) > 0
+        ), shx AS (
+          SELECT doc_id, unnest(shs) AS sh FROM ne
+        ), c AS (
+          SELECT doc_id, sh FROM shx WHERE doc_id % 7 <> 0
+        ), b AS (
+          SELECT doc_id AS bench_id, sh FROM shx WHERE doc_id % 7 = 0
+        ), nb AS (
+          SELECT bench_id, CAST(count(*) AS BIGINT) AS bench_shingles
+          FROM b GROUP BY 1
+        ), m AS (
+          SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_common
+          FROM c JOIN b USING (sh) GROUP BY 1, 2
+        )
+        SELECT m.doc_id, m.bench_id, m.n_common, nb.bench_shingles,
+               CAST(m.n_common AS DOUBLE) / CAST(nb.bench_shingles AS DOUBLE)
+                 AS overlap_frac
+        FROM m JOIN nb USING (bench_id)
+        WHERE CAST(m.n_common AS DOUBLE) / CAST(nb.bench_shingles AS DOUBLE)
+              >= 0.5
+        """,
+        # identical semantics at the round-6 scale width (8-gram
+        # shingles via dsh8) — one SQL body per width so the overlap
+        # formula lives in one place per entry
+        "doc_decontaminate_overlap_scale": _DWORDS
+        + _DSH8
+        + """
+        , ne AS (
+          SELECT dsh8.doc_id, shs FROM dsh8
           JOIN dwords USING (doc_id) WHERE len(ws) > 0
         ), shx AS (
           SELECT doc_id, unnest(shs) AS sh FROM ne
