@@ -70,7 +70,33 @@ def main() -> None:
         vals = sorted(_probe() for _ in range(n))
         return vals[n // 2]
 
+    # Shuffle-shaped probe, RECORDED ONLY (no verdict): the round-6
+    # refresh runs hit a contention mode the tiny broadcast-join probe
+    # is blind to — sustained shuffle/IO-side host steal (build passes
+    # 58-76 s vs the 11-15 s norm while every CPU probe read a quiet
+    # 0.11-0.15 s). This probe moves ~2M rows through one real exchange
+    # (~0.5-0.8 s quiet), so that mode shows up in the artifact itself;
+    # the pass-dispersion retry remains the acting defense (it caught
+    # the 245 s pass the CPU probes missed).
+    def _probe_shuffle() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(2_000_000)
+            .withColumn("k", F.col("id") % 1024)
+            .repartition(32, "k")
+            .groupBy("k")
+            .count()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return round(time.perf_counter() - t0, 4)
+
+    from pyspark.sql import functions as F  # noqa: E402 (probe only)
+
+    _probe_shuffle()  # codegen warm-up; discard
     probe_start = [_probe() for _ in range(3)]
+    shuffle_probe_start = [_probe_shuffle() for _ in range(2)]
 
     # Cache-build phase: materialize the shared persisted intermediates
     # once, timed separately, so per-query numbers measure the query
@@ -209,6 +235,7 @@ def main() -> None:
     best = {k: min(p[k] for p in passes) for k in passes[0]}
 
     probe_end = [_probe() for _ in range(3)]
+    shuffle_probe_end = [_probe_shuffle() for _ in range(2)]
     total = round(sum(best.values()) + cache_build, 2)
     # Window verdict: the best (cleanest) probe that preceded any
     # counted pass. If even the cleanest window was dirty after the
@@ -266,6 +293,8 @@ def main() -> None:
                     "per_build": [round(p, 2) for p in build_probes],
                     "per_pass": [round(p, 2) for p in pass_probes],
                     "end": [round(p, 2) for p in probe_end],
+                    "shuffle_start": [round(p, 2) for p in shuffle_probe_start],
+                    "shuffle_end": [round(p, 2) for p in shuffle_probe_end],
                 },
             }
         ),

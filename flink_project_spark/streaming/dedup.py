@@ -268,8 +268,9 @@ def compact_store(
     for bid in batch_ids:
         part_dir = os.path.join(store_dir, f"batch={bid}")
         if bid == protected:
-            # never read/counted: the newest partition is always kept
-            # whole, so its scan would be a wasted job
+            # always kept whole — no filter scan or rewrite; the
+            # count() for stats is satisfied from parquet footer
+            # metadata, not a data read
             stats["rows_kept"] += spark.read.parquet(part_dir).count()
             continue
         rows = spark.read.parquet(part_dir)
