@@ -142,6 +142,10 @@ def main() -> None:
             return "spans"
         if name in ("simhash", "quality"):
             return "text"
+        if name == "simhash_scale":
+            # own chain: independent of the 32-bit table, so it
+            # overlaps the text chain instead of queuing behind it
+            return "text_scale"
         if name in ("doc_word_tf", "rarity_vocab", "fingerprints"):
             return "tf"
         if name.startswith("payload"):

@@ -295,6 +295,19 @@ def q_doc_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_dups(_simhash(spark, sf_dir))
 
 
+def _simhash_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit/3-gram-shingle SimHash table (the 100 TB configuration —
+    see `doc_simhash`), shared the same way `_simhash` shares the
+    32-bit/word table: the banded self-join consumes it on both sides,
+    and a pipeline at scale materializes the signature table once and
+    reuses it across dedup runs."""
+    return CACHE.materialize(
+        spark,
+        f"simhash_scale:{sf_dir}",
+        lambda: DD.doc_simhash(_docs(spark, sf_dir), bits=60, shingle=3),
+    )
+
+
 def q_doc_simhash_neardups_scale(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -302,11 +315,8 @@ def q_doc_simhash_neardups_scale(
     signatures over distinct 3-gram shingle features (round-6 width/
     feature knobs — SCALING_r6.json measures this configuration's pair
     output linear in corpus size where the 32-bit/word default is
-    quadratic). Signature built inline (no shared cache): the sig
-    aggregate is one codegen pass over the shingle explode and this is
-    the only consumer."""
-    sim = DD.doc_simhash(_docs(spark, sf_dir), bits=60, shingle=3)
-    return DD.simhash_near_dups(sim, bits=60)
+    quadratic)."""
+    return DD.simhash_near_dups(_simhash_scale(spark, sf_dir), bits=60)
 
 
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,6 +686,7 @@ def llm_shared_intermediates(
         "emb": _emb(spark, sf_dir),
         "neardups": pairs,
         "simhash": _simhash(spark, sf_dir),
+        "simhash_scale": _simhash_scale(spark, sf_dir),
         "quality": _quality(spark, sf_dir),
         "doc_word_tf": _doc_word_tf(spark, sf_dir),
         "rarity_vocab": _rarity_vocab(spark, sf_dir),
