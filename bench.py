@@ -20,6 +20,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,9 +77,12 @@ def main() -> None:
     # is blind to — sustained shuffle/IO-side host steal (build passes
     # 58-76 s vs the 11-15 s norm while every CPU probe read a quiet
     # 0.11-0.15 s). This probe moves ~2M rows through one real exchange
-    # (~0.5-0.8 s quiet), so that mode shows up in the artifact itself;
-    # the pass-dispersion retry remains the acting defense (it caught
-    # the 245 s pass the CPU probes missed).
+    # (~0.25-0.45 s quiet at local[32]; 0.74-0.87 s measured during the
+    # dirty windows), sampled at run start/end AND once before every
+    # timing pass — the mid-run steal windows are exactly the ones the
+    # endpoint samples straddle — so the mode shows up in the artifact
+    # itself; the pass-dispersion retry remains the acting defense (it
+    # caught the 245 s pass the CPU probes missed).
     def _probe_shuffle() -> float:
         t0 = time.perf_counter()
         (
@@ -91,8 +96,6 @@ def main() -> None:
             .save()
         )
         return round(time.perf_counter() - t0, 4)
-
-    from pyspark.sql import functions as F  # noqa: E402 (probe only)
 
     _probe_shuffle()  # codegen warm-up; discard
     probe_start = [_probe() for _ in range(3)]
@@ -205,8 +208,11 @@ def main() -> None:
     passes: list[dict[str, float]] = []
     pass_probes: list[float] = []
 
+    pass_shuffle_probes: list[float] = []
+
     def _timed_pass() -> None:
         pass_probes.append(_probe_median())
+        pass_shuffle_probes.append(_probe_shuffle())
         timings: dict[str, float] = {}
         for name, fn in entrymod.queries().items():
             t0 = time.perf_counter()
@@ -298,6 +304,9 @@ def main() -> None:
                     "per_pass": [round(p, 2) for p in pass_probes],
                     "end": [round(p, 2) for p in probe_end],
                     "shuffle_start": [round(p, 2) for p in shuffle_probe_start],
+                    "shuffle_per_pass": [
+                        round(p, 2) for p in pass_shuffle_probes
+                    ],
                     "shuffle_end": [round(p, 2) for p in shuffle_probe_end],
                 },
             }
