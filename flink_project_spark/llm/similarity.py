@@ -567,9 +567,10 @@ def semantic_dedup(
     emb: DataFrame,
     dim: int,
     threshold: float = 0.3,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    expected_vectors: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style embedding-level dedup: keep exactly one vector
     per cosine-similarity component (Abbas et al. 2023, "SemDeDup" —
@@ -588,13 +589,16 @@ def semantic_dedup(
     corpus (only bucket-colliding, threshold-passing pairs survive), so
     the CC iterations run on edges, not vectors; the final anti-join is
     one shuffle on the id. Returns the surviving rows of `emb`
-    unchanged.
+    unchanged. ``n_planes=None`` with an ``expected_vectors`` size hint
+    sizes the bucket space to the corpus via `auto_n_planes`, same as
+    `embedding_near_dups` (which validates the combination).
     """
     from flink_project_spark.llm.dedup import connected_components
 
     pairs = embedding_near_dups(
         emb, dim, threshold=threshold, n_planes=n_planes,
         vec_col=vec_col, id_col=id_col,
+        expected_vectors=expected_vectors,
     )
     comp = connected_components(pairs, a_col="vec_a", b_col="vec_b")
     losers = comp.filter(F.col("doc_id") != F.col("component")).select(

@@ -1499,6 +1499,20 @@ def test_auto_n_planes_and_near_dup_hint(spark):
         emb, dim=2, n_planes=None, expected_vectors=100
     ).collect()
     assert len(got) == 1  # auto floor = the historical 4-plane default
+    # semantic_dedup forwards the hint to the same pair stage: the
+    # auto-sized run keeps the identical survivors as the explicit
+    # 4-plane default (floor region, so the plans coincide)
+    from flink_project_spark.llm.similarity import semantic_dedup
+
+    auto = semantic_dedup(
+        emb, dim=2, n_planes=None, expected_vectors=100
+    )
+    explicit = semantic_dedup(emb, dim=2, n_planes=4)
+    assert sorted(r.vec_id for r in auto.collect()) == sorted(
+        r.vec_id for r in explicit.collect()
+    )
+    with _pytest.raises(ValueError, match="expected_vectors"):
+        semantic_dedup(emb, dim=2, n_planes=4, expected_vectors=100)
 
 
 def test_doc_simhash_60bit_width(spark):
