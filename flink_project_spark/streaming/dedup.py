@@ -753,6 +753,15 @@ def semantic_dedup_batch(
     store); matching is always a bucket equi-join, never batch x store.
     Unlike the SimHash store there is no legacy flat layout to honor —
     the store is single-layout by construction.
+
+    ``n_planes`` is part of the STORE's contract, not a per-batch
+    tuning knob: stored buckets were computed under one plane set, and
+    a batch run with a different value equi-joins incompatible bucket
+    spaces (silent under-matching = over-admission). Pick it for the
+    stream's expected total volume up front (`auto_n_planes` on the
+    batch side is the sizing rule) and keep it fixed for the store's
+    lifetime — which is also why this function does NOT accept the
+    batch operators' ``expected_vectors`` auto-sizing hint.
     """
     from flink_project_spark.cache import persist_tracked
     from flink_project_spark.llm.similarity import (
