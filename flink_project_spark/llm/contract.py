@@ -22,7 +22,11 @@ from flink_project_spark.llm import multimodal as MM
 from flink_project_spark.llm import similarity as SIM
 from flink_project_spark.llm import curation as CUR
 from flink_project_spark.llm import text as TX
-from flink_project_spark.llm.hashing import v32_from_hex_sql, v32_sql, v60_sql
+from flink_project_spark.llm.hashing import (
+    v32_from_hex_sql,
+    v32_sql,
+    v60_from_hex_sql,
+)
 from flink_project_spark.session import spread
 
 EMB_DIM = 64  # driver testdata embedding dimensionality (TESTDATA.md)
@@ -1324,8 +1328,12 @@ WITH dec AS (
           SELECT doc_id, unnest(shs) AS sgl FROM dsh
         ), shx3 AS (
           SELECT doc_id, sgl FROM shx2 WHERE sgl <> ''
+        ), shmd AS (
+          -- md5 once per shingle; the 15-nibble expansion reads the
+          -- hex (v60_from_hex_sql), not 15 fresh md5() calls
+          SELECT doc_id, md5(sgl) AS hx FROM shx3
         ), shh2 AS (
-          SELECT doc_id, {v60_sql('sgl')} AS h FROM shx3
+          SELECT doc_id, {v60_from_hex_sql('hx')} AS h FROM shmd
         ), bits AS (
           SELECT doc_id, g.j,
                  SUM(CASE WHEN (h & (CAST(1 AS BIGINT) << g.j)) <> 0

@@ -80,6 +80,24 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _grams_from_words(ws: Column, n: int) -> Column:
+    """Distinct word n-gram shingles from a words ARRAY column — the
+    ONE definition of the gram construction (truncated single gram for
+    1..n-1-word docs, ' '-joined, de-duplicated), shared by the MinHash
+    shingles, the SimHash shingle features, and `shingle_array`, so the
+    oracle-critical edge semantics can never drift between consumers.
+    Callers on the explode path should materialize `words()` into its
+    own projected column first (referenced twice below; an inlined
+    words() re-evaluates per element — measured ~1.5x on shingle-sized
+    docs, same hazard as the first winnow_fingerprints)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        )
+    )
+
+
 def shingle_array(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array column.
 
@@ -93,12 +111,8 @@ def shingle_array(text: Column, n: int = 3) -> Column:
     likewise empty for zero-word docs.
     """
     w = words(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-    )
     return F.when(F.size(w) == 0, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(grams)
+        _grams_from_words(w, n)
     )
 
 
@@ -125,28 +139,17 @@ def shingle_hashes(
     verify stage counts pair intersections by equi-joining hx — both
     without ever shuffling the shingle strings themselves.
     """
-    # words materialized as a column FIRST: referenced twice in the
-    # gram expression (size + slice), Catalyst keeps the projection
-    # separate instead of inlining the split into the transform lambda
-    # (the inlined form re-evaluates per element — the same hazard that
-    # made the first winnow_fingerprints 10x slower; here it measured
-    # ~1.5x on shingle-sized docs)
+    # words materialized as a column FIRST (see _grams_from_words)
     base = docs.select("doc_id", words(F.col(text_col)).alias("_ws")).filter(
         # zero-word docs emit NO shingles (see shingle_array: avoids
         # the degenerate all-empties LSH bucket and '' jaccard-1 pairs;
         # mirrors the oracle's empty comprehension)
         F.size(F.col("_ws")) > 0
     )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size(F.col("_ws")) - (n - 1), F.lit(1))
-            ),
-            lambda i: F.concat_ws(" ", F.slice(F.col("_ws"), i, n)),
-        )
-    )
     return (
-        base.select("doc_id", grams.alias("shingles"))
+        base.select(
+            "doc_id", _grams_from_words(F.col("_ws"), n).alias("shingles")
+        )
         .select("doc_id", F.explode("shingles").alias("sh"))
         .select("doc_id", F.md5(F.col("sh")).alias("hx"))
     )
@@ -817,16 +820,10 @@ def doc_simhash(
         base = docs.select(
             "doc_id", words(F.col(text_col)).alias("_ws")
         ).filter(F.size("_ws") > 0)
-        grams = F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.size("_ws") - (shingle - 1), F.lit(1)),
-                ),
-                lambda i: F.concat_ws(" ", F.slice(F.col("_ws"), i, shingle)),
-            )
+        feats = base.select(
+            "doc_id",
+            F.explode(_grams_from_words(F.col("_ws"), shingle)).alias("_f"),
         )
-        feats = base.select("doc_id", F.explode(grams).alias("_f"))
     hash_fn = v32 if bits <= 32 else v60
     wh = feats.select("doc_id", hash_fn(F.col("_f")).alias("h"))
     return simhash_from_hashes(docs, wh, bits)
@@ -1097,10 +1094,9 @@ def _auto_blocks(
             "breaks the combo-count or 63-bit key-width budget"
         )
     if expected_docs is None:
-        b = max(min(hi, 2 * max_hamming), lo)
-        while b > lo and not _valid(b):
-            b -= 1
-        return b if _valid(b) else candidates[0]
+        static = max(min(hi, 2 * max_hamming), lo)
+        at_or_below = [c for c in candidates if c <= static]
+        return max(at_or_below) if at_or_below else candidates[0]
     n = max(int(expected_docs), 1)
 
     def est_cost(b: int) -> float:

@@ -93,6 +93,18 @@ def v60_sql(expr: str) -> str:
     return f"({terms})"
 
 
+def v60_from_hex_sql(hex_expr: str) -> str:
+    """DuckDB SQL turning an already-computed md5 hex VARCHAR expr into
+    the v60 integer — the 15-nibble twin of `v32_from_hex_sql`, so a
+    CTE can materialize md5 once per row instead of inlining it 15x."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({hex_expr}, {i + 1}, 1)) - 1)"
+        f" * CAST({m} AS BIGINT)"
+        for i, m in enumerate(_NIBBLE_MULT_60)
+    )
+    return f"({terms})"
+
+
 def v60_py(s: str) -> int:
     """Python twin of `v60`."""
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)

@@ -144,7 +144,15 @@ def _list_store_layouts(
             # under the store, whatever its authority spelling. Only a
             # genuinely scheme-less relative path is cwd-joined.
             sp = urlsplit(u)
-            path = sp.path if sp.scheme else u
+            # a URI only if the scheme is followed by an authority or
+            # an absolute path ('hdfs://nn/store', 'file:/data/store');
+            # a RELATIVE path whose first segment merely contains a
+            # colon ('logs:2024/store' — valid POSIX) split-parses as
+            # scheme='logs' but must stay a plain path
+            is_uri = bool(sp.scheme) and (
+                bool(sp.netloc) or sp.path.startswith("/")
+            )
+            path = sp.path if is_uri else u
             if not path.startswith("/"):
                 path = posixpath.join(os.getcwd(), path)
             return posixpath.normpath(path)
@@ -275,8 +283,12 @@ def compact_store(
             continue
         rows = spark.read.parquet(part_dir)
         kept = rows.filter(F.col("_ts") >= cutoff)
-        n_total = rows.count()
-        n_kept = kept.count()
+        # both counts in ONE scan (reading only _ts); the rewrite
+        # branch below is the only other read of the partition
+        n_total, n_kept = rows.agg(
+            F.count(F.lit(1)),
+            F.count(F.when(F.col("_ts") >= cutoff, F.lit(1))),
+        ).collect()[0]
         if n_kept == 0:
             shutil.rmtree(part_dir)
             stats["batches_deleted"] += 1
@@ -311,8 +323,10 @@ def compact_store(
                 local = local[len(pre):]
                 break
         rows = spark.read.parquet(rf)
-        n_total = rows.count()
-        n_kept = rows.filter(F.col("_ts") >= cutoff).count()
+        n_total, n_kept = rows.agg(
+            F.count(F.lit(1)),
+            F.count(F.when(F.col("_ts") >= cutoff, F.lit(1))),
+        ).collect()[0]
         if n_kept == 0:
             os.remove(local)
             stats["legacy_files_deleted"] += 1
