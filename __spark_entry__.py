@@ -1665,19 +1665,24 @@ def q_excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name", "n_name")
 
 
-# Driver-cap rotation (round 6): the external driver's CORRECTNESS
-# check runs only the FIRST ~50 entries of queries(). Rounds 1-5
-# covered every oracle-bearing entry at least once (106/109 lifetime;
-# the 3 without are the no-oracle iterative trainers, rows-only by
-# design). Round 6 front-loads, in order: the five standing family
-# canaries; the two NEW scale-configuration queries (never
-# driver-checked); every query whose default plan changed this round
-# (fresh official rows over the new shapes); then the stalest
-# previously-covered entries — the full r3-last-row block, and the
-# heaviest r4-last-row plans (heaviest = most regression-prone, ranked
-# by in-suite bench time). Every entry past the cap remains
-# oracle-checked by the pytest sweep each run
-# (tests/test_entry_contract.py). Rationale documented in BASELINE.md.
+# Driver-cap rotation (round 7): the external driver's CORRECTNESS
+# check runs only the FIRST ~50 entries of queries(). Lifetime
+# coverage entering this round: 108/111 oracle-bearing entries have an
+# official green row (the 3 without are the no-oracle iterative
+# trainers, rows-only by design); staleness is 14 entries last checked
+# in r4, 44 in r5, 50 in r6. Round 7 front-loads, in order: the five
+# standing family canaries; the queries whose implementation changed
+# this round (the bits/shingle/n "auto" resolution preamble landed in
+# doc_simhash and decontaminate_overlap — plans are unchanged when
+# explicit widths are passed, but fresh official rows over the touched
+# code are cheap insurance); then the stalest previously-covered
+# entries — the FULL r4-last-row block (its lighter half was never
+# re-rotated), then the heaviest r5-last-row plans (heaviest = most
+# regression-prone, ranked by BENCH_local_r6 per-query time). The 18
+# lightest r5-block entries (all <= 0.26 s trivial plans) wait for
+# round 8's cap. Every entry past the cap remains oracle-checked by
+# the pytest sweep each run (tests/test_entry_contract.py). Rationale
+# documented in BASELINE.md.
 _DRIVER_CAP_ROTATION = [
     # proven-family canaries (driver-green every round they ran)
     "scene_uv",  # relational UV/groupBy family
@@ -1685,67 +1690,68 @@ _DRIVER_CAP_ROTATION = [
     "doc_minhash_neardups",  # dedup family
     "event_window_counts",  # window/streaming-twin family
     "emb_semantic_dedup",  # CC/semantic-dedup family
-    # --- NEW in round 6, never driver-checked: the oracle-bearing
-    # 100 TB scale configurations (60-bit/shingle simhash vs a
-    # brute-force hamming twin; 8-gram decontamination width) ---
-    "doc_simhash_neardups_scale",
-    "doc_decontaminate_overlap_scale",
-    # --- default plan changed in round 6 (canonical gated-decay agg;
-    # waiting_suppliers exchange merge; size-aware banding knobs /
-    # shared v60+shingle definitions behind simhash and the gram-key
-    # paths; blob-simhash shares the same banding) ---
-    "itemcf_decay_gated",
-    "waiting_suppliers",
+    # --- implementation touched in round 7 (size-driven "auto"
+    # config resolution in doc_simhash / decontaminate_overlap) ---
+    "doc_simhash",
     "doc_simhash_neardups",
-    "media_near_dups",
+    "doc_simhash_neardups_scale",
     "doc_decontaminate_overlap",
-    "doc_dup_spans",
-    # --- stalest: last official row in round 3 ---
-    "show_click_full_outer",
-    "union_tagged_counts",
-    "sorted_item_lists",
-    "url_param_parse",
-    "time_partition_keys",
-    "sci_notation_cast",
-    "whitelist_flag",
-    "whitelist_semi",
-    "multi_resolution_counts",
-    "sliding_window_counts",
-    "session_window_counts",
-    "media_decode",
-    "media_resize_plan",
-    # --- stale: last official row in round 4, heaviest plans first ---
-    "doc_winnow",
-    "part_supplier_diversity",
-    "event_funnel",
-    "excess_supply_suppliers",
-    "doc_incremental_dedup",
-    "nation_market_share",
-    "min_cost_supplier",
-    "event_key_skew",
-    "important_part_value",
-    "doc_chunks",
-    "nation_trade_volume",
-    "shipping_priority",
-    "order_priority_check",
-    "large_volume_customers",
-    "doc_mixture_temperature",
-    "event_retention",
-    "priority_return_profile",
-    "product_profit",
-    "small_quantity_revenue",
-    "doc_mixture_plan",
-    "returned_item_revenue",
-    "regional_supplier_volume",
-    "top_supplier_revenue",
-    "customer_order_distribution",
+    "doc_decontaminate_overlap_scale",
+    # --- stalest: last official row in round 4 (the full block) ---
+    "disjunctive_part_revenue",
+    "doc_curriculum_order",
+    "doc_heuristic_rules",
+    "doc_length_profile",
+    "doc_pack_plan",
+    "doc_pii_stats",
+    "doc_stratified_sample",
+    "event_gap_fill",
+    "forecast_revenue_change",
+    "idle_customer_balance",
+    "order_price_bands",
+    "order_priority_rollup",
+    "promo_revenue_share",
+    "user_rolling_value",
+    # --- stale: last official row in round 5, heaviest plans first
+    # (BENCH_local_r6 per-query seconds in trailing comments) ---
+    "doc_dedup_cc",  # 1.34
+    "doc_repetition",  # 1.03
+    "click_show_attribution",  # 0.80
+    "pricing_summary",  # 0.78
+    "doc_language_id",  # 0.76
+    "uauc",  # 0.64
+    "json_props_stats",  # 0.63
+    "doc_dup_span_strip",  # 0.60
+    "emb_cosine_topk",  # 0.59
+    "transfer_error_ratio",  # 0.59
+    "doc_rarity",  # 0.56
+    "doc_top_terms",  # 0.48
+    "emb_ivf_topk",  # 0.47
+    "minus_whitelist",  # 0.45
+    "doc_decontaminate",  # 0.38
+    "rank_by_score",  # 0.38
+    "doc_exact_dedup",  # 0.37
+    "media_payload_stats",  # 0.35
+    "auc",  # 0.32
+    "doc_interleave_order",  # 0.32
+    "lag_delta_alerts",  # 0.32
+    "cogroup_scene_stats",  # 0.31
+    "doc_dedup_keep_canonical",  # 0.31
+    "doc_token_stats",  # 0.29
+    "emb_near_dups",  # 0.29
+    "user_fluctuation",  # 0.27
 ]
-# Past-cap this round (every one driver-green in r4 or r5 and
-# pytest-oracle checked on every run): the full r5 front-50 (fresh
-# official rows last round) and the lighter half of the r4-last-row
-# block. The three entries with no SQL oracle (emb_kmeans_cells,
-# emb_ivfpq_topk, doc_length_profile_approx) are rows-only by design
-# wherever placed.
+# Past-cap this round (every one driver-green in r5 or r6 and
+# pytest-oracle checked on every run): the full r6 front-50 (fresh
+# official rows last round) and the 18 lightest r5-block entries
+# (ctr_abnormal_users, doc_pack_spans, word_counts,
+# doc_token_budget_sample, doc_source_quota, metric_pivot,
+# itemcf_histogram, doc_train_split, label_dedup_anti, scene_ctr,
+# media_frame_sample, action_counts, itemcf_topn, doc_quality,
+# itemcf_cooccurrence, doc_fingerprint, itemcf_decay, plus
+# click-family leftovers) — first in line for round 8. The three
+# entries with no SQL oracle (emb_kmeans_cells, emb_ivfpq_topk,
+# doc_length_profile_approx) are rows-only by design wherever placed.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -209,19 +209,40 @@ def main() -> None:
     pass_probes: list[float] = []
 
     pass_shuffle_probes: list[float] = []
+    # Per-query Spark JOB counts, captured once on the first timed pass
+    # (job DAGs are deterministic per plan; AQE re-optimization jobs are
+    # included, which is the point). This makes the "local stage floor"
+    # argument mechanically checkable in the artifact itself: a query
+    # whose wall time ~= jobs x the per-job floor (~0.3-0.45 s at
+    # local[32], the calibration probe's own quiet band) is paying
+    # scheduling overhead, not plan inefficiency — PLANS.md floor rows
+    # reference this column instead of hand-counted exchanges.
+    job_counts: dict[str, int] = {}
 
-    def _timed_pass() -> None:
+    def _timed_pass(count_jobs: bool = False) -> None:
         pass_probes.append(_probe_median())
         pass_shuffle_probes.append(_probe_shuffle())
         timings: dict[str, float] = {}
+        sc = spark.sparkContext
         for name, fn in entrymod.queries().items():
+            if count_jobs:
+                sc.setJobGroup(f"bench:{name}", name)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 4)
+            if count_jobs:
+                job_counts[name] = len(
+                    sc.statusTracker().getJobIdsForGroup(f"bench:{name}")
+                )
+        if count_jobs:
+            # leave a sentinel group so later passes' jobs never land in
+            # the last query's group (counts above are already taken)
+            sc.setJobGroup("bench:untracked", "post-count passes")
         passes.append(timings)
 
-    for _ in range(runs):
+    _timed_pass(count_jobs=True)
+    for _ in range(runs - 1):
         _timed_pass()
     dirty_bar = QUIET_PROBE_S * DIRTY_FACTOR
     extra_passes = 0
@@ -294,6 +315,7 @@ def main() -> None:
             {
                 "detail": "bench_per_query",
                 "queries": {k: round(v, 2) for k, v in best.items()},
+                "jobs": job_counts,
                 "cache_build_passes": [round(b, 2) for b in build_passes],
                 "bench_runs": runs,
                 "aggregation": "min_per_query",

@@ -621,12 +621,45 @@ def token_budget_sample(
     )
 
 
+#: Corpus size past which the 3-gram decontamination width stops being
+#: viable: Zipfian TRIgrams collide between unrelated documents at a
+#: constant per-pair rate, so the n=3 match volume is quadratic in
+#: corpus size by construction (measured, SCALING_r6.json n-sweep:
+#: 90.9k -> 9.4M -> 930.7M matched occurrences across 5k/50k/500k docs,
+#: 747 s at the last). 8-gram shingles — the published-pipeline width
+#: (Rae et al., Gopher) — are essentially never shared by unrelated
+#: docs, making the volume the real contamination (linear: 3.7k -> 31k
+#: -> 290k) at 93% of the n=3 recall. Same threshold as
+#: `llm.dedup.SIMHASH_SATURATION_DOCS`: the wide config was already
+#: FASTER at 5k docs, so flipping early costs nothing.
+DECON_SATURATION_DOCS = 10_000
+
+#: the published-pipeline decontamination width the auto policy flips
+#: to (Gopher used 8-grams; GPT-3 13 — n=13 is stricter/faster still
+#: but sheds more real contamination: 5,680 vs 6,485 of 6,998 pairs)
+DECON_SCALE_NGRAM = 8
+
+
+def auto_decon_ngram(expected_docs: int | None) -> int:
+    """Decontamination shingle width for a training corpus of
+    ``expected_docs`` documents — the size-driven policy behind
+    ``n="auto"`` on `decontaminate_overlap`. Below
+    `DECON_SATURATION_DOCS` (or with no hint): n=3, the
+    reference-parity width the driver oracle pins; at or above:
+    `DECON_SCALE_NGRAM`. An approximate hint is fine — the policy
+    moves on decades."""
+    if expected_docs is None or expected_docs < DECON_SATURATION_DOCS:
+        return 3
+    return DECON_SCALE_NGRAM
+
+
 def decontaminate_overlap(
     corpus: DataFrame,
     benchmark: DataFrame,
-    n: int = 3,
+    n: int | str = 3,
     min_overlap: float = 0.5,
     text_col: str = "text",
+    expected_docs: int | None = None,
 ) -> DataFrame:
     """N-gram-overlap decontamination — the stronger, quantified form of
     `decontaminate`: for each (corpus doc, benchmark doc) pair report
@@ -653,7 +686,17 @@ def decontaminate_overlap(
     small enough to broadcast will be broadcast by AQE); per-pair
     counts and the per-doc denominator are map-side-combinable
     aggregations.
+
+    ``n="auto"`` resolves the width from ``expected_docs`` (the
+    TRAINING corpus size) via `auto_decon_ngram` — n=3 for
+    reference-parity small corpora, the published 8-gram width past
+    the measured saturation threshold, where 3-gram match volume is
+    quadratic in corpus size (SCALING_r6.json n-sweep).
     """
+    if n == "auto":
+        n = auto_decon_ngram(expected_docs)
+    if not isinstance(n, int) or n < 1:
+        raise ValueError(f"n must be a positive int or 'auto', got {n!r}")
     if not 0 < min_overlap <= 1:
         raise ValueError(f"min_overlap must be in (0, 1], got {min_overlap}")
     from flink_project_spark.llm import dedup as DD

@@ -694,6 +694,45 @@ def dedup_keep_canonical(
 # SimHash
 # ---------------------------------------------------------------------------
 
+#: Corpus size at which 32-bit word-feature SimHash signatures stop
+#: being a usable near-dup notion. Measured (SCALING_r6.json signature
+#: sweep): on a 50k-token Zipf natural-text corpus the hamming<=3 pair
+#: density is CONSTANT (~4-5e-4 — pure n² output) at 32 bits, already
+#: 279k pairs at 5k docs and 28.1M at 50k; on the saturating legacy
+#: corpus 500k docs emit 684M pairs. 60-bit shingle-feature signatures
+#: keep the pair output linear (56/490/4,795 across the same three
+#: decades). The threshold sits at the low end of the measured 10^4-10^5
+#: saturation band so the auto policy flips BEFORE the blowup, not
+#: after.
+SIMHASH_SATURATION_DOCS = 10_000
+
+
+def auto_simhash_config(
+    expected_docs: int | None,
+) -> tuple[int, int | None]:
+    """(bits, shingle) for a corpus of ``expected_docs`` documents —
+    the size-driven default policy behind ``bits="auto"`` /
+    ``shingle="auto"`` on `doc_simhash`.
+
+    Below `SIMHASH_SATURATION_DOCS` (or with no hint): the reference
+    construction (32-bit word-occurrence features — bit-exact parity
+    with the driver oracle and the reference job). At or above it: the
+    measured 100 TB configuration, bits=60 + distinct 3-gram shingle
+    features (SCALING_r6.json: linear pair output and a 6.1 s banded
+    join at 500k docs, where the 32-bit default took 280 s on 684M
+    pairs). An approximate hint is fine — the policy moves on decades.
+
+    Resolve ONCE per corpus and pass the resolved ints everywhere the
+    signature flows (banding via `simhash_near_dups`, stores via the
+    streaming twins): signatures from different configurations occupy
+    incompatible key spaces, which is also why the streaming twins pin
+    the configuration in their store's `_check_store_meta` sidecar
+    rather than accepting "auto".
+    """
+    if expected_docs is None or expected_docs < SIMHASH_SATURATION_DOCS:
+        return 32, None
+    return 60, 3
+
 
 def simhash(text: Column, bits: int = 32) -> Column:
     """SimHash over word tokens (multiset-weighted bit majority).
@@ -772,8 +811,9 @@ def simhash_from_hashes(
 def doc_simhash(
     docs: DataFrame,
     text_col: str = "text",
-    bits: int = 32,
-    shingle: int | None = None,
+    bits: int | str = 32,
+    shingle: int | str | None = None,
+    expected_docs: int | None = None,
 ) -> DataFrame:
     """(doc_id, simhash) via explode -> grouped bit-sum aggregate
     (see `simhash_from_hashes` for the aggregate's shape). Documents
@@ -805,7 +845,25 @@ def doc_simhash(
     hash to the 60-bit `v60` (md5-prefix, oracle-reproducible); 60-bit
     signatures keep random-pair collisions negligible out to ~10^8+
     docs, which is the 100 TB default. The 32-bit default is kept for
-    driver-oracle and reference parity."""
+    driver-oracle and reference parity.
+
+    ``bits="auto"`` / ``shingle="auto"`` resolve both knobs from
+    ``expected_docs`` via `auto_simhash_config` — the size-driven
+    policy that makes the measured 100 TB settings the default past
+    the saturation threshold instead of runbook knowledge. Callers
+    that band or store the signatures downstream should resolve via
+    `auto_simhash_config` themselves and pass explicit ints (the
+    resolved width drives the banding and the store contract)."""
+    if bits == "auto" or shingle == "auto":
+        abits, ashingle = auto_simhash_config(expected_docs)
+        if bits == "auto":
+            bits = abits
+        if shingle == "auto":
+            shingle = ashingle
+    if not isinstance(bits, int) or isinstance(shingle, str):
+        raise ValueError(
+            f"bits/shingle must be ints or 'auto', got {bits!r}/{shingle!r}"
+        )
     if bits > 60:
         raise ValueError(
             f"bits must be <= 60 (signed-long bit weights), got {bits}"

@@ -145,12 +145,23 @@ def _list_store_layouts(
             # genuinely scheme-less relative path is cwd-joined.
             sp = urlsplit(u)
             # a URI only if the scheme is followed by an authority or
-            # an absolute path ('hdfs://nn/store', 'file:/data/store');
-            # a RELATIVE path whose first segment merely contains a
-            # colon ('logs:2024/store' — valid POSIX) split-parses as
-            # scheme='logs' but must stay a plain path
+            # an absolute path ('hdfs://nn/store', 'file:/data/store'),
+            # or is a KNOWN filesystem scheme (so the scheme-relative
+            # spelling 'file:store' strips to 'store' and cwd-joins —
+            # matching how the engine resolves it — instead of
+            # cwd-joining the literal 'file:store' and tripping the
+            # relpath guard); a RELATIVE path whose first segment
+            # merely contains a colon ('logs:2024/store' — valid
+            # POSIX) split-parses as scheme='logs' but must stay a
+            # plain path
+            _FS_SCHEMES = {
+                "file", "hdfs", "s3a", "s3", "gs", "abfs", "abfss",
+                "wasb", "wasbs", "viewfs", "o3fs", "ofs",
+            }
             is_uri = bool(sp.scheme) and (
-                bool(sp.netloc) or sp.path.startswith("/")
+                bool(sp.netloc)
+                or sp.path.startswith("/")
+                or sp.scheme in _FS_SCHEMES
             )
             path = sp.path if is_uri else u
             if not path.startswith("/"):
@@ -194,6 +205,65 @@ def _next_store_batch_id(store_dir: str) -> int:
     except OSError:
         return 0
     return max(existing) + 1 if existing else 0
+
+
+#: sidecar recording the signature store's SIGNATURE-SPACE contract.
+#: Leading underscore keeps it invisible to Spark's file listing (same
+#: convention as _SUCCESS), to `_list_store_layouts` (*.parquet glob),
+#: and to `compact_store`/`_next_store_batch_id` (batch= prefix).
+_STORE_META_FILE = "_fps_store_meta.json"
+
+
+def _check_store_meta(store_dir: str, contract: dict) -> None:
+    """Persist-or-validate the store's signature contract.
+
+    A signature store is only meaningful under ONE signature
+    configuration: SimHash rows computed under different
+    (bits, shingle) — or semantic rows under different
+    (dim, n_planes) — occupy incompatible key spaces, and a batch run
+    with mismatched knobs equi-joins buckets that can never agree,
+    silently admitting every near-dup (the failure the twins' docstrings
+    warn about). This guard turns that silent under-matching into a
+    loud error: the FIRST batch writes the contract next to the store
+    (atomic tmp+rename; write-if-absent, so foreachBatch replay is
+    idempotent), and every later batch fails fast if its knobs differ.
+
+    Local filesystem only, like `_next_store_batch_id` /
+    `compact_store` — a scheme-qualified non-local store skips the
+    guard (operators there own the contract via deployment config; the
+    docstrings of both twins state the invariant)."""
+    import json
+    import os
+    import tempfile
+    from urllib.parse import urlsplit
+
+    sp = urlsplit(store_dir)
+    if sp.scheme and sp.scheme != "file" and (sp.netloc or sp.path.startswith("/")):
+        return  # non-local store: guard not applicable
+    local = store_dir
+    for pre in ("file://", "file:"):
+        if local.startswith(pre):
+            local = local[len(pre):]
+            break
+    meta_path = os.path.join(local, _STORE_META_FILE)
+    if os.path.isfile(meta_path):
+        with open(meta_path) as fh:
+            existing = json.load(fh)
+        if existing != contract:
+            raise ValueError(
+                f"signature store {store_dir!r} was created under "
+                f"{existing}, but this batch runs {contract}: signatures "
+                "from different configurations occupy incompatible key "
+                "spaces and would silently never match (= admit every "
+                "near-dup). Use the store's original knobs, or start a "
+                "new store directory for the new configuration."
+            )
+        return
+    os.makedirs(local, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=local, prefix=".meta-", suffix=".json")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(contract, fh, sort_keys=True)
+    os.replace(tmp, meta_path)
 
 
 def compact_store(
@@ -410,8 +480,23 @@ def near_dup_dedup_batch(
     max_hamming: int = 3,
     blocks: int | None = None,
     batch_id: int | None = None,
+    shingle: int | None = None,
 ) -> DataFrame:
     """One micro-batch of streaming NEAR-dup dedup (SimHash banding).
+
+    ``bits``/``shingle`` select the signature construction, exactly as
+    on the batch `llm.dedup.doc_simhash` — the 100 TB configuration is
+    ``bits=60, shingle=3`` (measured on the round-6 open-vocabulary
+    corpus: 60-bit shingle-feature signatures keep the near-dup pair
+    volume linear in corpus size where 32-bit word signatures
+    saturate; see SCALING_r6.json). Both are part of the STORE's
+    contract, not per-batch tuning knobs: stored signatures were
+    computed under one configuration, and a batch run with different
+    values banded-joins incompatible signature spaces (silent
+    under-matching = over-admission). On a local store the
+    `_check_store_meta` sidecar enforces this — the first batch
+    records (bits, shingle) and any later mismatch raises; non-local
+    stores rely on deployment config holding them fixed.
 
     Admission rule — deterministic, and batch-boundary-independent for
     streams delivered in (ts, id) order: a document survives iff no
@@ -458,12 +543,16 @@ def near_dup_dedup_batch(
         return batch.limit(0)
     if batch_id is None:
         batch_id = _next_store_batch_id(store_dir)
+    _check_store_meta(
+        store_dir, {"kind": "simhash", "bits": bits, "shingle": shingle}
+    )
     spark = batch.sparkSession
     sim = persist_tracked(
         doc_simhash(
             batch.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
             text_col=text_col,
             bits=bits,
+            shingle=shingle,
         ).join(
             batch.select(
                 F.col(id_col).alias("doc_id"), F.col(ts_col).alias("_ts")
@@ -681,6 +770,30 @@ def near_dup_dedup_batch(
         sim.unpersist()
 
 
+def _compact_cadence(
+    store_dir: str, horizon_seconds: int, compact_every: int | None
+):
+    """(spark, batch_id) -> None hook shared by both foreachBatch
+    twins: every ``compact_every`` micro-batches, run `compact_store`
+    over the signature store. None disables (the default — compaction
+    stays an operator decision, not a surprise I/O spike). Keyed on the
+    checkpoint batch_id so replays repeat, never skip or double, their
+    compaction; (batch_id + 1) % N keeps the cadence stable across
+    restarts without any state of its own."""
+    if compact_every is None:
+        return lambda spark, batch_id: None
+    if compact_every < 1:
+        raise ValueError(
+            f"compact_every must be >= 1 batches, got {compact_every}"
+        )
+
+    def _maybe(spark, batch_id: int) -> None:
+        if (batch_id + 1) % compact_every == 0:
+            compact_store(spark, store_dir, horizon_seconds)
+
+    return _maybe
+
+
 def near_dup_foreach_batch(
     store_dir: str,
     sink,
@@ -692,6 +805,8 @@ def near_dup_foreach_batch(
     bands: int = 4,
     max_hamming: int = 3,
     blocks: int | None = None,
+    shingle: int | None = None,
+    compact_every: int | None = None,
 ):
     """foreachBatch wiring for `near_dup_dedup_batch`: returns the
     (batch_df, batch_id) callable; ``sink(survivors_df, batch_id)``
@@ -700,7 +815,24 @@ def near_dup_foreach_batch(
     overwrites its own prior (possibly half-written) signatures and
     never matches against them — replay is idempotent end to end as
     long as the sink honors the standard foreachBatch contract
-    (idempotent per batch_id)."""
+    (idempotent per batch_id). ``bits``/``shingle`` select the
+    signature construction (store-lifetime constants — see
+    `near_dup_dedup_batch`; the 100 TB configuration is
+    ``bits=60, shingle=3``).
+
+    ``compact_every=N`` runs `compact_store` in-loop after every Nth
+    micro-batch (batch ids N-1, 2N-1, ...), so a long-running stream's
+    signature store stays horizon-bounded without an external
+    maintenance job. The cadence keys on the checkpoint batch_id, so a
+    replay re-runs the same compaction it ran before — idempotent, and
+    eviction is provably invisible to in-order admission (see
+    `compact_store`). Runs AFTER the batch's own store write and sink,
+    i.e. between micro-batches, as compact_store requires; local
+    filesystem stores only (compaction of an object-store layout is a
+    partition-DROP job owned by the table's maintenance pipeline)."""
+    _maybe_compact = _compact_cadence(
+        store_dir, horizon_seconds, compact_every
+    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         survivors = near_dup_dedup_batch(
@@ -715,6 +847,7 @@ def near_dup_foreach_batch(
             max_hamming=max_hamming,
             blocks=blocks,
             batch_id=batch_id,
+            shingle=shingle,
         )
         try:
             sink(survivors, batch_id)
@@ -723,6 +856,7 @@ def near_dup_foreach_batch(
             # near_dup_dedup_batch; release it once the sink has
             # consumed it so a long-running stream stays memory-bounded
             survivors.unpersist()
+        _maybe_compact(batch_df.sparkSession, batch_id)
 
     return _process
 
@@ -775,7 +909,10 @@ def semantic_dedup_batch(
     stream's expected total volume up front (`auto_n_planes` on the
     batch side is the sizing rule) and keep it fixed for the store's
     lifetime — which is also why this function does NOT accept the
-    batch operators' ``expected_vectors`` auto-sizing hint.
+    batch operators' ``expected_vectors`` auto-sizing hint. On a local
+    store the `_check_store_meta` sidecar enforces the invariant: the
+    first batch records (dim, n_planes) and a later mismatch raises
+    instead of silently under-matching.
     """
     from flink_project_spark.cache import persist_tracked
     from flink_project_spark.llm.similarity import (
@@ -789,6 +926,9 @@ def semantic_dedup_batch(
         return batch.limit(0)
     if batch_id is None:
         batch_id = _next_store_batch_id(store_dir)
+    _check_store_meta(
+        store_dir, {"kind": "semantic", "dim": dim, "n_planes": n_planes}
+    )
     spark = batch.sparkSession
     sim = persist_tracked(
         with_quantized(
@@ -954,10 +1094,17 @@ def semantic_dedup_foreach_batch(
     threshold: float = 0.85,
     n_planes: int = 8,
     horizon_seconds: int = 600,
+    compact_every: int | None = None,
 ):
     """foreachBatch wiring for `semantic_dedup_batch` — same contract
     as `near_dup_foreach_batch` (checkpoint batch_id keys the store
-    partition; replay idempotent for a per-batch_id-idempotent sink)."""
+    partition; replay idempotent for a per-batch_id-idempotent sink;
+    ``compact_every=N`` runs `compact_store` in-loop every N batches —
+    the semantic store's quantized rows carry the same ``_ts`` column
+    the compactor keys on)."""
+    _maybe_compact = _compact_cadence(
+        store_dir, horizon_seconds, compact_every
+    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         survivors = semantic_dedup_batch(
@@ -976,6 +1123,7 @@ def semantic_dedup_foreach_batch(
             sink(survivors, batch_id)
         finally:
             survivors.unpersist()
+        _maybe_compact(batch_df.sparkSession, batch_id)
 
     return _process
 

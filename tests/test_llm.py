@@ -1623,3 +1623,84 @@ def test_doc_simhash_shingle_features(spark):
 
     with _pytest.raises(ValueError, match="shingle"):
         DD.doc_simhash(docs, shingle=0)
+
+
+def test_auto_simhash_config_policy_and_doc_simhash_auto(spark):
+    """bits="auto"/shingle="auto" resolve from expected_docs via the
+    measured saturation threshold: reference parity below it, the
+    60-bit/shingle 100 TB configuration at or above — and doc_simhash
+    under "auto" is bit-identical to the explicitly-configured run."""
+    import pytest
+
+    from flink_project_spark.llm import dedup as DD
+
+    assert DD.auto_simhash_config(None) == (32, None)
+    assert DD.auto_simhash_config(DD.SIMHASH_SATURATION_DOCS - 1) == (
+        32,
+        None,
+    )
+    assert DD.auto_simhash_config(DD.SIMHASH_SATURATION_DOCS) == (60, 3)
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff"), (2, "aa bb cc dd ee gg"), (3, "zz yy")],
+        "doc_id long, text string",
+    )
+    small = {r["doc_id"]: r["simhash"] for r in DD.doc_simhash(
+        docs, bits="auto", shingle="auto", expected_docs=100
+    ).collect()}
+    legacy = {r["doc_id"]: r["simhash"] for r in DD.doc_simhash(docs).collect()}
+    assert small == legacy
+    big = {r["doc_id"]: r["simhash"] for r in DD.doc_simhash(
+        docs, bits="auto", shingle="auto", expected_docs=1_000_000
+    ).collect()}
+    scale = {r["doc_id"]: r["simhash"] for r in DD.doc_simhash(
+        docs, bits=60, shingle=3
+    ).collect()}
+    assert big == scale
+    with pytest.raises(ValueError, match="auto"):
+        DD.doc_simhash(docs, bits="wide")
+
+
+def test_auto_decon_ngram_policy_and_overlap_auto(spark):
+    """n="auto" on decontaminate_overlap resolves the shingle width
+    from the training-corpus size hint and matches the explicit-width
+    run exactly."""
+    import pytest
+
+    from flink_project_spark.llm import curation as CUR
+
+    assert CUR.auto_decon_ngram(None) == 3
+    assert CUR.auto_decon_ngram(CUR.DECON_SATURATION_DOCS - 1) == 3
+    assert CUR.auto_decon_ngram(CUR.DECON_SATURATION_DOCS) == 8
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base + " padding words here"), (2, "totally unrelated text")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, base)], "doc_id long, text string")
+
+    def rows(df):
+        return {
+            (r["doc_id"], r["bench_id"], r["n_common"]) for r in df.collect()
+        }
+
+    got_small = rows(
+        CUR.decontaminate_overlap(
+            corpus, bench, n="auto", min_overlap=0.3, expected_docs=10
+        )
+    )
+    assert got_small == rows(
+        CUR.decontaminate_overlap(corpus, bench, n=3, min_overlap=0.3)
+    )
+    got_big = rows(
+        CUR.decontaminate_overlap(
+            corpus, bench, n="auto", min_overlap=0.3, expected_docs=10**6
+        )
+    )
+    assert got_big == rows(
+        CUR.decontaminate_overlap(corpus, bench, n=8, min_overlap=0.3)
+    )
+    assert got_big  # the 8-gram pass really flags the quoted benchmark
+    with pytest.raises(ValueError, match="auto"):
+        CUR.decontaminate_overlap(corpus, bench, n="wide")

@@ -222,14 +222,18 @@ def _mk_near_dup_corpus(spark):
     return df, rows
 
 
-def _sequential_twin_survivors(spark, df, max_hamming=3):
+def _sequential_twin_survivors(spark, df, max_hamming=3, **sim_kwargs):
     """Arrival-order greedy over ALL arrivals: doc survives iff no
-    earlier (ts, id) arrival has simhash within max_hamming."""
+    earlier (ts, id) arrival has simhash within max_hamming.
+    ``sim_kwargs`` select the signature construction (bits/shingle),
+    mirroring `near_dup_dedup_batch`'s knobs."""
     from flink_project_spark.llm.dedup import doc_simhash
 
     sims = {
         r["doc_id"]: r["simhash"]
-        for r in doc_simhash(df.select("doc_id", "text")).collect()
+        for r in doc_simhash(
+            df.select("doc_id", "text"), **sim_kwargs
+        ).collect()
     }
     order = sorted(
         [(r["ts"], r["doc_id"]) for r in df.select("ts", "doc_id").collect()]
@@ -1422,3 +1426,184 @@ def test_compact_store_deletes_expired_legacy_root_files(spark, tmp_path):
     assert stats["legacy_files_deleted"] == 1
     assert not os.path.exists(str(store / "sig-legacy.parquet"))
     assert os.path.isdir(f"{store}/batch=0")  # latest, protected
+
+
+def test_streaming_near_dup_scale_config_matches_twin_and_slicing(
+    spark, tmp_path
+):
+    """The 100 TB signature configuration (bits=60, shingle=3 — the one
+    SCALING_r6.json measures linear) runs through the streaming twin:
+    the 3-micro-batch admitted set == the single-batch run == the
+    arrival-order greedy twin computed over the SAME 60-bit
+    shingle-feature signatures."""
+    from flink_project_spark.streaming.dedup import (
+        near_dup_dedup_batch,
+        near_dup_foreach_batch,
+    )
+
+    df, rows = _mk_near_dup_corpus(spark)
+    # add an exact dup of doc 1 so the corpus has a guaranteed
+    # near-dup under ANY signature construction (a 1-word edit moves
+    # ~3 of 28 trigrams, which need not stay within hamming 3 at 60
+    # bits — shingle features are deliberately stricter)
+    extra = spark.createDataFrame(
+        [(9, "2024-01-01 00:08:00", rows[0][2])],
+        "doc_id long, ts_s string, text string",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "text")
+    df = df.union(extra)
+    twin = _sequential_twin_survivors(spark, df, bits=60, shingle=3)
+    assert 9 not in twin  # the scale config really drops a near-dup
+    assert 8 in twin  # reversed word order: same multiset, new trigrams
+
+    store1 = str(tmp_path / "store1")
+    got_single = {
+        r["doc_id"]
+        for r in near_dup_dedup_batch(
+            df, store1, horizon_seconds=3600, bits=60, shingle=3
+        ).collect()
+    }
+    assert got_single == twin
+
+    # sliced run through the foreachBatch wiring (direct _process
+    # calls: checkpoint/restart mechanics are covered elsewhere; this
+    # pins that the knobs FORWARD and batch boundaries stay invisible)
+    out: set[int] = set()
+    process = near_dup_foreach_batch(
+        str(tmp_path / "store2"),
+        lambda surv, bid: out.update(r["doc_id"] for r in surv.collect()),
+        horizon_seconds=3600,
+        bits=60,
+        shingle=3,
+    )
+    slices = [
+        df.filter(F.col("doc_id") <= 3),
+        df.filter((F.col("doc_id") > 3) & (F.col("doc_id") <= 6)),
+        df.filter(F.col("doc_id") > 6),
+    ]
+    for i, s in enumerate(slices):
+        process(s, i)
+    assert out == twin
+
+
+def test_streaming_near_dup_scale_config_replay_idempotent(
+    spark, tmp_path
+):
+    """Replaying a batch id under the scale configuration rewrites its
+    own store partition and admits the identical set — the replay
+    contract holds with shingle signatures too."""
+    from flink_project_spark.streaming.dedup import near_dup_dedup_batch
+
+    df, _rows = _mk_near_dup_corpus(spark)
+    store = str(tmp_path / "store")
+    kw = dict(horizon_seconds=3600, bits=60, shingle=3, batch_id=7)
+    first = {
+        r["doc_id"]
+        for r in near_dup_dedup_batch(df, store, **kw).collect()
+    }
+    again = {
+        r["doc_id"]
+        for r in near_dup_dedup_batch(df, store, **kw).collect()
+    }
+    assert again == first
+
+
+def test_store_meta_guard_rejects_mismatched_signature_config(
+    spark, tmp_path
+):
+    """The signature store records its (bits, shingle) / (dim,
+    n_planes) contract on first write; a later batch with different
+    knobs raises instead of silently banded-joining incompatible
+    signature spaces (= admitting every near-dup)."""
+    import pytest
+
+    from flink_project_spark.streaming.dedup import (
+        near_dup_dedup_batch,
+        semantic_dedup_batch,
+    )
+
+    df, _rows = _mk_near_dup_corpus(spark)
+    store = str(tmp_path / "sim")
+    near_dup_dedup_batch(df, store, bits=60, shingle=3, batch_id=0).collect()
+    # same config: fine (replay / next batch)
+    near_dup_dedup_batch(df, store, bits=60, shingle=3, batch_id=1).collect()
+    with pytest.raises(ValueError, match="incompatible"):
+        near_dup_dedup_batch(df, store, bits=32, batch_id=2)
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], "2024-01-01 00:00:00")],
+        "doc_id long, embedding array<double>, ts_s string",
+    ).select(
+        "doc_id", "embedding", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    sem_store = str(tmp_path / "sem")
+    semantic_dedup_batch(emb, sem_store, dim=2, n_planes=4, batch_id=0).collect()
+    with pytest.raises(ValueError, match="incompatible"):
+        semantic_dedup_batch(emb, sem_store, dim=2, n_planes=8, batch_id=1)
+
+
+def test_compact_every_bounds_store_inside_foreach_loop(spark, tmp_path):
+    """compact_every=N wired into the foreachBatch loop: a long run's
+    store stays horizon-bounded WITHOUT an external maintenance call,
+    and the admitted sets match an uncompacted run batch for batch."""
+    import datetime as dt
+    import os
+
+    from flink_project_spark.streaming.dedup import (
+        near_dup_dedup_batch,
+        near_dup_foreach_batch,
+    )
+
+    horizon = 600
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, ts_s string, text string"
+        ).select(
+            "doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "text"
+        )
+
+    def text(i):
+        return " ".join(f"u{i}w{j}" for j in range(25))
+
+    def batch(k):
+        t = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=400 * k)
+        rows = [(10 * k, t.strftime("%Y-%m-%d %H:%M:%S"), text(k))]
+        if k > 0:  # exact copy of the previous fresh doc: in-horizon,
+            # must still be dropped after in-loop compactions
+            rows.append(
+                (10 * k + 1, t.strftime("%Y-%m-%d %H:%M:%S"), text(k - 1))
+            )
+        return mk(rows)
+
+    store_nc = str(tmp_path / "nc")
+    store_c = str(tmp_path / "c")
+    admitted_c: list[set] = []
+    process = near_dup_foreach_batch(
+        store_c,
+        lambda surv, bid: admitted_c.append(
+            {r["doc_id"] for r in surv.collect()}
+        ),
+        horizon_seconds=horizon,
+        compact_every=2,
+    )
+    admitted_nc = []
+    n_batches = 8
+    for k in range(n_batches):
+        admitted_nc.append(
+            {
+                r["doc_id"]
+                for r in near_dup_dedup_batch(
+                    batch(k), store_nc, horizon_seconds=horizon, batch_id=k
+                ).collect()
+            }
+        )
+        process(batch(k), k)
+    assert admitted_c == admitted_nc
+    assert any(a for a in admitted_nc)
+    dirs_c = [d for d in os.listdir(store_c) if d.startswith("batch=")]
+    dirs_nc = [d for d in os.listdir(store_nc) if d.startswith("batch=")]
+    assert len(dirs_nc) == n_batches  # uncompacted store grows forever
+    # horizon covers ~2 batch intervals (600s / 400s); with in-loop
+    # compaction every 2 batches the store holds the last compaction
+    # window's partitions only — bounded, far below n_batches
+    assert len(dirs_c) <= 4
