@@ -704,18 +704,36 @@ def decontaminate_overlap(
     # no pre-filter: shingle_hashes itself drops zero-word docs; a
     # separate size(words(text)) > 0 filter would re-tokenize the whole
     # corpus once just to re-apply the guarantee
+    from pyspark.sql.window import Window
+
     sc = DD.shingle_hashes(corpus, text_col, n)
     sb = DD.shingle_hashes(benchmark, text_col, n).select(
         F.col("doc_id").alias("bench_id"), "hx"
     )
-    n_sh = sb.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_shingles"))
-    matches = (
-        sc.join(sb, "hx")
-        .groupBy("doc_id", "bench_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # The denominator rides the gram rows as a window count instead of
+    # a separate groupBy + final join: the old two-branch form
+    # evaluated the benchmark gram build TWICE (once under matches,
+    # once under n_sh — measured 3.6 s each at 500k docs, plus the
+    # extra join), because nothing in an unpersisted plan shares the
+    # subtree. The window's bench_id exchange is bounded (one row per
+    # distinct gram of one benchmark doc — at most a few hundred per
+    # partition key, no skew) and replaces BOTH the n_sh aggregation
+    # exchange and the matches-side join. Interleaved A/B at sf10-open
+    # (500k docs, n=8, min-of-3 same-session): 24.3 -> 21.2 s with
+    # identical output; the corpus gram build (~16 s, scan-rate — the
+    # codegen lead-window alternative measured a wash at 16.4 vs
+    # 16.3 s and adds an exchange) is the dominant remaining stage.
+    sb = sb.withColumn(
+        "bench_shingles",
+        F.count(F.lit(1)).over(Window.partitionBy("bench_id")),
     )
     return (
-        matches.join(n_sh, "bench_id")
+        sc.join(sb, "hx")
+        .groupBy("doc_id", "bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("bench_shingles").alias("bench_shingles"),
+        )
         .withColumn(
             "overlap_frac",
             F.col("n_common").cast("double")
