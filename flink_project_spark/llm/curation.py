@@ -660,6 +660,7 @@ def decontaminate_overlap(
     min_overlap: float = 0.5,
     text_col: str = "text",
     expected_docs: int | None = None,
+    gram_key: str = "md5",
 ) -> DataFrame:
     """N-gram-overlap decontamination — the stronger, quantified form of
     `decontaminate`: for each (corpus doc, benchmark doc) pair report
@@ -692,6 +693,22 @@ def decontaminate_overlap(
     reference-parity small corpora, the published 8-gram width past
     the measured saturation threshold, where 3-gram match volume is
     quadratic in corpus size (SCALING_r6.json n-sweep).
+
+    ``gram_key``: "md5" (default, bit-exact oracle parity) or "int64"
+    — the shared 60-bit md5-prefix long (`dedup.shingle_hashes` /
+    `hashing.v60`), which moves a quarter of the bytes through the
+    intersection join's shuffle. Counts are unchanged on any
+    collision-free corpus (same analysis as `_positional_grams`: a
+    60-bit collision can only ADD a spurious match — ~4x10^5 expected
+    colliding pairs at 10^12 distinct grams, noise-level); the
+    equivalence test pins identical output vs the md5 key. Measured
+    honestly: the LOCAL A/B at sf10-open/n=8 is a wash (md5 24.3 s vs
+    int64 26.0 s min-of-2, identical 10,777 rows —
+    tools/ab_decon_gramkey.py), because v60 computes the same md5
+    before truncating and a local shuffle is memory-speed; the flag
+    pays off only where shuffle bytes cross a network, so the default
+    stays md5 even at scale and this knob is for bandwidth-bound
+    clusters specifically.
     """
     if n == "auto":
         n = auto_decon_ngram(expected_docs)
@@ -706,8 +723,8 @@ def decontaminate_overlap(
     # corpus once just to re-apply the guarantee
     from pyspark.sql.window import Window
 
-    sc = DD.shingle_hashes(corpus, text_col, n)
-    sb = DD.shingle_hashes(benchmark, text_col, n).select(
+    sc = DD.shingle_hashes(corpus, text_col, n, gram_key=gram_key)
+    sb = DD.shingle_hashes(benchmark, text_col, n, gram_key=gram_key).select(
         F.col("doc_id").alias("bench_id"), "hx"
     )
     # The denominator rides the gram rows as a window count instead of

@@ -130,7 +130,8 @@ def minhash_coeffs(k: int) -> tuple[list[int], list[int]]:
 
 
 def shingle_hashes(
-    docs: DataFrame, text_col: str = "text", n: int = 3
+    docs: DataFrame, text_col: str = "text", n: int = 3,
+    gram_key: str = "md5",
 ) -> DataFrame:
     """(doc_id, hx) — one row per distinct shingle, hx = md5(shingle).
 
@@ -138,7 +139,25 @@ def shingle_hashes(
     pipeline: signatures derive v32 from hx, and the exact-Jaccard
     verify stage counts pair intersections by equi-joining hx — both
     without ever shuffling the shingle strings themselves.
+
+    ``gram_key``: "md5" (default) keeps the full 32-hex-char key for
+    bit-exact oracle parity; "int64" emits the shared 60-bit md5-prefix
+    LONG (`hashing.v60`) instead — same flag, same collision analysis,
+    and the same reason as `_positional_grams`: an equi-join/shuffle on
+    8-byte longs moves a quarter of the bytes of one on md5 hex
+    strings. MinHash signature derivation requires the md5 form (v32
+    parses hex chars 0:8), so the MinHash pipeline always uses the
+    default; the int64 key is for pure intersection-join consumers
+    (`curation.decontaminate_overlap`).
     """
+    if gram_key == "md5":
+        key = F.md5(F.col("sh"))
+    elif gram_key == "int64":
+        from flink_project_spark.llm.hashing import v60
+
+        key = v60(F.col("sh"))
+    else:
+        raise ValueError(f"gram_key must be md5|int64, got {gram_key!r}")
     # words materialized as a column FIRST (see _grams_from_words)
     base = docs.select("doc_id", words(F.col(text_col)).alias("_ws")).filter(
         # zero-word docs emit NO shingles (see shingle_array: avoids
@@ -151,7 +170,7 @@ def shingle_hashes(
             "doc_id", _grams_from_words(F.col("_ws"), n).alias("shingles")
         )
         .select("doc_id", F.explode("shingles").alias("sh"))
-        .select("doc_id", F.md5(F.col("sh")).alias("hx"))
+        .select("doc_id", key.alias("hx"))
     )
 
 

@@ -67,6 +67,58 @@ def streaming_exact_dedup(
     )
 
 
+#: Schemes whose scheme-RELATIVE spelling ('file:store') Hadoop
+#: resolves against the working directory — strip the scheme and
+#: cwd-join the remainder so `_norm_store_path` matches the engine's
+#: canonical listing. A colon-containing first segment that is NOT one
+#: of these ('logs:2024/store', valid POSIX) stays a plain path. Other
+#: unknown schemes still classify as URIs when followed by an
+#: authority or an absolute path.
+_FS_SCHEMES = {
+    "file", "hdfs", "s3a", "s3", "gs", "abfs", "abfss",
+    "wasb", "wasbs", "viewfs", "o3fs", "ofs",
+}
+
+
+def _norm_store_path(u: str) -> str:
+    """Normalize one store-path spelling to a bare absolute POSIX path
+    for prefix-relating a store listing against the caller's
+    ``store_dir`` spelling.
+
+    URI-aware: keeps only the PATH component. The authority
+    (hdfs://nn:8020/store, s3a://bucket/store) must NOT be folded into
+    the path — the engine's canonical listing may spell it differently
+    (default port added or elided) and a substring strip would cwd-join
+    'nn:8020/store' as a relative path, making every relpath start with
+    '..'. Comparing paths alone is sound at the call site because the
+    listing is already scoped: load(store_dir) returns only objects
+    under the store, whatever its authority spelling. Only a genuinely
+    scheme-less relative path (or a scheme-relative spelling of a known
+    filesystem scheme) is cwd-joined."""
+    import os
+    import posixpath
+    from urllib.parse import urlsplit
+
+    sp = urlsplit(u)
+    # a URI only if the scheme is followed by an authority or an
+    # absolute path ('hdfs://nn/store', 'file:/data/store'), or is a
+    # KNOWN filesystem scheme (so 'file:store' strips to 'store' and
+    # cwd-joins — matching how the engine resolves it — instead of
+    # cwd-joining the literal 'file:store' and tripping the relpath
+    # guard); a RELATIVE path whose first segment merely contains a
+    # colon ('logs:2024/store') split-parses as scheme='logs' but must
+    # stay a plain path
+    is_uri = bool(sp.scheme) and (
+        bool(sp.netloc)
+        or sp.path.startswith("/")
+        or sp.scheme in _FS_SCHEMES
+    )
+    path = sp.path if is_uri else u
+    if not path.startswith("/"):
+        path = posixpath.join(os.getcwd(), path)
+    return posixpath.normpath(path)
+
+
 def _list_store_layouts(
     spark, store_dir: str
 ) -> tuple[bool, list[str]]:
@@ -122,56 +174,18 @@ def _list_store_layouts(
                 return False, []
             raise
         # Classify by the path RELATIVE to the store dir, normalizing
-        # scheme spelling first: the engine reports URIs in Hadoop's
-        # canonical form ('file:/data/store/...'), which need not
-        # contain the caller's spelling ('file:///data/store', a
-        # relative path, ...) as a substring — a raw prefix match would
-        # classify nothing and silently admit the batch against a
-        # populated store.
-        import os
+        # scheme spelling first via `_norm_store_path`: the engine
+        # reports URIs in Hadoop's canonical form
+        # ('file:/data/store/...'), which need not contain the caller's
+        # spelling ('file:///data/store', a relative path, ...) as a
+        # substring — a raw prefix match would classify nothing and
+        # silently admit the batch against a populated store.
         import posixpath
-        from urllib.parse import urlsplit
 
-        def _norm(u: str) -> str:
-            # URI-aware: keep only the PATH component. The authority
-            # (hdfs://nn:8020/store, s3a://bucket/store) must NOT be
-            # folded into the path — the engine's canonical listing may
-            # spell it differently (default port added or elided) and a
-            # substring strip would cwd-join 'nn:8020/store' as a
-            # relative path, making every relpath start with '..'.
-            # Comparing paths alone is sound here because the listing
-            # is already scoped: load(store_dir) returns only objects
-            # under the store, whatever its authority spelling. Only a
-            # genuinely scheme-less relative path is cwd-joined.
-            sp = urlsplit(u)
-            # a URI only if the scheme is followed by an authority or
-            # an absolute path ('hdfs://nn/store', 'file:/data/store'),
-            # or is a KNOWN filesystem scheme (so the scheme-relative
-            # spelling 'file:store' strips to 'store' and cwd-joins —
-            # matching how the engine resolves it — instead of
-            # cwd-joining the literal 'file:store' and tripping the
-            # relpath guard); a RELATIVE path whose first segment
-            # merely contains a colon ('logs:2024/store' — valid
-            # POSIX) split-parses as scheme='logs' but must stay a
-            # plain path
-            _FS_SCHEMES = {
-                "file", "hdfs", "s3a", "s3", "gs", "abfs", "abfss",
-                "wasb", "wasbs", "viewfs", "o3fs", "ofs",
-            }
-            is_uri = bool(sp.scheme) and (
-                bool(sp.netloc)
-                or sp.path.startswith("/")
-                or sp.scheme in _FS_SCHEMES
-            )
-            path = sp.path if is_uri else u
-            if not path.startswith("/"):
-                path = posixpath.join(os.getcwd(), path)
-            return posixpath.normpath(path)
-
-        base = _norm(store_dir)
+        base = _norm_store_path(store_dir)
         root_files, has_batch_dirs = [], False
         for p in paths:
-            np = _norm(p)
+            np = _norm_store_path(p)
             rel = posixpath.relpath(np, base)
             if rel.startswith(".."):
                 # load(store_dir) only returns paths under the store —

@@ -1704,3 +1704,48 @@ def test_auto_decon_ngram_policy_and_overlap_auto(spark):
     assert got_big  # the 8-gram pass really flags the quoted benchmark
     with pytest.raises(ValueError, match="auto"):
         CUR.decontaminate_overlap(corpus, bench, n="wide")
+
+
+def test_decontaminate_overlap_int64_gram_key_equivalence(spark):
+    """gram_key="int64" (the shared 60-bit md5-prefix long) must report
+    the same (pair, n_common, overlap_frac) set as the default md5 key
+    on a collision-free corpus — the key only changes what the
+    intersection join shuffles, never what it matches. Runs over the
+    shipped sf0.001 documents split corpus-vs-benchmark so real shingle
+    volume (not a toy sentence) crosses the join."""
+    import pytest
+
+    from flink_project_spark.llm import curation as CUR
+    from flink_project_spark.llm import dedup as DD
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter("doc_id % 7 != 0").select("doc_id", "text")
+    bench = docs.filter("doc_id % 7 = 0").select("doc_id", "text")
+
+    def rows(df):
+        return {
+            (
+                r["doc_id"],
+                r["bench_id"],
+                r["n_common"],
+                round(r["overlap_frac"], 12),
+            )
+            for r in df.collect()
+        }
+
+    base = rows(
+        CUR.decontaminate_overlap(corpus, bench, n=3, min_overlap=0.2)
+    )
+    i64 = rows(
+        CUR.decontaminate_overlap(
+            corpus, bench, n=3, min_overlap=0.2, gram_key="int64"
+        )
+    )
+    assert base == i64
+    assert base  # non-vacuous: the split really produces overlap pairs
+    # the int64 key column must actually be a long, not a hex string
+    assert dict(
+        DD.shingle_hashes(bench, "text", 3, gram_key="int64").dtypes
+    )["hx"] == "bigint"
+    with pytest.raises(ValueError, match="gram_key"):
+        DD.shingle_hashes(bench, "text", 3, gram_key="sha1")

@@ -1607,3 +1607,42 @@ def test_compact_every_bounds_store_inside_foreach_loop(spark, tmp_path):
     # compaction every 2 batches the store holds the last compaction
     # window's partitions only — bounded, far below n_batches
     assert len(dirs_c) <= 4
+
+
+def test_norm_store_path_spellings(monkeypatch):
+    """The Connect-branch store listing relates every reported path to
+    the caller's store_dir spelling via `_norm_store_path`. Pin the
+    normalization contract for each spelling class: Hadoop-canonical
+    ('file:/x'), triple-slash, authority URIs (authority dropped —
+    paths alone are compared because load(store_dir) already scopes the
+    listing), plain absolute/relative paths, colon-containing POSIX
+    relative paths (NOT URIs), and scheme-relative spellings of known
+    filesystem schemes ('file:store' resolves like the engine does:
+    against the cwd)."""
+    import os
+
+    from flink_project_spark.streaming.dedup import _norm_store_path
+
+    monkeypatch.setattr(os, "getcwd", lambda: "/work")
+
+    # one store, five spellings, one normal form
+    assert _norm_store_path("file:/data/store") == "/data/store"
+    assert _norm_store_path("file:///data/store") == "/data/store"
+    assert _norm_store_path("/data/store") == "/data/store"
+    assert _norm_store_path("/data//store/") == "/data/store"
+    assert _norm_store_path("hdfs://nn:8020/data/store") == "/data/store"
+    # authority spelling differences (port elided) cannot break the
+    # relpath: both normalize to the same bare path
+    assert _norm_store_path("hdfs://nn/data/store") == "/data/store"
+    assert _norm_store_path("s3a://bucket/data/store") == "/data/store"
+    # genuinely relative paths are cwd-joined
+    assert _norm_store_path("store") == "/work/store"
+    # a colon in the first segment of a relative POSIX path is NOT a
+    # scheme ('logs:2024' would split-parse as scheme='logs')
+    assert _norm_store_path("logs:2024/store") == "/work/logs:2024/store"
+    # scheme-relative spelling of a KNOWN filesystem scheme resolves
+    # the way the engine resolves it: path part against the cwd
+    assert _norm_store_path("file:store") == "/work/store"
+    # unknown scheme with no authority and a relative path stays a
+    # plain path (never silently treated as a URI)
+    assert _norm_store_path("myscheme:rel/path") == "/work/myscheme:rel/path"
