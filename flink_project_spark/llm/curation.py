@@ -712,7 +712,9 @@ def decontaminate_overlap(
     """
     if n == "auto":
         n = auto_decon_ngram(expected_docs)
-    if not isinstance(n, int) or n < 1:
+    # bool is an int subclass (n=True would silently compute 1-gram
+    # overlap — a drastically different contamination result)
+    if not isinstance(n, int) or isinstance(n, bool) or n < 1:
         raise ValueError(f"n must be a positive int or 'auto', got {n!r}")
     if not 0 < min_overlap <= 1:
         raise ValueError(f"min_overlap must be in (0, 1], got {min_overlap}")

@@ -879,7 +879,13 @@ def doc_simhash(
             bits = abits
         if shingle == "auto":
             shingle = ashingle
-    if not isinstance(bits, int) or isinstance(shingle, str):
+    # bool is an int subclass and floats slip past a bare < check —
+    # both would silently run a wrong width or die in a later opaque
+    # analysis error, so validate the TYPE strictly
+    def _is_int(v):
+        return isinstance(v, int) and not isinstance(v, bool)
+
+    if not _is_int(bits) or not (shingle is None or _is_int(shingle)):
         raise ValueError(
             f"bits/shingle must be ints or 'auto', got {bits!r}/{shingle!r}"
         )

@@ -251,14 +251,19 @@ def _check_store_meta(store_dir: str, contract: dict) -> None:
     import tempfile
     from urllib.parse import urlsplit
 
+    # remote iff a non-file scheme that classifies as a URI under the
+    # SAME rules as `_norm_store_path` — one classifier for the whole
+    # module. The old hand-rolled check treated the scheme-relative
+    # 'hdfs:store' as local (makedirs'd a literal './hdfs:store/' on
+    # the driver while the real store lived on HDFS, so the guard
+    # never guarded) and cwd-joined 'file://localhost/data/store' as
+    # '<cwd>/localhost/data/store' instead of '/data/store'.
     sp = urlsplit(store_dir)
-    if sp.scheme and sp.scheme != "file" and (sp.netloc or sp.path.startswith("/")):
+    if sp.scheme not in ("", "file") and (
+        sp.netloc or sp.path.startswith("/") or sp.scheme in _FS_SCHEMES
+    ):
         return  # non-local store: guard not applicable
-    local = store_dir
-    for pre in ("file://", "file:"):
-        if local.startswith(pre):
-            local = local[len(pre):]
-            break
+    local = _norm_store_path(store_dir)
     meta_path = os.path.join(local, _STORE_META_FILE)
     if os.path.isfile(meta_path):
         with open(meta_path) as fh:
@@ -307,12 +312,18 @@ def compact_store(
     out-of-order arrival older than the watermark may likewise be
     over-admitted. Neither can retro-drop an admitted document.
 
-    ``watermark`` defaults to the store's own max ``_ts`` (one scalar
-    aggregate); pass the stream's event-time watermark when available.
-    The HIGHEST batch id is never touched even when fully expired —
-    it is the one partition a foreachBatch replay may legitimately
-    overwrite-and-exclude, and deleting it would reset
-    `_next_store_batch_id` for direct callers. Run between
+    ``watermark`` defaults to the max ``_ts`` over every partition
+    EXCEPT the highest batch id (one scalar aggregate over committed
+    data) — see the inline comment: letting the newest, possibly
+    UNCOMMITTED partition advance the watermark would let a compaction
+    run between a batch's sink and its checkpoint commit evict rows
+    that a crash-replay of that same batch still needs to match
+    (over-admission on replay). Pass the stream's event-time watermark
+    when available — it is computed from committed progress, so it is
+    safe by the same argument. The HIGHEST batch id is never touched
+    even when fully expired — it is the one partition a foreachBatch
+    replay may legitimately overwrite-and-exclude, and deleting it
+    would reset `_next_store_batch_id` for direct callers. Run between
     micro-batches (it moves directories); local filesystem only, like
     `_next_store_batch_id`.
 
@@ -336,12 +347,41 @@ def compact_store(
     has_batch_dirs, root_files = _list_store_layouts(spark, store_dir)
     if not has_batch_dirs and not root_files:
         return stats
+    batch_ids = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(store_dir)
+        if d.startswith("batch=")
+    )
+    protected = batch_ids[-1] if batch_ids else None
     if watermark is None:
-        frames = []
-        if has_batch_dirs:
-            frames.append(spark.read.parquet(store_dir).select("_ts"))
+        # The default watermark EXCLUDES the protected (highest)
+        # partition's rows. That partition is the one a foreachBatch
+        # replay may re-run: if its rows advanced the watermark, a
+        # compaction squeezed between the batch's sink and the
+        # checkpoint commit could evict a stored arrival that the
+        # REPLAYED batch still needs to match (stored X at ts,
+        # replayed doc at new_ts in [ts, ts+horizon] with new_ts <=
+        # the crashed batch's max _ts), and the replay would over-admit
+        # — breaking the loop's replay-idempotence. With the watermark
+        # capped at the last COMMITTED data, every evicted row has
+        # _ts < committed_max - horizon, and an in-order replayed doc
+        # has ts >= committed_max, so eviction stays invisible even to
+        # the replay (out-of-order arrivals remain the documented
+        # over-admit-only exception).
+        frames = [
+            spark.read.parquet(
+                os.path.join(store_dir, f"batch={b}")
+            ).select("_ts")
+            for b in batch_ids
+            if b != protected
+        ]
         if root_files:
             frames.append(spark.read.parquet(*root_files).select("_ts"))
+        if not frames:  # a single-partition store: nothing compactable
+            stats["rows_kept"] += spark.read.parquet(
+                os.path.join(store_dir, f"batch={protected}")
+            ).count()
+            return stats
         all_ts = frames[0]
         for f in frames[1:]:
             all_ts = all_ts.union(f)
@@ -351,12 +391,6 @@ def compact_store(
     cutoff = F.lit(watermark) - F.expr(
         f"INTERVAL {int(horizon_seconds)} SECONDS"
     )
-    batch_ids = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(store_dir)
-        if d.startswith("batch=")
-    )
-    protected = batch_ids[-1] if batch_ids else None
     for bid in batch_ids:
         part_dir = os.path.join(store_dir, f"batch={bid}")
         if bid == protected:
@@ -401,11 +435,9 @@ def compact_store(
         else:
             stats["rows_kept"] += n_total
     for rf in root_files:
-        local = rf
-        for pre in ("file://", "file:"):
-            if local.startswith(pre):
-                local = local[len(pre):]
-                break
+        # engine-reported canonical path ('file:/data/...') -> bare
+        # local path for os.remove, via the module's one normalizer
+        local = _norm_store_path(rf)
         rows = spark.read.parquet(rf)
         n_total, n_kept = rows.agg(
             F.count(F.lit(1)),
@@ -839,9 +871,12 @@ def near_dup_foreach_batch(
     signature store stays horizon-bounded without an external
     maintenance job. The cadence keys on the checkpoint batch_id, so a
     replay re-runs the same compaction it ran before — idempotent, and
-    eviction is provably invisible to in-order admission (see
-    `compact_store`). Runs AFTER the batch's own store write and sink,
-    i.e. between micro-batches, as compact_store requires; local
+    eviction is provably invisible to in-order admission INCLUDING a
+    crash-replay of the compacting batch itself: compaction runs after
+    the batch's sink but BEFORE Spark commits the batch, and
+    `compact_store`'s default watermark therefore excludes the newest
+    (uncommitted) partition's rows, so nothing a replay still needs to
+    match is ever evicted (the crash-replay test pins this). Local
     filesystem stores only (compaction of an object-store layout is a
     partition-DROP job owned by the table's maintenance pipeline)."""
     _maybe_compact = _compact_cadence(

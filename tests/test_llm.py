@@ -1715,10 +1715,12 @@ def test_decontaminate_overlap_int64_gram_key_equivalence(spark):
     volume (not a toy sentence) crosses the join."""
     import pytest
 
+    from tests.conftest import SF_SMOKE
+
     from flink_project_spark.llm import curation as CUR
     from flink_project_spark.llm import dedup as DD
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     corpus = docs.filter("doc_id % 7 != 0").select("doc_id", "text")
     bench = docs.filter("doc_id % 7 = 0").select("doc_id", "text")
 
@@ -1749,3 +1751,29 @@ def test_decontaminate_overlap_int64_gram_key_equivalence(spark):
     )["hx"] == "bigint"
     with pytest.raises(ValueError, match="gram_key"):
         DD.shingle_hashes(bench, "text", 3, gram_key="sha1")
+
+
+def test_scale_knob_validation_rejects_bool_and_float(spark):
+    """bool is an int subclass and floats pass bare comparisons — both
+    must raise loudly instead of silently running a wrong width
+    (n=True would compute 1-gram 'contamination') or dying in an
+    opaque analysis error (shingle=2.5)."""
+    import pytest
+
+    from flink_project_spark.llm import curation as CUR
+    from flink_project_spark.llm import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="bits/shingle"):
+        DD.doc_simhash(docs, shingle=2.5)
+    with pytest.raises(ValueError, match="bits/shingle"):
+        DD.doc_simhash(docs, bits=True)
+    with pytest.raises(ValueError, match="bits/shingle"):
+        DD.doc_simhash(docs, bits=60.0)
+    bench = docs
+    with pytest.raises(ValueError, match="positive int"):
+        CUR.decontaminate_overlap(docs, bench, n=True)
+    with pytest.raises(ValueError, match="positive int"):
+        CUR.decontaminate_overlap(docs, bench, n=3.0)

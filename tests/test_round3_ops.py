@@ -1346,9 +1346,10 @@ def test_compact_store_replay_equivalence_and_bounded_size(spark, tmp_path):
         d for d in os.listdir(store_c) if d.startswith("batch=")
     )
     assert len(dirs_nc) == 6
-    # watermark after batch 5 = 2000s; cutoff = 1400s: batches 0-3
-    # (<=1500s incl stragglers) expire except in-horizon stragglers,
-    # batch 4 (1600s) stays, batch 5 protected
+    # default watermark after batch 5 excludes the protected batch=5:
+    # max committed _ts = 1600s (batch 4), cutoff = 1000s -> batches
+    # 0-2 (<=900s incl stragglers) expire, batches 3-4 stay, batch 5
+    # protected
     assert len(dirs_c) < len(dirs_nc)
     assert "batch=5" in dirs_c  # latest partition never touched
     rows_c = spark.read.parquet(store_c).count()
@@ -1384,8 +1385,11 @@ def test_compact_store_rewrites_boundary_partition(spark, tmp_path):
     )
     newer.write.parquet(f"{store}/batch=1")
 
+    # DEFAULT watermark excludes the newest partition (it may be an
+    # uncommitted batch a replay still needs to match): max _ts over
+    # batch=0 alone is 01:00, cutoff 00:50 -> doc 1 (00:00) evicted,
+    # doc 2 (01:00) kept
     stats = compact_store(spark, store, horizon_seconds=600)
-    # watermark 01:10, cutoff 01:00 -> batch=0 keeps only doc 2
     assert stats["batches_rewritten"] == 1
     assert stats["batches_deleted"] == 0
     kept = {
@@ -1422,7 +1426,17 @@ def test_compact_store_deletes_expired_legacy_root_files(spark, tmp_path):
     )
     modern.write.parquet(f"{store}/batch=0")
 
+    # the default watermark excludes batch=0 (newest partition), so
+    # only the legacy file's own 00:00 row feeds it -> nothing expires;
+    # the operator's explicit committed-through watermark evicts
+    import datetime as dt
+
     stats = compact_store(spark, str(store), horizon_seconds=600)
+    assert stats["legacy_files_deleted"] == 0
+    stats = compact_store(
+        spark, str(store), horizon_seconds=600,
+        watermark=dt.datetime(2024, 1, 1, 2, 0, 0),
+    )
     assert stats["legacy_files_deleted"] == 1
     assert not os.path.exists(str(store / "sig-legacy.parquet"))
     assert os.path.isdir(f"{store}/batch=0")  # latest, protected
@@ -1646,3 +1660,112 @@ def test_norm_store_path_spellings(monkeypatch):
     # unknown scheme with no authority and a relative path stays a
     # plain path (never silently treated as a URI)
     assert _norm_store_path("myscheme:rel/path") == "/work/myscheme:rel/path"
+
+
+def test_compact_store_crash_replay_does_not_over_admit(spark, tmp_path):
+    """The in-loop cadence runs compaction between a batch's sink and
+    Spark's checkpoint COMMIT. If the crash lands in that window, the
+    batch is replayed against the already-compacted store — so a
+    stored arrival the replayed batch matched the first time must
+    still be there. Scenario pinned from the round-7 review: stored X
+    (ts=500) drops A (ts=1000, horizon 600); the same batch's B
+    (ts=2000) would, under a store-max watermark, set cutoff=1400 and
+    evict X — and the replay would silently admit A. The default
+    watermark excludes the newest (uncommitted) partition, so X
+    survives and the replay admits exactly what the original run did."""
+    import datetime as dt
+
+    from flink_project_spark.streaming.dedup import (
+        compact_store,
+        near_dup_dedup_batch,
+    )
+
+    horizon = 600
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, (base + dt.timedelta(seconds=s)).strftime(
+                    "%Y-%m-%d %H:%M:%S"
+                ), t)
+                for i, s, t in rows
+            ],
+            "doc_id long, ts_s string, text string",
+        ).select(
+            "doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "text"
+        )
+
+    text_x = " ".join(f"xw{j}" for j in range(25))
+    text_b = " ".join(f"bw{j}" for j in range(25))
+    store = str(tmp_path / "s")
+
+    # batch 0: X arrives at ts=500, admitted, stored
+    b0 = {r["doc_id"] for r in near_dup_dedup_batch(
+        mk([(1, 500, text_x)]), store, horizon_seconds=horizon, batch_id=0
+    ).collect()}
+    assert b0 == {1}
+
+    # batch 1: A (near-dup of X, ts=1000 in [500, 1100]) + fresh B
+    batch1 = mk([(2, 1000, text_x), (3, 2000, text_b)])
+    first = {r["doc_id"] for r in near_dup_dedup_batch(
+        batch1, store, horizon_seconds=horizon, batch_id=1
+    ).collect()}
+    assert first == {3}  # A dropped by stored X
+
+    # the in-loop compaction fires here; then the process crashes
+    # BEFORE the checkpoint commit
+    compact_store(spark, store, horizon)
+
+    # replay of batch 1 (same batch_id overwrites its own partition):
+    # must admit the same set — X must not have been evicted
+    replay = {r["doc_id"] for r in near_dup_dedup_batch(
+        batch1, store, horizon_seconds=horizon, batch_id=1
+    ).collect()}
+    assert replay == first
+
+
+def test_store_meta_path_classification(tmp_path, monkeypatch):
+    """_check_store_meta must classify store_dir spellings with the
+    SAME rules as _norm_store_path: the scheme-relative 'hdfs:store'
+    is REMOTE (the old check makedirs'd a literal './hdfs:store/' on
+    the driver and never guarded the real store), and the
+    authority-carrying local spelling 'file://localhost/<dir>' lands
+    the sidecar in <dir>, not '<cwd>/localhost/<dir>'."""
+    import os
+
+    from flink_project_spark.streaming.dedup import (
+        _STORE_META_FILE,
+        _check_store_meta,
+    )
+
+    monkeypatch.chdir(tmp_path)
+    contract = {"kind": "simhash", "bits": 60, "shingle": 3}
+
+    # remote spellings: guard not applicable, NOTHING created locally
+    for remote in (
+        "hdfs:store",
+        "hdfs://nn:8020/data/store",
+        "s3a://bucket/store",
+        "s3a:relative/store",
+    ):
+        _check_store_meta(remote, contract)
+    assert os.listdir(tmp_path) == []
+
+    # authority-carrying file URI resolves to the real local dir
+    target = tmp_path / "data" / "store"
+    _check_store_meta(f"file://localhost{target}", contract)
+    assert (target / _STORE_META_FILE).is_file()
+    assert not (tmp_path / "localhost").exists()
+
+    # scheme-relative file spelling cwd-joins like the engine does
+    _check_store_meta("file:relstore", contract)
+    assert (tmp_path / "relstore" / _STORE_META_FILE).is_file()
+
+    # and the sidecar written under one spelling guards another
+    # spelling of the SAME directory
+    import pytest
+
+    with pytest.raises(ValueError, match="incompatible"):
+        _check_store_meta(str(target), {"kind": "simhash", "bits": 32,
+                                        "shingle": None})
