@@ -52,7 +52,9 @@ def main() -> None:
     _probe()  # first call pays codegen; discard
     # Calibration probes: the identical tiny fixed job timed at run
     # start, before every timing pass, and at run end. On a quiet host
-    # it is ~0.3-0.45 s; a contended host inflates it proportionally.
+    # it reads ~0.10-0.15 s at local[32] (QUIET_PROBE_S is the dirty
+    # THRESHOLD above that band); a contended host inflates it
+    # proportionally.
     # Round 5's official artifact landed in a sustained contention
     # window (probes 0.63-0.66 s, total 87.2 s vs 61.7-70.9 s on quiet
     # re-runs of identical code), so this harness now ACTS on its own
@@ -242,10 +244,12 @@ def main() -> None:
     # (job DAGs are deterministic per plan; AQE re-optimization jobs are
     # included, which is the point). This makes the "local stage floor"
     # argument mechanically checkable in the artifact itself: a query
-    # whose wall time ~= jobs x the per-job floor (~0.3-0.45 s at
-    # local[32], the calibration probe's own quiet band) is paying
+    # whose wall time sits within a small multiple (~2x) of
+    # jobs x the artifact's own best_pass_probe_s is paying
     # scheduling overhead, not plan inefficiency — PLANS.md floor rows
     # reference this column instead of hand-counted exchanges.
+    # (QUIET_PROBE_S=0.40 is the DIRTY threshold, not typical quiet:
+    # a quiet local[32] probe reads ~0.10-0.15 s.)
     job_counts: dict[str, int] = {}
 
     def _timed_pass(count_jobs: bool = False) -> None:
@@ -315,14 +319,17 @@ def main() -> None:
     # a no-op "normalized" copy of the raw total.
     effective_probe = max(best_pass_probe, min(build_probes))
     cpu_clean = effective_probe <= dirty_bar
-    # the shuffle leg of the verdict: at least one timing pass must
-    # have started in a shuffle-quiet window (min aggregation then
-    # draws its per-query numbers from that pass's neighborhood). The
-    # CPU normalization below stays CPU-only — shuffle steal doesn't
+    # the shuffle leg of the verdict: at least one timing pass AND at
+    # least one cache build must have started in a shuffle-quiet
+    # window (min aggregation then draws from those; the build
+    # contributes to `total`, so its window counts too — same max-of-
+    # cleanest-components rule as the CPU leg above). The CPU
+    # normalization below stays CPU-only — shuffle steal doesn't
     # inflate linearly in the probe ratio, so a shuffle-dirty run gets
     # the honest flag rather than a pretend correction.
     best_pass_shuffle = min(pass_shuffle_probes)
-    shuffle_clean = best_pass_shuffle <= shuffle_bar
+    effective_shuffle = max(best_pass_shuffle, min(build_shuffle_probes))
+    shuffle_clean = effective_shuffle <= shuffle_bar
     window_clean = cpu_clean and shuffle_clean
     norm = (
         min(1.0, QUIET_PROBE_S / effective_probe)
@@ -348,6 +355,7 @@ def main() -> None:
                 "shuffle_clean": shuffle_clean,
                 "best_pass_probe_s": round(best_pass_probe, 2),
                 "best_pass_shuffle_probe_s": round(best_pass_shuffle, 2),
+                "effective_shuffle_probe_s": round(effective_shuffle, 2),
                 "quiet_ref_s": QUIET_PROBE_S,
                 "quiet_shuffle_ref_s": SHUFFLE_QUIET_S,
                 "extra_passes": extra_passes,
@@ -369,6 +377,9 @@ def main() -> None:
                 "calibration_probe_seconds": {
                     "start": [round(p, 2) for p in probe_start],
                     "per_build": [round(p, 2) for p in build_probes],
+                    "shuffle_per_build": [
+                        round(p, 2) for p in build_shuffle_probes
+                    ],
                     "per_pass": [round(p, 2) for p in pass_probes],
                     "end": [round(p, 2) for p in probe_end],
                     "shuffle_start": [round(p, 2) for p in shuffle_probe_start],

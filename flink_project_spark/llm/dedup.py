@@ -726,6 +726,31 @@ def dedup_keep_canonical(
 SIMHASH_SATURATION_DOCS = 10_000
 
 
+def validate_simhash_knobs(bits, shingle) -> None:
+    """Strictly validate a RESOLVED (bits, shingle) pair — loud
+    ValueError instead of a silently wrong width or a later opaque
+    analysis error. bool is an int subclass and floats slip past bare
+    comparisons, so the TYPE check is strict. Shared by `doc_simhash`
+    and the streaming twins — the twins validate BEFORE writing the
+    store's contract sidecar, so a first batch with bad knobs can't
+    poison an empty store with a contract only a hand-deleted meta
+    file would unblock."""
+
+    def _is_int(v):
+        return isinstance(v, int) and not isinstance(v, bool)
+
+    if not _is_int(bits) or not (shingle is None or _is_int(shingle)):
+        raise ValueError(
+            f"bits/shingle must be ints or 'auto', got {bits!r}/{shingle!r}"
+        )
+    if not 1 <= bits <= 60:
+        raise ValueError(
+            f"bits must be in [1, 60] (signed-long bit weights), got {bits}"
+        )
+    if shingle is not None and shingle < 1:
+        raise ValueError(f"shingle must be >= 1, got {shingle}")
+
+
 def auto_simhash_config(
     expected_docs: int | None,
 ) -> tuple[int, int | None]:
@@ -879,22 +904,7 @@ def doc_simhash(
             bits = abits
         if shingle == "auto":
             shingle = ashingle
-    # bool is an int subclass and floats slip past a bare < check —
-    # both would silently run a wrong width or die in a later opaque
-    # analysis error, so validate the TYPE strictly
-    def _is_int(v):
-        return isinstance(v, int) and not isinstance(v, bool)
-
-    if not _is_int(bits) or not (shingle is None or _is_int(shingle)):
-        raise ValueError(
-            f"bits/shingle must be ints or 'auto', got {bits!r}/{shingle!r}"
-        )
-    if bits > 60:
-        raise ValueError(
-            f"bits must be <= 60 (signed-long bit weights), got {bits}"
-        )
-    if shingle is not None and shingle < 1:
-        raise ValueError(f"shingle must be >= 1, got {shingle}")
+    validate_simhash_knobs(bits, shingle)
     if shingle is None:
         feats = docs.select(
             "doc_id", F.explode(words(F.col(text_col))).alias("_f")

@@ -207,13 +207,17 @@ def _next_store_batch_id(store_dir: str) -> int:
     """Sequential batch id for DIRECT (non-foreachBatch) callers: one
     past the highest ``batch=N`` subdirectory. Local filesystem only —
     callers on object stores pass ``batch_id`` explicitly (foreachBatch
-    always does)."""
+    always does). Normalizes the spelling first: a raw
+    'file:/data/store' would FileNotFoundError here and silently
+    return 0, making the next write OVERWRITE the real store's
+    batch=0 partition even though every Spark read/write resolves the
+    URI correctly."""
     import os
 
     try:
         existing = [
             int(d.split("=", 1)[1])
-            for d in os.listdir(store_dir)
+            for d in os.listdir(_norm_store_path(store_dir))
             if d.startswith("batch=")
         ]
     except OSError:
@@ -344,12 +348,30 @@ def compact_store(
         "rows_kept": 0,
         "rows_dropped": 0,
     }
+    # Local filesystem only (directory renames and deletes): reject
+    # remote schemes loudly instead of normalizing 'hdfs://nn/store'
+    # to a bare '/store' and rmtree-ing a DRIVER-LOCAL path that
+    # happens to exist; accept every local spelling the twins accept
+    # ('file:/x', 'file:///x', 'file:store', relative) by routing all
+    # os-level operations through the module's one normalizer.
+    from urllib.parse import urlsplit
+
+    sp = urlsplit(store_dir)
+    if sp.scheme not in ("", "file") and (
+        sp.netloc or sp.path.startswith("/") or sp.scheme in _FS_SCHEMES
+    ):
+        raise ValueError(
+            f"compact_store is local-filesystem maintenance; got remote "
+            f"store {store_dir!r} — object-store layouts compact via the "
+            "table's own partition-DROP maintenance pipeline"
+        )
+    local_store = _norm_store_path(store_dir)
     has_batch_dirs, root_files = _list_store_layouts(spark, store_dir)
     if not has_batch_dirs and not root_files:
         return stats
     batch_ids = sorted(
         int(d.split("=", 1)[1])
-        for d in os.listdir(store_dir)
+        for d in os.listdir(local_store)
         if d.startswith("batch=")
     )
     protected = batch_ids[-1] if batch_ids else None
@@ -368,18 +390,22 @@ def compact_store(
         # has ts >= committed_max, so eviction stays invisible even to
         # the replay (out-of-order arrivals remain the documented
         # over-admit-only exception).
-        frames = [
-            spark.read.parquet(
-                os.path.join(store_dir, f"batch={b}")
-            ).select("_ts")
+        committed = [
+            os.path.join(local_store, f"batch={b}")
             for b in batch_ids
             if b != protected
         ]
+        frames = []
+        if committed:
+            # ONE multi-path reader for all committed partitions — a
+            # per-partition read would pay K listings plus a K-deep
+            # union just to take a scalar max
+            frames.append(spark.read.parquet(*committed).select("_ts"))
         if root_files:
             frames.append(spark.read.parquet(*root_files).select("_ts"))
         if not frames:  # a single-partition store: nothing compactable
             stats["rows_kept"] += spark.read.parquet(
-                os.path.join(store_dir, f"batch={protected}")
+                os.path.join(local_store, f"batch={protected}")
             ).count()
             return stats
         all_ts = frames[0]
@@ -392,7 +418,7 @@ def compact_store(
         f"INTERVAL {int(horizon_seconds)} SECONDS"
     )
     for bid in batch_ids:
-        part_dir = os.path.join(store_dir, f"batch={bid}")
+        part_dir = os.path.join(local_store, f"batch={bid}")
         if bid == protected:
             # always kept whole — no filter scan or rewrite; the
             # count() for stats is satisfied from parquet footer
@@ -421,8 +447,8 @@ def compact_store(
             # silently matching fewer signatures than a completed run
             # would (missing rows can only over-admit, the operators'
             # documented failure side)
-            tmp = os.path.join(store_dir, f".compact-batch={bid}")
-            old = os.path.join(store_dir, f".old-batch={bid}")
+            tmp = os.path.join(local_store, f".compact-batch={bid}")
+            old = os.path.join(local_store, f".old-batch={bid}")
             kept.write.mode("overwrite").parquet(tmp)
             if os.path.isdir(old):  # stale leftover from a past crash
                 shutil.rmtree(old)
@@ -583,8 +609,14 @@ def near_dup_dedup_batch(
         doc_simhash,
         simhash_cross_matches,
         simhash_near_dups,
+        validate_simhash_knobs,
     )
 
+    # validate BEFORE the sidecar write: a first batch with bad knobs
+    # must fail loudly WITHOUT recording a bogus contract on an empty
+    # store (which would block the corrected re-run until the meta
+    # file was hand-deleted)
+    validate_simhash_knobs(bits, shingle)
     if batch.isEmpty():
         return batch.limit(0)
     if batch_id is None:
@@ -971,6 +1003,12 @@ def semantic_dedup_batch(
         with_quantized,
     )
 
+    # validate BEFORE the sidecar write (same rule as the SimHash
+    # twin): bad knobs must not record a bogus contract on an empty
+    # store. bool is an int subclass; floats slip past bare compares.
+    for name, v in (("dim", dim), ("n_planes", n_planes)):
+        if not isinstance(v, int) or isinstance(v, bool) or v < 1:
+            raise ValueError(f"{name} must be a positive int, got {v!r}")
     if batch.isEmpty():
         return batch.limit(0)
     if batch_id is None:

@@ -1769,3 +1769,101 @@ def test_store_meta_path_classification(tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="incompatible"):
         _check_store_meta(str(target), {"kind": "simhash", "bits": 32,
                                         "shingle": None})
+
+
+def test_store_ops_accept_file_scheme_and_reject_remote(spark, tmp_path):
+    """Round-7 review: compact_store and _next_store_batch_id ran
+    os-level calls on the RAW store_dir spelling, so the 'file:'
+    spellings every other store entry point accepts either crashed the
+    in-loop compaction (FileNotFoundError mid-stream) or silently
+    reset the batch counter to 0 (= overwrite the real store's
+    batch=0). Both now route through _norm_store_path; remote schemes
+    raise loudly instead of normalizing to a driver-local path and
+    rmtree-ing it."""
+    import datetime as dt
+
+    import pytest
+
+    from flink_project_spark.streaming.dedup import (
+        _next_store_batch_id,
+        compact_store,
+        near_dup_dedup_batch,
+    )
+
+    store = str(tmp_path / "s")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, (base + dt.timedelta(seconds=s)).strftime(
+                    "%Y-%m-%d %H:%M:%S"
+                ), " ".join(f"d{i}w{j}" for j in range(25)))
+                for i, s in rows
+            ],
+            "doc_id long, ts_s string, text string",
+        ).select(
+            "doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "text"
+        )
+
+    near_dup_dedup_batch(mk([(1, 0)]), store, batch_id=0).collect()
+    near_dup_dedup_batch(mk([(2, 2000)]), store, batch_id=1).collect()
+
+    # file:-scheme spelling of the SAME store: counter continues (no
+    # silent reset) and compaction runs instead of crashing
+    assert _next_store_batch_id(f"file:{store}") == 2
+    stats = compact_store(spark, f"file:{store}", horizon_seconds=600)
+    assert stats["batches_deleted"] + stats["rows_kept"] > 0
+
+    with pytest.raises(ValueError, match="local-filesystem"):
+        compact_store(spark, "hdfs://nn:8020/data/s", horizon_seconds=600)
+    with pytest.raises(ValueError, match="local-filesystem"):
+        compact_store(spark, "s3a:relative/store", horizon_seconds=600)
+
+
+def test_bad_knobs_do_not_poison_empty_store(spark, tmp_path):
+    """Round-7 review: the twins wrote the contract sidecar BEFORE the
+    knobs were validated, so a first batch with a bad width recorded a
+    bogus contract that blocked the corrected re-run until the meta
+    file was hand-deleted. Validation now runs first."""
+    import os
+
+    import pytest
+
+    from flink_project_spark.streaming.dedup import (
+        near_dup_dedup_batch,
+        semantic_dedup_batch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "w1 w2 w3 w4 w5")],
+        "doc_id long, ts_s string, text string",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "text")
+
+    store = str(tmp_path / "sim")
+    with pytest.raises(ValueError, match="bits/shingle"):
+        near_dup_dedup_batch(df, store, bits=60, shingle=2.5, batch_id=0)
+    with pytest.raises(ValueError, match="bits"):
+        near_dup_dedup_batch(df, store, bits=0, batch_id=0)
+    assert not os.path.exists(store)  # nothing written, nothing poisoned
+    # the corrected run proceeds without any manual cleanup
+    out = near_dup_dedup_batch(
+        df, store, bits=60, shingle=3, batch_id=0
+    ).collect()
+    assert len(out) == 1
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], "2024-01-01 00:00:00")],
+        "doc_id long, embedding array<double>, ts_s string",
+    ).select(
+        "doc_id", "embedding", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    sem = str(tmp_path / "sem")
+    with pytest.raises(ValueError, match="n_planes"):
+        semantic_dedup_batch(emb, sem, dim=2, n_planes=True, batch_id=0)
+    with pytest.raises(ValueError, match="dim"):
+        semantic_dedup_batch(emb, sem, dim=0, n_planes=4, batch_id=0)
+    assert not os.path.exists(sem)
+    assert len(
+        semantic_dedup_batch(emb, sem, dim=2, n_planes=4, batch_id=0).collect()
+    ) == 1
