@@ -1006,9 +1006,13 @@ def semantic_dedup_batch(
     # validate BEFORE the sidecar write (same rule as the SimHash
     # twin): bad knobs must not record a bogus contract on an empty
     # store. bool is an int subclass; floats slip past bare compares.
-    for name, v in (("dim", dim), ("n_planes", n_planes)):
-        if not isinstance(v, int) or isinstance(v, bool) or v < 1:
-            raise ValueError(f"{name} must be a positive int, got {v!r}")
+    # n_planes=0 is legitimate (one global bucket — the brute-force
+    # sweep `signlsh_bucket` documents); dim must be positive.
+    for name, v, lo in (("dim", dim, 1), ("n_planes", n_planes, 0)):
+        if not isinstance(v, int) or isinstance(v, bool) or v < lo:
+            raise ValueError(
+                f"{name} must be an int >= {lo}, got {v!r}"
+            )
     if batch.isEmpty():
         return batch.limit(0)
     if batch_id is None:
