@@ -354,6 +354,7 @@ def main() -> None:
                 "cpu_clean": cpu_clean,
                 "shuffle_clean": shuffle_clean,
                 "best_pass_probe_s": round(best_pass_probe, 2),
+                "effective_probe_s": round(effective_probe, 2),
                 "best_pass_shuffle_probe_s": round(best_pass_shuffle, 2),
                 "effective_shuffle_probe_s": round(effective_shuffle, 2),
                 "quiet_ref_s": QUIET_PROBE_S,

@@ -741,7 +741,11 @@ def validate_simhash_knobs(bits, shingle) -> None:
 
     if not _is_int(bits) or not (shingle is None or _is_int(shingle)):
         raise ValueError(
-            f"bits/shingle must be ints or 'auto', got {bits!r}/{shingle!r}"
+            f"bits/shingle must be plain ints here, got "
+            f"{bits!r}/{shingle!r} — 'auto' resolves only where a "
+            "corpus-size hint exists (doc_simhash/auto_simhash_config); "
+            "the streaming twins pin the store contract and take "
+            "resolved ints"
         )
     if not 1 <= bits <= 60:
         raise ValueError(
@@ -791,10 +795,7 @@ def simhash(text: Column, bits: int = 32) -> Column:
     ``bits`` as in `doc_simhash` (> 32 switches to the 60-bit word
     hash; 32-bit signatures saturate beyond ~10^4 docs).
     """
-    if bits > 60:
-        raise ValueError(
-            f"bits must be <= 60 (signed-long bit weights), got {bits}"
-        )
+    validate_simhash_knobs(bits, None)
     w = words(text)
     hash_fn = v32 if bits <= 32 else v60
     hashes = F.transform(w, lambda x: hash_fn(x))

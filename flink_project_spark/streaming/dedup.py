@@ -80,6 +80,22 @@ _FS_SCHEMES = {
 }
 
 
+def _is_remote_store(u: str) -> bool:
+    """True iff the spelling names a NON-local store: a non-file scheme
+    that classifies as a URI under the same rules as
+    `_norm_store_path` (authority, absolute path, or a known
+    filesystem scheme's scheme-relative form). One classifier for the
+    whole module — `_check_store_meta`, `compact_store`, and
+    `_compact_cadence` must never disagree on which stores are
+    local."""
+    from urllib.parse import urlsplit
+
+    sp = urlsplit(u)
+    return sp.scheme not in ("", "file") and bool(
+        sp.netloc or sp.path.startswith("/") or sp.scheme in _FS_SCHEMES
+    )
+
+
 def _norm_store_path(u: str) -> str:
     """Normalize one store-path spelling to a bare absolute POSIX path
     for prefix-relating a store listing against the caller's
@@ -211,9 +227,16 @@ def _next_store_batch_id(store_dir: str) -> int:
     'file:/data/store' would FileNotFoundError here and silently
     return 0, making the next write OVERWRITE the real store's
     batch=0 partition even though every Spark read/write resolves the
-    URI correctly."""
+    URI correctly. Remote stores raise instead of normalizing: the
+    stripped path could name an UNRELATED driver-local directory
+    whose batch=N listing would silently produce a wrong counter."""
     import os
 
+    if _is_remote_store(store_dir):
+        raise ValueError(
+            f"cannot derive a batch id from remote store {store_dir!r}: "
+            "pass batch_id explicitly (foreachBatch callers always do)"
+        )
     try:
         existing = [
             int(d.split("=", 1)[1])
@@ -253,7 +276,6 @@ def _check_store_meta(store_dir: str, contract: dict) -> None:
     import json
     import os
     import tempfile
-    from urllib.parse import urlsplit
 
     # remote iff a non-file scheme that classifies as a URI under the
     # SAME rules as `_norm_store_path` — one classifier for the whole
@@ -262,10 +284,7 @@ def _check_store_meta(store_dir: str, contract: dict) -> None:
     # the driver while the real store lived on HDFS, so the guard
     # never guarded) and cwd-joined 'file://localhost/data/store' as
     # '<cwd>/localhost/data/store' instead of '/data/store'.
-    sp = urlsplit(store_dir)
-    if sp.scheme not in ("", "file") and (
-        sp.netloc or sp.path.startswith("/") or sp.scheme in _FS_SCHEMES
-    ):
+    if _is_remote_store(store_dir):
         return  # non-local store: guard not applicable
     local = _norm_store_path(store_dir)
     meta_path = os.path.join(local, _STORE_META_FILE)
@@ -354,12 +373,7 @@ def compact_store(
     # happens to exist; accept every local spelling the twins accept
     # ('file:/x', 'file:///x', 'file:store', relative) by routing all
     # os-level operations through the module's one normalizer.
-    from urllib.parse import urlsplit
-
-    sp = urlsplit(store_dir)
-    if sp.scheme not in ("", "file") and (
-        sp.netloc or sp.path.startswith("/") or sp.scheme in _FS_SCHEMES
-    ):
+    if _is_remote_store(store_dir):
         raise ValueError(
             f"compact_store is local-filesystem maintenance; got remote "
             f"store {store_dir!r} — object-store layouts compact via the "
@@ -863,6 +877,16 @@ def _compact_cadence(
     if compact_every < 1:
         raise ValueError(
             f"compact_every must be >= 1 batches, got {compact_every}"
+        )
+    # fail at WIRING time, not inside the Nth micro-batch: a remote
+    # store would otherwise process and commit N-1 batches and then
+    # kill the stream when compact_store's local-filesystem guard
+    # fires mid-run
+    if _is_remote_store(store_dir):
+        raise ValueError(
+            f"compact_every requires a local-filesystem store, got "
+            f"remote {store_dir!r} — compact object-store layouts via "
+            "the table's own partition-DROP maintenance pipeline"
         )
 
     def _maybe(spark, batch_id: int) -> None:

@@ -1867,3 +1867,33 @@ def test_bad_knobs_do_not_poison_empty_store(spark, tmp_path):
     assert len(
         semantic_dedup_batch(emb, sem, dim=2, n_planes=4, batch_id=0).collect()
     ) == 1
+
+
+def test_remote_store_guards_fail_at_wiring_time(spark, tmp_path):
+    """Third review batch: remote stores must fail loudly and EARLY —
+    _next_store_batch_id must not normalize 'hdfs://nn/store' to a
+    driver-local '/store' listing (wrong counter = overwrite a real
+    partition), and compact_every must reject a remote store when the
+    foreachBatch hook is WIRED, not crash the stream at the Nth
+    micro-batch."""
+    import pytest
+
+    from flink_project_spark.streaming.dedup import (
+        _next_store_batch_id,
+        near_dup_foreach_batch,
+    )
+
+    with pytest.raises(ValueError, match="batch_id explicitly"):
+        _next_store_batch_id("hdfs://nn:8020/data/store")
+    with pytest.raises(ValueError, match="local-filesystem"):
+        near_dup_foreach_batch(
+            "s3a://bucket/store",
+            sink=lambda df, bid: None,
+            compact_every=4,
+        )
+    # a remote store WITHOUT compaction still wires fine (the twins
+    # support remote stores when batch_id comes from the checkpoint)
+    hook = near_dup_foreach_batch(
+        "s3a://bucket/store", sink=lambda df, bid: None
+    )
+    assert callable(hook)
