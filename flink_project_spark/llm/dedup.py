@@ -608,12 +608,27 @@ def connected_components(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+        # no distinct between the stars (round 7): the small-star min
+        # is duplicate-insensitive and the END-of-round distinct is
+        # what canonicalizes the edge set for the convergence
+        # signature, so the mid-round distinct only traded shuffle
+        # volume — and it never reduced total bytes moved: it
+        # re-shuffled the same E large-star output rows the small-star
+        # exchange now receives directly (3E rows/round either way),
+        # while costing a full extra exchange + AQE stage barrier per
+        # round. Interleaved A/B at sf0.1 (6-round convergence,
+        # identical 363-row output): emb_semantic_dedup 43 -> 37 Spark
+        # jobs, 4.26 -> 3.61 s / 4.14 -> 4.02 s on paired passes; the
+        # CC kernel alone 41 -> 35 jobs. Tradeoff at scale: the
+        # small-star window key now sees deg(u) duplicate (v, m) rows
+        # for hot roots instead of their distinct-m collapse — a
+        # longer sorted run in the same task the window already owned
+        # (sort-based, spills gracefully), not a new skew axis.
         edges = (
             sym.withColumn("m", m)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star: point u's smaller neighbors AND u at that min
         dirn = edges.select(
