@@ -4,6 +4,10 @@ Runs every entry in ``__spark_entry__.queries()`` at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+(the compact line carries the top-20 heaviest queries inline so a
+byte-bounded tail capture retains per-query data; the full per-query
+map follows on a detail line plus self-describing <=1.5 KB chunk
+lines, and the compact line repeats last)
 
 Each query executes end-to-end through the `noop` sink (full plan, no
 driver-side collection) — the number measures engine throughput, not
@@ -342,6 +346,23 @@ def main() -> None:
     # giant line outgrew the driver's tail buffer and parsed as null).
     # Per-query detail follows on a second line; the compact line repeats
     # LAST so a byte-based *tail* capture also lands on an intact copy.
+    # Round 8: the driver keeps only a ~2,000-byte stdout TAIL, which
+    # truncated the full 111-query detail line and left the round-7
+    # per-query comparison empty (PERF_r07.per_query == {}). Two
+    # additions, both additive (no existing key removed or renamed):
+    # the compact line now carries the TOP-20 heaviest queries inline
+    # (~600 bytes — the whole line stays ~1.1 KB, inside any tail
+    # capture), and the full per-query detail re-prints as a series of
+    # self-describing <=1.5 KB chunk lines so a bounded capture retains
+    # at least the trailing chunks intact. The timed region and the
+    # aggregation are unchanged; the full single detail line still
+    # prints for local artifact tooling.
+    heavy = dict(
+        sorted(
+            ((k, round(v, 2)) for k, v in best.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:20]
+    )
     compact = json.dumps(
         {
             "metric": "total_query_seconds",
@@ -349,6 +370,9 @@ def main() -> None:
             "unit": "sec",
             "cache_build_seconds": round(cache_build, 2),
             "sf": sf,
+            "n_queries": len(best),
+            "queries": heavy,
+            "queries_included": "top20_by_seconds",
             "window": {
                 "clean": window_clean,
                 "cpu_clean": cpu_clean,
@@ -393,6 +417,28 @@ def main() -> None:
         ),
         flush=True,
     )
+    # chunked per-query detail (round 8): each line is independently
+    # parseable JSON under ~1.5 KB, so a byte-bounded tail capture that
+    # cannot hold the full detail line still lands on whole chunks.
+    names = list(best)
+    chunk_size = 24
+    n_chunks = (len(names) + chunk_size - 1) // chunk_size
+    for ci in range(n_chunks):
+        part = names[ci * chunk_size : (ci + 1) * chunk_size]
+        print(
+            json.dumps(
+                {
+                    "detail": "bench_per_query_chunk",
+                    "chunk": ci + 1,
+                    "chunks": n_chunks,
+                    "queries": {k: round(best[k], 2) for k in part},
+                    "jobs": {
+                        k: job_counts[k] for k in part if k in job_counts
+                    },
+                }
+            ),
+            flush=True,
+        )
     print(compact, flush=True)
     spark.stop()
 
