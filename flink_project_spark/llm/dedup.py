@@ -558,6 +558,66 @@ def near_dup_pairs(
     )
 
 
+def _cc_round(edges: DataFrame) -> DataFrame:
+    """ONE alternating large-star/small-star round over a canonical
+    (u, v) edge set — the loop body of `connected_components`, split
+    out so `tools/explain_plans.py` can capture a round-body plan
+    (explain on the full loop only shows the last round's scan behind
+    the per-round localCheckpoint).
+
+    Each star is ONE window pass (min over the neighborhood) instead
+    of a groupBy + join-back — half the shuffles per round. No distinct
+    between the stars (round 7): the small-star min is
+    duplicate-insensitive and the END-of-round distinct is what
+    canonicalizes the edge set for the convergence signature, so the
+    mid-round distinct only traded shuffle volume — and it never
+    reduced total bytes moved: it re-shuffled the same E large-star
+    output rows the small-star exchange now receives directly (3E
+    rows/round either way), while costing a full extra exchange + AQE
+    stage barrier per round. Interleaved A/B at sf0.1 (6-round
+    convergence, identical 363-row output): emb_semantic_dedup
+    43 -> 37 Spark jobs, 4.26 -> 3.61 s / 4.14 -> 4.02 s on paired
+    passes; the CC kernel alone 41 -> 35 jobs. Tradeoff at scale: the
+    small-star window key sees deg(u) duplicate (v, m) rows for hot
+    roots instead of their distinct-m collapse — a longer sorted run
+    in the same task the window already owned (sort-based, spills
+    gracefully), not a new skew axis.
+    """
+    # large-star: point u's larger neighbors at its neighborhood min
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+    large = (
+        sym.withColumn("m", m)
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    # small-star: point u's smaller neighbors AND u at that min
+    dirn = large.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    dm = dirn.withColumn(
+        "m", F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+    )
+    # both star edges via one generate — a union of two selects
+    # would evaluate the large-star + window subtree twice per round
+    return (
+        dm.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                    F.struct(F.col("u"), F.col("m").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -580,19 +640,17 @@ def connected_components(
     list only shrinks toward the star graph (node -> component min), so
     rounds converge in O(log n) in practice. Convergence is detected
     with a count + order-independent xxhash64 checksum of the edge set
-    (one cheap aggregate — no full EXCEPT shuffle), and every round is
-    localCheckpoint()ed to truncate lineage (cluster analog: checkpoint
-    the edge list to the DFS each round).
+    computed as OBSERVED METRICS of the round's own checkpoint
+    materialization (no separate aggregate job, no full EXCEPT
+    shuffle), and every round is localCheckpoint()ed to truncate
+    lineage (cluster analog: checkpoint the edge list to the DFS each
+    round).
 
     Isolated nodes never appear in `pairs` and are their own component;
     callers union them in (see `dedup_keep_canonical`).
     """
-    # lazy checkpoints throughout the loop: the per-round convergence
-    # signature (the .collect() below) is the action that materializes
-    # each round's edge set, so an EAGER checkpoint would add a second
-    # full job per round purely to materialize what the signature scan
-    # is about to read anyway — lineage truncation is identical either
-    # way once the signature job has run
+    from pyspark.sql import Observation
+
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -601,70 +659,38 @@ def connected_components(
     )
     prev_sig: tuple[int, int] | None = None
     for _ in range(max_rounds):
-        # each star is ONE window pass (min over the neighborhood)
-        # instead of a groupBy + join-back — half the shuffles per round
-        # large-star: point u's larger neighbors at its neighborhood min
-        sym = edges.union(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
-        # no distinct between the stars (round 7): the small-star min
-        # is duplicate-insensitive and the END-of-round distinct is
-        # what canonicalizes the edge set for the convergence
-        # signature, so the mid-round distinct only traded shuffle
-        # volume — and it never reduced total bytes moved: it
-        # re-shuffled the same E large-star output rows the small-star
-        # exchange now receives directly (3E rows/round either way),
-        # while costing a full extra exchange + AQE stage barrier per
-        # round. Interleaved A/B at sf0.1 (6-round convergence,
-        # identical 363-row output): emb_semantic_dedup 43 -> 37 Spark
-        # jobs, 4.26 -> 3.61 s / 4.14 -> 4.02 s on paired passes; the
-        # CC kernel alone 41 -> 35 jobs. Tradeoff at scale: the
-        # small-star window key now sees deg(u) duplicate (v, m) rows
-        # for hot roots instead of their distinct-m collapse — a
-        # longer sorted run in the same task the window already owned
-        # (sort-based, spills gracefully), not a new skew axis.
+        # Round 8: the convergence signature rides the round's own
+        # materialization as OBSERVED METRICS (CollectMetrics
+        # accumulators evaluated while the checkpoint rows stream)
+        # instead of a separate post-checkpoint aggregation job. The
+        # previous shape — lazy checkpoint + `edges.agg(count,
+        # hash).collect()` — paid one extra single-partition exchange
+        # and its AQE stage per round purely to read back what the
+        # materialization pass had just computed. The eager checkpoint
+        # is now the only per-round action; the signature expressions
+        # are unchanged, so round counts and results are identical.
+        # (Verified equivalent on this Spark: Observation values match
+        # the direct agg bit-for-bit, incl. the pmod/xxhash64 sum.)
+        obs = Observation()
         edges = (
-            sym.withColumn("m", m)
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-        )
-        # small-star: point u's smaller neighbors AND u at that min
-        dirn = edges.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        dm = dirn.withColumn(
-            "m", F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
-        )
-        # both star edges via one generate — a union of two selects
-        # would evaluate the large-star + window subtree twice per round
-        edges = (
-            dm.select(
-                F.explode(
-                    F.array(
-                        F.struct(
-                            F.col("v").alias("u"), F.col("m").alias("v")
-                        ),
-                        F.struct(F.col("u"), F.col("m").alias("v")),
-                    )
-                ).alias("e")
+            _cc_round(edges)
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                # 31-bit-reduced hashes: the sum stays far below 2^63
+                # under ANSI overflow checking for any realistic edge
+                # count
+                F.coalesce(
+                    F.sum(
+                        F.pmod(F.xxhash64("u", "v"), F.lit(2147483647))
+                    ),
+                    F.lit(0),
+                ).alias("h"),
             )
-            .select("e.u", "e.v")
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-        # 31-bit-reduced hashes: the sum stays far below 2^63 under
-        # ANSI overflow checking for any realistic edge count
-        row = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(2147483647))),
-                F.lit(0),
-            ).alias("h"),
-        ).collect()[0]
-        sig = (row["n"], row["h"])
+        vals = obs.get
+        sig = (vals["n"], vals["h"])
         if sig == prev_sig:
             converged = True
             break

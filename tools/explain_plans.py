@@ -32,8 +32,33 @@ def main() -> None:
     for df in entrymod.shared_intermediates(spark, sf_dir).values():
         df.write.format("noop").mode("overwrite").save()
 
-    qs = entrymod.queries()
-    for name in names or list(qs):
+    def _cc_round_body(spark, sf_dir):
+        # One CC loop-body iteration's plan (round-8 verdict ask #7):
+        # the loop materializes each round behind localCheckpoint, so
+        # explain on a full CC consumer only shows the last round's
+        # scan — this builds the round-1 edge set of the
+        # emb_semantic_dedup pair graph directly and plans ONE
+        # large-star/small-star round over it, so star-contraction
+        # changes carry Exchange-level evidence.
+        from pyspark.sql import functions as F
+
+        from flink_project_spark.llm.contract import _emb
+        from flink_project_spark.llm.dedup import _cc_round
+        from flink_project_spark.llm.similarity import embedding_near_dups
+
+        pairs = embedding_near_dups(
+            _emb(spark, sf_dir), dim=64, threshold=0.3, n_planes=4
+        )
+        edges0 = (
+            pairs.select(F.col("vec_a").alias("u"), F.col("vec_b").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return _cc_round(edges0)
+
+    qs = dict(entrymod.queries())
+    qs["cc_round_body"] = _cc_round_body
+    for name in names or list(entrymod.queries()):
         df = qs[name](spark, sf_dir)
         path = os.path.join(outdir, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
