@@ -182,16 +182,85 @@ def uauc_from_counts(
     e.g. 'show' rows). The counts are already at the per-user AUC's
     exact grain, so the only remaining shuffles are the per-user window
     and the final per-group mean; NULL-score rows contribute weight but
-    are excluded from the rank statistic, matching `uauc` on raw rows."""
-    per_user = auc_from_counts(
-        counts.filter(F.col(score_col).isNotNull()),
-        [*keys, user_col],
-        score_col,
+    are excluded from the rank statistic, matching `uauc` on raw rows.
+
+    Round 8 (guide §2.4): the per-user AUC and the per-user weight sum
+    now compute in ONE pass — the weight rides the same per-user
+    aggregation as the rank-sum term, so the separate weights groupBy
+    and the AUC-vs-weights join are gone (the join was the plan's only
+    join; its broadcast build was one Spark job per run). NULL-score
+    rows stay in the stream: they sort first in the ascending cneg
+    window and contribute 0 to it (conditional sum), and the
+    positives/negatives/num2 aggregates skip them via the same
+    NULL-when condition — bit-identical to the old
+    filter-then-aggregate form, which pytest pins against `uauc` on
+    raw rows. A user whose scores are ALL NULL aggregates to NULL
+    positives -> NULL auc -> dropped by the same auc-IS-NOT-NULL
+    filter that previously excluded them (they never entered per_user).
+    The old form's left join + coalesce(w, 0) had no other effect:
+    weights grouped a superset of per_user's groups, so the coalesce
+    never fired, and groupBy keeps NULL keys exactly as the
+    null-safe-equality join did."""
+    nn = F.col(score_col).isNotNull()
+    w = (
+        Window.partitionBy(*keys, user_col)
+        .orderBy(F.col(score_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    weights = counts.groupBy(*keys, user_col).agg(
-        F.sum(weight_col).alias("w")
+    cneg = F.coalesce(
+        F.sum(F.when(nn, F.col("n_s")).otherwise(F.lit(0))).over(w),
+        F.lit(0),
     )
-    return _weighted_user_mean(per_user, weights, keys, user_col)
+    # same decimal accumulation rationale as auc_from_counts: p_s *
+    # (2*cneg + n_s) is bounded by 2*P*N per group, past int64 at the
+    # 100 TB scale this module targets
+    per_user = (
+        counts.withColumn("_cneg", cneg)
+        .groupBy(*keys, user_col)
+        .agg(
+            F.sum(F.when(nn, F.col("p_s"))).alias("positives"),
+            F.sum(F.when(nn, F.col("n_s"))).alias("negatives"),
+            F.sum(
+                F.when(
+                    nn,
+                    F.col("p_s").cast("decimal(20,0)")
+                    * (F.lit(2) * F.col("_cneg") + F.col("n_s")),
+                )
+            ).alias("num2"),
+            F.sum(weight_col).alias("w"),
+        )
+        .withColumn(
+            "auc",
+            F.when(
+                (F.col("positives") > 0) & (F.col("negatives") > 0),
+                F.col("num2").cast("double")
+                / (F.lit(2.0) * F.col("positives") * F.col("negatives")),
+            ),
+        )
+    )
+    scaled = per_user.filter(F.col("auc").isNotNull()).withColumn(
+        "auc_scaled", F.floor(F.col("auc") * F.lit(1e9) + F.lit(0.5))
+    )
+    return (
+        scaled.groupBy(*keys)
+        .agg(
+            # decimal end to end — see _weighted_user_mean
+            F.sum(
+                F.col("w").cast("decimal(20,0)") * F.col("auc_scaled")
+            ).alias("wsum"),
+            F.sum("w").alias("wtotal"),
+            F.count(F.lit(1)).alias("users"),
+        )
+        .filter(F.col("wtotal") != 0)
+        .select(
+            *keys,
+            "users",
+            (
+                F.col("wsum").cast("double")
+                / (F.lit(1e9) * F.col("wtotal").cast("double"))
+            ).alias("uauc"),
+        )
+    )
 
 
 def _weighted_user_mean(

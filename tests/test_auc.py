@@ -88,3 +88,66 @@ def test_auc_null_scores_excluded_and_uauc_null_keys_kept(spark):
     u = {r.k: (r.users, r.uauc) for r in uauc(df, ["k"]).collect()}
     assert u[None] == (1, 1.0)  # null-key group kept, weight joined
     assert u["g"][0] == 1
+
+
+def test_uauc_from_counts_fused_matches_composed(spark):
+    """Round-8 pin: the fused single-pass `uauc_from_counts` (per-user
+    AUC + weight in ONE window/aggregate pass, no weights join) must
+    equal the composed form — `auc_from_counts` over the NULL-score-
+    filtered counts, a separate per-user weight sum, and the null-safe
+    `_weighted_user_mean` join — on a fixture that exercises every
+    branch the join used to handle: NULL scores (weight-bearing,
+    rank-excluded), an ALL-NULL-score user (weight but no AUC), a
+    zero-weight user with a valid AUC, a one-sided user (no AUC), and
+    a NULL group key."""
+    from pyspark.sql import functions as F
+
+    from flink_project_spark.operators.auc import (
+        _weighted_user_mean,
+        auc_from_counts,
+        uauc_from_counts,
+    )
+
+    rows = [
+        # (k, user, score, label, action)
+        ("g", "u1", 0.9, 1, "show"), ("g", "u1", 0.1, 0, "show"),
+        ("g", "u1", None, 0, "show"),          # NULL score, has weight
+        ("g", "u2", 0.8, 1, "click"), ("g", "u2", 0.2, 0, "click"),
+        #   u2: valid AUC but ZERO 'show' weight -> stays at w=0
+        ("g", "u3", None, 1, "show"),          # ALL-NULL-score user
+        ("g", "u4", 0.7, 1, "show"),           # one-sided -> no AUC
+        (None, "u5", 0.6, 1, "show"), (None, "u5", 0.4, 0, "show"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, user_id string, score double, label int, "
+        "action string"
+    )
+    counts = df.groupBy("k", "user_id", "score").agg(
+        F.sum("label").alias("p_s"),
+        F.sum(F.lit(1) - F.col("label")).alias("n_s"),
+        F.count_if(F.col("action") == "show").alias("w_s"),
+    )
+    def _key(t):
+        return (t[0] is None, t[0] or "", t[1:])
+
+    fused = sorted(
+        map(tuple, uauc_from_counts(counts, ["k"]).collect()), key=_key
+    )
+    per_user = auc_from_counts(
+        counts.filter(F.col("score").isNotNull()), ["k", "user_id"]
+    )
+    weights = counts.groupBy("k", "user_id").agg(F.sum("w_s").alias("w"))
+    composed = sorted(
+        map(
+            tuple,
+            _weighted_user_mean(per_user, weights, ["k"], "user_id")
+            .collect(),
+        ),
+        key=_key,
+    )
+    assert fused == composed
+    # spot values: group g keeps u1 (w=3, auc=1.0) and u2 (w=0) ->
+    # users=2, uauc = 3*1.0/3; NULL key group kept
+    got = {t[0]: t[1:] for t in fused}
+    assert got["g"] == (2, 1.0)
+    assert got[None] == (1, 1.0)
