@@ -141,10 +141,24 @@ def decay_pairs_from_arrays(
     pytest-checked), plan one full exchange cheaper: the quadratic pair
     stream is generated by two stacked posexplodes inside the stage that
     reads the (persisted) array table, so the only shuffle this operator
-    adds is the final map-side-combined groupBy(item_a, item_b).
+    adds is the final map-side-combined groupBy on the canonical pair.
 
     Positions are 0-based array indices; only distances |i - j| enter
     the LUT, so they equal the 1-based row_number form exactly.
+
+    Round 8 (guide §2.3 — shuffle/generate fewer rows): the pair
+    stream is SYMMETRIC — cooc(a,b) == cooc(b,a) (items are distinct
+    per user, so each unordered co-occurrence contributes one row per
+    direction) and the decay weight depends only on |i - j| — so the
+    second generate now emits only the LATER positions
+    (slice(items, i + 2, ...), the `decay_pairs_gated` pattern),
+    aggregation runs on the canonical (least, greatest) key, and both
+    directed rows re-materialize by a post-aggregation explode. This
+    HALVES the generated pair stream, the LUT lookups, and the hash-
+    aggregate input — n(n-1)/2 instead of n(n-1) rows per user — while
+    the exchange still carries one (now canonical) row per pair. The
+    explode runs above the final aggregate, on |items|²/2 rows at
+    most.
     """
     lut_vals = decay_lut(n_distances, scale, max_d)
     lut = _lut_expr(lut_vals)
@@ -155,24 +169,46 @@ def decay_pairs_from_arrays(
     ex2 = ex1.select(
         user_col,
         F.col("sa.it").alias("item_a"),
-        F.col("i").alias("pa"),
-        F.posexplode("items").alias("j", "sb"),
+        F.posexplode(
+            F.expr("slice(items, i + 2, size(items))")
+        ).alias("j", "sb"),
     )
-    d = F.abs(F.col("pa") - F.col("j"))
-    return (
+    # the slice's j is 0-based within the tail, so the original
+    # position distance is j + 1
+    d = F.col("j") + F.lit(1)
+    canonical = (
         ex2.filter(F.col("item_a") != F.col("sb.it"))
         .select(
-            "item_a",
-            F.col("sb.it").alias("item_b"),
+            F.least(F.col("item_a"), F.col("sb.it")).alias("lo"),
+            F.greatest(F.col("item_a"), F.col("sb.it")).alias("hi"),
             F.element_at(lut, F.least(d, F.lit(max_d)).cast("int")).alias(
                 "w_scaled"
             ),
         )
-        .groupBy("item_a", "item_b")
+        .groupBy("lo", "hi")
         .agg(
             F.count(F.lit(1)).alias("cooc"),
             F.sum("w_scaled").alias("decay_scaled"),
         )
+    )
+    return (
+        canonical.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("lo").alias("item_a"),
+                        F.col("hi").alias("item_b"),
+                    ),
+                    F.struct(
+                        F.col("hi").alias("item_a"),
+                        F.col("lo").alias("item_b"),
+                    ),
+                )
+            ).alias("p"),
+            "cooc",
+            "decay_scaled",
+        )
+        .select("p.item_a", "p.item_b", "cooc", "decay_scaled")
         .withColumn(
             "decay_score",
             F.col("decay_scaled").cast("double") / F.lit(float(scale)),
@@ -418,16 +454,24 @@ def neighbor_lists(
     form for small inputs. Output is identical in all three paths.
     """
     if pre_truncate:
+        from pyspark.sql import Window
+
         from flink_project_spark.operators.setops import (
-            top_k_per_group,
             top_k_per_group_salted,
         )
 
-        totals = scored.groupBy("item_a").agg(
-            F.count(F.lit(1)).alias("_total")
+        entry = F.struct(
+            (-F.col(score_col)).alias("neg_score"),
+            F.col("item_b").alias("nb"),
         )
         neg = scored.withColumn("_neg", -F.col(score_col))
         if salt_buckets:
+            # the salted escape hatch keeps the separate totals
+            # aggregate + join: its two-phase cut has no single
+            # whole-group window pass the count could ride on
+            totals = scored.groupBy("item_a").agg(
+                F.count(F.lit(1)).alias("_total")
+            )
             cut = top_k_per_group_salted(
                 neg,
                 ["item_a"],
@@ -436,19 +480,43 @@ def neighbor_lists(
                 ascending=True,
                 salt_buckets=salt_buckets,
             ).drop("_neg")
+            lists = (
+                cut.groupBy("item_a")
+                .agg(
+                    F.sort_array(F.collect_list(entry), asc=True).alias(
+                        "entries"
+                    )
+                )
+                .join(totals, "item_a")
+            )
         else:
-            cut = top_k_per_group(
-                neg, ["item_a"], ["_neg", "item_b"], k
-            ).drop("_neg")
-        entry = F.struct(
-            (-F.col(score_col)).alias("neg_score"),
-            F.col("item_b").alias("nb"),
-        )
-        lists = (
-            cut.groupBy("item_a")
-            .agg(F.sort_array(F.collect_list(entry), asc=True).alias("entries"))
-            .join(totals, "item_a")
-        )
+            # Round 8 (guide §2.4): total_candidates rides the SAME
+            # window pass as the top-K row_number — a whole-partition
+            # count over the item_a partitioning the rank window
+            # already establishes (one Exchange + Sort, two Window
+            # ops) — instead of a separate groupBy aggregate over the
+            # scored table plus a join back. Identical value: the
+            # count over the unbounded frame is exactly
+            # count(*) GROUP BY item_a.
+            if "rn" in neg.columns or "_total" in neg.columns:
+                raise ValueError(
+                    "input columns collide with the operator's working "
+                    "'rn'/'_total' columns; rename them first"
+                )
+            wr = Window.partitionBy("item_a").orderBy("_neg", "item_b")
+            wt = Window.partitionBy("item_a")
+            cut = (
+                neg.withColumn("rn", F.row_number().over(wr))
+                .withColumn("_total", F.count(F.lit(1)).over(wt))
+                .filter(F.col("rn") <= k)
+                .drop("rn", "_neg")
+            )
+            lists = cut.groupBy("item_a").agg(
+                F.sort_array(F.collect_list(entry), asc=True).alias(
+                    "entries"
+                ),
+                F.first("_total").alias("_total"),
+            )
         topk = F.col("entries")
         rendered = F.array_join(
             F.transform(

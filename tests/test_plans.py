@@ -118,8 +118,11 @@ def test_itemcf_pair_build_is_joinless_generate(spark):
     posexplode -> single aggregation exchange: no join operator of any
     kind in the plan (the old self-join form sorted the pair stream
     twice), and the only exchanges are the two aggregations (history
-    groupBy(user), pair groupBy(item_a, item_b)) plus the persisted
-    array read when the cache is warm."""
+    groupBy(user), pair groupBy on the canonical pair) plus the
+    persisted array read when the cache is warm. Round 8: a THIRD
+    Generate appears ABOVE the aggregation — the post-agg explode that
+    re-materializes both directed rows from the canonical (lo, hi)
+    aggregate after the i<j slice halved the generated pair stream."""
     from flink_project_spark import fixtures as FX
     from flink_project_spark.operators import itemcf as CF
 
@@ -132,7 +135,10 @@ def test_itemcf_pair_build_is_joinless_generate(spark):
         .toString()
     )
     assert "Join" not in plan, plan
-    assert plan.count("Generate") == 2, plan
+    assert plan.count("Generate") == 3, plan
+    # the i<j halving: the pair generate slices the tail, and the
+    # direction explode sits above the final aggregate
+    assert "slice(items" in plan, plan
     # pair generation contributes exactly two aggregation exchanges on
     # top of whatever the (here unpersisted) history subtree needs
     hist_plan = (
@@ -375,11 +381,12 @@ def test_auc_runs_exchange_free_off_partitioned_counts(spark):
 
 def test_uauc_single_small_exchange_off_partitioned_counts(spark):
     """q_uauc off the (scene_id, user_id)-partitioned counts cache:
-    the per-user window, per-user weight sum, and AUC-vs-weights join
-    run exchange-free; the ONLY data-moving exchange above the cache is
-    the final per-scene mean (one row per (scene, user) in flight),
-    plus the broadcast of the weight side. Cache materialized first —
-    see the auc test."""
+    per-user AUC and per-user weight fuse into ONE window + aggregation
+    pass (round 8 — the separate weights groupBy and the AUC-vs-weights
+    join are gone, so the plan has NO join at all); the ONLY data-moving
+    exchange above the cache is the final per-scene mean (one row per
+    (scene, user) in flight). Cache materialized first — see the auc
+    test."""
     import __spark_entry__ as E
 
     E._auc_counts(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -387,6 +394,8 @@ def test_uauc_single_small_exchange_off_partitioned_counts(spark):
     head = plan.split("InMemoryTableScan", 1)[0]
     non_broadcast = head.count("Exchange") - head.count("BroadcastExchange")
     assert non_broadcast == 1, head
+    assert "Join" not in head, head
+    assert "BroadcastExchange" not in head, head
 
 
 def test_simhash_near_dups_has_no_pair_level_shuffle(spark):
