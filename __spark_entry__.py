@@ -1665,93 +1665,91 @@ def q_excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name", "n_name")
 
 
-# Driver-cap rotation (round 7): the external driver's CORRECTNESS
-# check runs only the FIRST ~50 entries of queries(). Lifetime
-# coverage entering this round: 108/111 oracle-bearing entries have an
-# official green row (the 3 without are the no-oracle iterative
-# trainers, rows-only by design); staleness is 14 entries last checked
-# in r4, 44 in r5, 50 in r6. Round 7 front-loads, in order: the five
-# standing family canaries; the queries whose implementation changed
-# this round (the bits/shingle/n "auto" resolution preamble landed in
-# doc_simhash and decontaminate_overlap — plans are unchanged when
-# explicit widths are passed, but fresh official rows over the touched
-# code are cheap insurance); then the stalest previously-covered
-# entries — the FULL r4-last-row block (its lighter half was never
-# re-rotated), then the heaviest r5-last-row plans (heaviest = most
-# regression-prone, ranked by BENCH_local_r6 per-query time). The 18
-# lightest r5-block entries (all <= 0.26 s trivial plans) wait for
-# round 8's cap. Every entry past the cap remains oracle-checked by
-# the pytest sweep each run (tests/test_entry_contract.py). Rationale
-# documented in BASELINE.md.
+# Driver-cap rotation (round 8): the external driver's CORRECTNESS
+# check runs only the FIRST ~50 entries of queries(). Round 8
+# front-loads, in order: the five standing family canaries; every
+# query whose implementation changed this round (the CC observed-
+# metrics convergence feeds emb_semantic_dedup — a canary — and
+# doc_dedup_cc; the uauc single-pass fusion; the item-CF pair-stream
+# halving + neighbor-list totals fold feed the whole itemcf family
+# plus whitelist_semi, which reads the rebuilt cosine table); then the
+# 18-lightest r5-block entries promised a cap slot by the round-7
+# rotation comment (their last official row was round 5); then the
+# stalest remainder — entries whose last official row was round 6,
+# heaviest baseline-r8 plans first (heaviest = most regression-prone).
+# Entries whose fresh row landed in round 7 take the next rotation.
+# Every entry past the cap remains oracle-checked by the pytest sweep
+# each run (tests/test_entry_contract.py). Rationale in BASELINE.md.
 _DRIVER_CAP_ROTATION = [
     # proven-family canaries (driver-green every round they ran)
     "scene_uv",  # relational UV/groupBy family
-    "itemcf_cosine",  # item-CF family
+    "itemcf_cosine",  # item-CF family (reads the r8-rebuilt tables)
     "doc_minhash_neardups",  # dedup family
     "event_window_counts",  # window/streaming-twin family
-    "emb_semantic_dedup",  # CC/semantic-dedup family
-    # --- implementation touched in round 7 (size-driven "auto"
-    # config resolution in doc_simhash / decontaminate_overlap) ---
-    "doc_simhash",
-    "doc_simhash_neardups",
-    "doc_simhash_neardups_scale",
-    "doc_decontaminate_overlap",
-    "doc_decontaminate_overlap_scale",
-    # --- stalest: last official row in round 4 (the full block) ---
-    "disjunctive_part_revenue",
-    "doc_curriculum_order",
-    "doc_heuristic_rules",
-    "doc_length_profile",
-    "doc_pack_plan",
-    "doc_pii_stats",
-    "doc_stratified_sample",
-    "event_gap_fill",
-    "forecast_revenue_change",
-    "idle_customer_balance",
-    "order_price_bands",
-    "order_priority_rollup",
-    "promo_revenue_share",
-    "user_rolling_value",
-    # --- stale: last official row in round 5, heaviest plans first
-    # (BENCH_local_r6 per-query seconds in trailing comments) ---
-    "doc_dedup_cc",  # 1.34
-    "doc_repetition",  # 1.03
-    "click_show_attribution",  # 0.80
-    "pricing_summary",  # 0.78
-    "doc_language_id",  # 0.76
-    "uauc",  # 0.64
-    "json_props_stats",  # 0.63
-    "doc_dup_span_strip",  # 0.60
-    "emb_cosine_topk",  # 0.59
-    "transfer_error_ratio",  # 0.59
-    "doc_rarity",  # 0.56
-    "doc_top_terms",  # 0.48
-    "emb_ivf_topk",  # 0.47
-    "minus_whitelist",  # 0.45
-    "doc_decontaminate",  # 0.38
-    "rank_by_score",  # 0.38
-    "doc_exact_dedup",  # 0.37
-    "media_payload_stats",  # 0.35
-    "auc",  # 0.32
-    "doc_interleave_order",  # 0.32
-    "lag_delta_alerts",  # 0.32
-    "cogroup_scene_stats",  # 0.31
-    "doc_dedup_keep_canonical",  # 0.31
-    "doc_token_stats",  # 0.29
-    "emb_near_dups",  # 0.29
-    "user_fluctuation",  # 0.27
+    "emb_semantic_dedup",  # CC/semantic-dedup family (r8: observe)
+    # --- implementation touched in round 8 ---
+    "doc_dedup_cc",  # CC observed-metrics convergence
+    "uauc",  # fused per-user AUC + weight pass
+    "itemcf_decay",  # canonical-pair halved generate
+    "itemcf_cooccurrence",  # projection of the same pair table
+    "itemcf_topn",  # neighbor-list totals fold
+    "itemcf_histogram",  # consumes the folded lists table
+    "whitelist_semi",  # reads the rebuilt cosine table
+    # --- promised round-7 carry-over: the 18-lightest r5-block
+    # entries (last official row round 5); the four itemcf members
+    # already sit in the changed block above ---
+    "ctr_abnormal_users",
+    "doc_pack_spans",
+    "word_counts",
+    "doc_token_budget_sample",
+    "doc_source_quota",
+    "metric_pivot",
+    "doc_train_split",
+    "label_dedup_anti",
+    "scene_ctr",
+    "media_frame_sample",
+    "action_counts",
+    "doc_quality",
+    "doc_fingerprint",
+    # --- stalest remainder: last official row round 6, heaviest
+    # first (baseline-r8 per-query seconds in trailing comments) ---
+    "itemcf_decay_gated",  # 1.17
+    "doc_winnow",  # 1.13
+    "part_supplier_diversity",  # 1.10
+    "nation_market_share",  # 0.91
+    "waiting_suppliers",  # 0.87
+    "min_cost_supplier",  # 0.79
+    "media_near_dups",  # 0.78
+    "event_funnel",  # 0.77
+    "doc_incremental_dedup",  # 0.76
+    "nation_trade_volume",  # 0.75
+    "excess_supply_suppliers",  # 0.74
+    "important_part_value",  # 0.70
+    "event_key_skew",  # 0.65
+    "multi_resolution_counts",  # 0.57
+    "session_window_counts",  # 0.55
+    "sliding_window_counts",  # 0.53
+    "event_retention",  # 0.56
+    "shipping_priority",  # 0.60
+    "regional_supplier_volume",  # 0.62
+    "small_quantity_revenue",  # 0.52
+    "top_supplier_revenue",  # 0.55
+    "product_profit",  # 0.62
+    "priority_return_profile",  # 0.44
+    "doc_dup_spans",  # 0.52
+    "doc_chunks",  # 0.50
 ]
-# Past-cap this round (every one driver-green in r5 or r6 and
-# pytest-oracle checked on every run): the full r6 front-50 (fresh
-# official rows last round) and the 18 lightest r5-block entries
-# (ctr_abnormal_users, doc_pack_spans, word_counts,
-# doc_token_budget_sample, doc_source_quota, metric_pivot,
-# itemcf_histogram, doc_train_split, label_dedup_anti, scene_ctr,
-# media_frame_sample, action_counts, itemcf_topn, doc_quality,
-# itemcf_cooccurrence, doc_fingerprint, itemcf_decay, plus
-# click-family leftovers) — first in line for round 8. The three
-# entries with no SQL oracle (emb_kmeans_cells, emb_ivfpq_topk,
-# doc_length_profile_approx) are rows-only by design wherever placed.
+# Past-cap this round (every one driver-green in r6 or r7 and
+# pytest-oracle checked on every run): the r7 front-50 (fresh official
+# rows last round) and the lighter r6-block remainder
+# (customer_order_distribution, doc_mixture_plan/_temperature,
+# large_volume_customers, media_decode, media_resize_plan,
+# order_priority_check, returned_item_revenue, sci_notation_cast,
+# show_click_full_outer, sorted_item_lists, time_partition_keys,
+# union_tagged_counts, url_param_parse, whitelist_flag) — first in
+# line next rotation. The three entries with no SQL oracle
+# (emb_kmeans_cells, emb_ivfpq_topk, doc_length_profile_approx) are
+# rows-only by design wherever placed.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
